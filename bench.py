@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is per-query wall-clock of plan construction + execution to
+completion (count/collect of an already-aggregated result — the queries all
+end in aggregates or limits, so collect is small and the time measured is
+the distributed work, not driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    from cdc_application_febuary_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="cdc-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # forces full execution
+            timings[name] = round(time.time() - t0, 4)
+        except Exception as e:  # a failing query must not hide the rest
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+    total = round(time.time() - t_all, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "declared+pipeline query suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Changelog (CDC) semantics: Debezium envelope decode, op normalization,
+delete-rewrite — the single most load-bearing semantic in the reference,
+which implements it three times (`backend/ingestion/cdc_event_logger.py:446-467`,
+`backend/ingestion/api.py:7847-7856`, `backend/ingestion/api.py:8937-8979`).
+Here it lives once, as pure column expressions (whole-stage-codegen friendly;
+no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Debezium op codes -> normalized event types
+# (reference: cdc_event_logger.py:449-455; api.py:7847-7856).
+INSERT_CODES = ("c", "r", "insert", "i")
+UPDATE_CODES = ("u", "update")
+DELETE_CODES = ("d", "delete", "remove")
+TRUNCATE_CODES = ("t", "truncate")
+
+
+def normalize_op(op: Column | str) -> Column:
+    """c/r -> insert, u -> update, d -> delete, t -> truncate, else other."""
+    c = F.col(op) if isinstance(op, str) else op
+    lc = F.lower(c)
+    return (
+        F.when(lc.isin(*INSERT_CODES), F.lit("insert"))
+        .when(lc.isin(*UPDATE_CODES), F.lit("update"))
+        .when(lc.isin(*DELETE_CODES), F.lit("delete"))
+        .when(lc.isin(*TRUNCATE_CODES), F.lit("truncate"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def is_deleted(op: Column | str) -> Column:
+    """Delete-rewrite flag: the reference keeps DELETEs as rows with
+    ``__deleted='true'`` (`sink_config.py:275-276`, `debezium_config.py:300-302`)
+    rather than dropping them."""
+    c = F.col(op) if isinstance(op, str) else op
+    return F.when(F.lower(c).isin(*DELETE_CODES), F.lit("true")).otherwise(
+        F.lit("false")
+    )
+
+
+def debezium_envelope_schema(payload_schema: StructType) -> StructType:
+    """Schema of a Debezium change message ``{payload: {before, after, source,
+    op, ts_ms}}`` for a given table payload schema
+    (reference parse: cdc_event_logger.py:417-444)."""
+    source = StructType(
+        [
+            StructField("ts_ms", LongType()),
+            StructField("db", StringType()),
+            StructField("schema", StringType()),
+            StructField("table", StringType()),
+            StructField("lsn", StringType()),
+        ]
+    )
+    payload = StructType(
+        [
+            StructField("before", payload_schema),
+            StructField("after", payload_schema),
+            StructField("source", source),
+            StructField("op", StringType()),
+            StructField("ts_ms", LongType()),
+        ]
+    )
+    return StructType([StructField("payload", payload)])
+
+
+def decode_debezium(
+    raw: DataFrame, payload_schema: StructType, value_col: str = "value"
+) -> DataFrame:
+    """Decode a raw change feed (e.g. Kafka ``value`` bytes/strings) into the
+    engine's changelog shape:
+
+    ``(before, after, row, op, event_type, __deleted, source_ts, source_table)``
+
+    * ``row`` is ``coalesce(after, before)`` — for deletes Debezium puts the
+      payload in ``before`` (delete-rewrite keeps it as the visible row).
+    * tombstones (null value) are dropped, matching ``drop.tombstones=true``
+      (`sink_config.py:170`).
+    """
+    schema = debezium_envelope_schema(payload_schema)
+    parsed = (
+        raw.filter(F.col(value_col).isNotNull())  # tombstone filter (T9)
+        .withColumn("_env", F.from_json(F.col(value_col).cast("string"), schema))
+        .select("*", "_env.payload.*")
+        .drop("_env", value_col)
+    )
+    return (
+        parsed.withColumn("row", F.coalesce(F.col("after"), F.col("before")))
+        .withColumn("event_type", normalize_op("op"))
+        .withColumn("__deleted", is_deleted("op"))
+        .withColumn(
+            "source_ts",
+            F.timestamp_millis(F.coalesce(F.col("source.ts_ms"), F.col("ts_ms"))),
+        )
+        .withColumn("source_table", F.col("source.table"))
+    )
+
+
+def stamp_full_load(df: DataFrame, ts_ms: Column | None = None) -> DataFrame:
+    """Stamp a batch full-load DataFrame with the reference's snapshot
+    metadata columns: ``__op='r'``, ``__source_ts_ms``, ``__deleted=NULL``
+    (`transfer.py:997-998`)."""
+    ts = ts_ms if ts_ms is not None else (F.unix_timestamp(F.current_timestamp()) * 1000)
+    return (
+        df.withColumn("__op", F.lit("r"))
+        .withColumn("__source_ts_ms", ts.cast("long"))
+        .withColumn("__deleted", F.lit(None).cast("string"))
+    )

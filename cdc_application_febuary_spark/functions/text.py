@@ -1,0 +1,123 @@
+"""Text-analysis column expressions for the large-scale training-data path:
+tokenization, n-gram shingles, quality signals, language-ID heuristic,
+document fingerprinting. All pure Spark SQL expressions — they stay inside
+whole-stage codegen and scale linearly with no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WHITESPACE_RE = r"\s+"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (empty string -> empty array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, WHITESPACE_RE)
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-ish proxy count: word pieces of <=4 chars. Splits on whitespace
+    then charges ceil(len/4) per word — a deterministic stand-in for a
+    subword tokenizer, expressible without any Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        tokens(c),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def word_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    ``transform(sequence(0, size-n), i -> concat_ws(' ', slice(w, i+1, n)))``
+    — array ops only, no explode until the caller chooses to.
+    """
+    w = tokens(text)
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    )
+
+
+def distinct_words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(tokens(F.lower(c)))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    w = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    stops = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(w) > 0, stops / F.size(w)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality in [0,1]: rewards moderate length, penalizes extreme
+    stopword and punctuation ratios. Deterministic; mirrors the shape of
+    published web-corpus quality filters (length/punct/stopword signals)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_pen = F.abs(stopword_ratio(c) - F.lit(0.1))
+    punct_pen = punct_ratio(c)
+    return F.greatest(
+        F.least(len_score - stop_pen - punct_pen, F.lit(1.0)), F.lit(0.0)
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-word language ID: scores each language by marker hits over the
+    lowercased token set; highest count wins, ties broken by language code;
+    no hits -> 'und'."""
+    words = distinct_words(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # Fold over languages in sorted order so ties deterministically keep the
+    # earliest language code (strict > comparison).
+    for code in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[code]
+        score = F.size(F.filter(words, lambda x: x.isin(*markers)))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Lowercase + collapse whitespace — the canonical form for fingerprints."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), WHITESPACE_RE, " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of normalized text (hex string)."""
+    return F.md5(normalized_text(text))

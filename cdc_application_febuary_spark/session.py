@@ -1,0 +1,69 @@
+"""SparkSession construction and runtime tuning.
+
+Scale intent: these settings are chosen for a real multi-executor cluster
+(AQE coalescing + skew-join handling, partition sizing targeting ~128MB
+splits); `local[*]` in tests merely emulates that. Nothing here is
+local-mode-specific except the default master fallback.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to *any* session (including one handed
+# to us by an external harness). Keep only confs that SQLConf allows setting
+# after startup.
+RUNTIME_CONFS: dict[str, str] = {
+    # The fixture `events` table stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as long and convert (see catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic date/timestamp semantics matching a naive-UTC oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime coalescing of shuffle partitions and
+    # skew-join splitting — essential at 100 TB where static partition
+    # counts are always wrong for some stage.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf path (vectorized batches, not per-row pickle).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable on this build — leave the session default.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "cdc-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a tuned session.
+
+    ``shuffle_partitions`` defaults to the cpu count locally; on a real
+    cluster you would size it to ~2-3x total cores and let AQE coalesce.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Simulate the round driver: entry() smoke on sf0.001, then run every
+queries() entry at sf0.01 side-by-side with its oracle_sql() via DuckDB and
+compare (column names + row count + order-insensitive canonical values).
+
+Usage: python scripts/driver_sim.py [query ...]
+Exit 0 iff every oracle-paired query matches.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+SF = "/root/testdata/sf0.01"
+
+
+def canon(v):
+    if v is None:
+        return "<N>"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def main(only: list[str]) -> int:
+    import __spark_entry__ as E
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    df = E.entry(spark)
+    print(f"entry -> rows={len(df.collect())} schema={df.schema.simpleString()}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    names = [n for n in sorted(qs) if not only or n in only]
+    bad = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(canon(r[c]) for c in scols) for r in sdf.collect()
+            )
+        except Exception as e:
+            print(f"{name}: SPARK ERROR {e}")
+            bad += 1
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only rows={len(srows)} ({time.time() - t0:.1f}s)")
+            continue
+        rel = con.sql(oracles[name])
+        dcols = sorted(rel.columns)
+        idx = [rel.columns.index(c) for c in dcols]
+        drows = sorted(tuple(canon(r[i]) for i in idx) for r in rel.fetchall())
+        if scols == dcols and srows == drows:
+            print(f"{name}: MATCH rows={len(srows)} ({time.time() - t0:.1f}s)")
+        else:
+            bad += 1
+            print(
+                f"{name}: MISMATCH spark_cols={scols} duck_cols={dcols} "
+                f"spark_n={len(srows)} duck_n={len(drows)}"
+            )
+            shown = 0
+            for a, b in zip(srows, drows):
+                if a != b and shown < 3:
+                    print(f"   spark: {a}\n   duck : {b}")
+                    shown += 1
+    print(f"=== {len(names) - bad} ok, {bad} failing ===")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,14 @@
+"""Q1-Q20 (SURVEY.md §2.11) vs the DuckDB oracle at sf0.01 — the same gate
+the driver applies."""
+
+import pytest
+
+from cdc_application_febuary_spark.queries import declared
+
+from .oracle_utils import compare_to_oracle
+
+
+@pytest.mark.parametrize("name", sorted(declared.QUERIES, key=lambda n: int(n[1:])))
+def test_declared_query(spark, sf_dir, name):
+    df = declared.QUERIES[name](spark, sf_dir)
+    compare_to_oracle(df, declared.ORACLES[name], sf_dir)
