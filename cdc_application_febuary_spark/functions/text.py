@@ -75,8 +75,12 @@ def stopword_ratio(text: Column | str) -> Column:
 
 
 def punct_ratio(text: Column | str) -> Column:
+    # Explicit ASCII class (not \w) so the semantics are identical in Java
+    # regex and RE2-based engines.
     c = F.col(text) if isinstance(text, str) else text
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_punct = F.length(c) - F.length(
+        F.regexp_replace(c, r"[^a-zA-Z0-9_ \t\n]", "")
+    )
     return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
 
 
@@ -94,22 +98,25 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def lang_marker_score(text: Column | str, code: str) -> Column:
+    """Number of this language's marker words present in the distinct token
+    set (array_intersect size — identical semantics to list_intersect in
+    SQL oracles)."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
+    return F.size(F.array_intersect(distinct_words(text), markers))
+
+
 def lang_id(text: Column | str) -> Column:
     """Marker-word language ID: scores each language by marker hits over the
-    lowercased token set; highest count wins, ties broken by language code;
-    no hits -> 'und'."""
-    words = distinct_words(text)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # Fold over languages in sorted order so ties deterministically keep the
-    # earliest language code (strict > comparison).
-    for code in sorted(LANG_MARKERS):
-        markers = LANG_MARKERS[code]
-        score = F.size(F.filter(words, lambda x: x.isin(*markers)))
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    lowercased distinct-token set; highest count wins, ties broken by
+    language code order; no hits -> 'und'."""
+    scores = {code: lang_marker_score(text, code) for code in sorted(LANG_MARKERS)}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build the CASE from last to first so the earliest max wins.
+    for code in reversed(sorted(LANG_MARKERS)):
+        expr = F.when(scores[code] == best, F.lit(code)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
 
 
 def normalized_text(text: Column | str) -> Column:

@@ -1,0 +1,300 @@
+"""Deduplication operators for the large-scale training-data path.
+
+All variants follow the same scale discipline: candidate generation via an
+inverted index / banding join (never an all-pairs cross join), exact
+verification only on candidates, and no Python in the per-row path
+(xxhash64 / md5 / array expressions are JVM built-ins).
+
+Variants:
+  * exact        — hash-groupBy on canonicalized content
+  * n-gram Jaccard — shingle inverted index -> candidate pairs -> exact Jaccard
+  * MinHash + LSH  — shingle -> minhash signature -> banded buckets -> verify
+  * SimHash        — 64-bit fingerprint + chunk-banded near-pair search
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by content fingerprint; one row per distinct content with the
+    surviving id (min id) and the duplicate count. A single hash-aggregate:
+    one shuffle on the fingerprint, fully parallel at any scale."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id row per distinct content (deterministic survivor)."""
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dedup (exact, via shingle inverted index)
+# --------------------------------------------------------------------------
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(id, shingle) exploded distinct word n-grams."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
+
+    Inverted-index self-join on the shingle: cost is sum over shingles of
+    df^2, which for high-entropy shingles (word 5-grams) is ~linear in corpus
+    size. At 100 TB you additionally hash-prune hot shingles (df cap) —
+    a shingle shared by thousands of docs carries no near-dup signal.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("a_id") == F.col("sa.id"))
+        .join(sb, F.col("b_id") == F.col("sb.id"))
+        .select(
+            F.col("a_id").alias("a"),
+            F.col("b_id").alias("b"),
+            F.round(
+                F.col("icnt").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("icnt")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 5,
+) -> DataFrame:
+    """(id, sig array<long>) — signature[i] = min over shingles of
+    xxhash64(shingle, seed=i). One explode + one hash-aggregate; the
+    signature is ~256 bytes/doc regardless of document size."""
+    sh = shingle_table(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs
+    (a < b, distinct). The band key is a hash of the band's signature slice,
+    so the join key is a single long — a plain shuffle join, no cross join."""
+    assert bands * rows_per_band <= 64, "signature too short for banding"
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 5,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard (a, b, jaccard).
+
+    Verification joins candidates back to shingle sets, so the output has no
+    LSH false positives; recall at `threshold` is 1-(1-t^r)^b (~99.9% for
+    t=0.8, r=2, b=16)."""
+    cand = lsh_candidates(
+        minhash_signatures(df, id_col, text_col, num_hashes, n), bands,
+        num_hashes // bands,
+    )
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a_sh, b_sh = sh.alias("ash"), sh.alias("bsh")
+    inter = (
+        cand.join(a_sh, F.col("a") == F.col("ash.id"))
+        .join(
+            b_sh,
+            (F.col("b") == F.col("bsh.id"))
+            & (F.col("ash.shingle") == F.col("bsh.shingle")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("a") == F.col("sa.id"))
+        .join(sb, F.col("b") == F.col("sb.id"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("icnt").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("icnt")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, simhash long) — classic Charikar simhash over word tokens:
+    per bit position, sum +1/-1 weighted by token-hash bit, take sign.
+    Expressed as `bits` conditional-sum aggregates over the exploded token
+    table (still one shuffle; the agg is map-side combined)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", acc.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit hash into (max_hamming+1) chunks —
+    any pair within the distance bound must agree on at least one chunk, so
+    candidates come from equi-joins on chunk values, never a cross join."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

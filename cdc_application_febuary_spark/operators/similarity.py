@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the query set
+against the corpus with a window rank; exact, and at 100 TB the right shape
+when the query set is small (queries broadcast, corpus never shuffles).
+
+Scale path: signed-random-projection LSH bucketing — deterministic
+hash-derived hyperplanes, bucket equi-join instead of the full cross
+product, with per-bucket exact re-ranking. Recall < 1 by construction;
+multi-probe widens it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, rank, sim).
+
+    `queries` must have (query_id_col, vec_col). Self-matches (same id) are
+    excluded. Deterministic tie-break on neighbor id."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        .join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )
+
+
+def _srp_plane(plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random ±1 hyperplane from a splitmix64-style
+    integer mix — no RNG state, reproducible across engines and runs."""
+    out = []
+    for d in range(dim):
+        x = (plane * 1_000_003 + d * 7_919 + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        out.append(1 if x & 1 else -1)
+    return out
+
+
+def srp_bucket(vec_col, dim: int, planes: int = 8):
+    """Signed-random-projection bucket id (0..2^planes-1) as a column."""
+    acc = F.lit(0)
+    for p in range(planes):
+        coeffs = _srp_plane(p, dim)
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(c)) for c in coeffs]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by SRP signature, rank
+    only within the query's bucket. Corpus side is one narrow projection —
+    bucketing is a map-side expression, and the join is an equi-join on
+    (bucket), so the corpus shuffles once by bucket instead of replicating
+    per query."""
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+        )
+    )
+    scored = (
+        cb.join(qb, (cb.bucket == qb.bucket) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round(F.col("sim"), 6).alias("sim")
+        )
+    )

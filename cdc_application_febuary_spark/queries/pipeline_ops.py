@@ -1,8 +1,541 @@
-"""Beyond-reference data-pipeline queries (dedup, similarity search, text
-analysis, changelog/SCD2 simulation) with DuckDB oracles where the semantics
-are SQL-expressible. Populated operator by operator."""
+"""Beyond-reference data-pipeline queries — dedup, similarity search, text
+analysis, changelog/SCD2 semantics, profiling, LSN math — each a DataFrame
+plan over the fixture tables with a DuckDB oracle where the semantics are
+SQL-expressible (approximate/hash-seeded operators get the weaker rows-only
+check and say so).
+
+These drive the library operators in ``..operators`` / ``..functions`` —
+the queries are thin adapters, the logic lives in the operator modules.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..functions import text as T
+from ..functions.changelog import is_deleted, normalize_op
+from ..functions.lsn import long_to_pg_lsn, pg_lsn_to_long
+from ..operators import dedup, multimodal, profiling, scd2, similarity
+
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_exact",
+    """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+FROM documents
+GROUP BY 1
+ORDER BY fp
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs).orderBy("fp")
+
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       UNNEST(generate_series(1, len(w)-4)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS icnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       ROUND(CAST(i.icnt AS DOUBLE)/(sa.sz+sb.sz-i.icnt), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.a = sa.doc_id
+JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.icnt AS DOUBLE)/(sa.sz+sb.sz-i.icnt) >= 0.8
+ORDER BY a, b
+"""
+
+
+@_q("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, threshold=0.8).orderBy("a", "b")
+
+
+# MinHash+LSH verifies candidates with exact Jaccard, so its output equals
+# the exact pair set whenever LSH recall holds (1-(1-t^r)^b ≈ 1 at these
+# thresholds) — the exact-pairs oracle doubles as a recall check.
+@_q("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.8).orderBy("a", "b")
+
+
+@_q("dedup_simhash")  # rows-only: xxhash64-seeded fingerprint, not in SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_ANN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim0
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim0, 6) AS sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim0 DESC, neighbor_id ASC) AS rank
+      FROM s) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@_q("ann_topk_bruteforce", _ANN_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(
+        emb, queries, k=5, query_id_col="query_id"
+    ).orderBy("query_id", "rank")
+
+
+@_q("ann_topk_lsh")  # rows-only: SRP bucketing is approximate by design
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        emb, queries, k=5, dim=64, planes=8, query_id_col="query_id"
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+_STOPS_SQL = "['" + "','".join(T.STOPWORDS) + "']"
+
+
+@_q(
+    "token_stats",
+    """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                 t -> CAST(ceil(length(t)/4.0) AS BIGINT)))) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count("text")).alias("total_tokens"),
+            F.sum(T.bpe_ish_token_count("text")).alias("bpe_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "text_quality",
+    f"""
+WITH d AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+           / len(string_split_regex(lower(trim(text)), '\\s+')) AS stop_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(n_tok), 6) AS avg_tokens,
+       ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio,
+       ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
+       ROUND(AVG(GREATEST(LEAST(LEAST(n_tok/50.0, 1.0) - ABS(stop_ratio - 0.1)
+                                - punct_ratio, 1.0), 0.0)), 6) AS avg_quality
+FROM d
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(T.token_count("text")), 6).alias("avg_tokens"),
+            F.round(F.avg(T.stopword_ratio("text")), 6).alias("avg_stop_ratio"),
+            F.round(F.avg(T.punct_ratio("text")), 6).alias("avg_punct_ratio"),
+            F.round(F.avg(T.quality_score("text")), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        code: "len(list_intersect(words, ['"
+        + "','".join(T.LANG_MARKERS[code])
+        + "']))"
+        for code in sorted(T.LANG_MARKERS)
+    }
+    greatest = "GREATEST(" + ", ".join(f"s_{c}" for c in sorted(T.LANG_MARKERS)) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for code in sorted(T.LANG_MARKERS):
+        case += f"WHEN s_{code} = {greatest} THEN '{code}' "
+    case += "ELSE 'und' END"
+    scores_sql = ", ".join(f"{expr} AS s_{code}" for code, expr in score.items())
+    return f"""
+WITH w AS (
+  SELECT lang, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS words
+  FROM documents
+),
+s AS (SELECT lang, {scores_sql} FROM w)
+SELECT lang, {case} AS lang_pred, COUNT(*) AS cnt
+FROM s
+GROUP BY 1, 2
+ORDER BY lang, lang_pred
+"""
+
+
+@_q("lang_id_confusion", _lang_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", T.lang_id("text").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@_q(
+    "fingerprint_stats",
+    """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS distinct_fp
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(T.fingerprint("text")).alias("distinct_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changelog / SCD2 semantics over a simulated CDC feed
+# ---------------------------------------------------------------------------
+# The fixture `events` table carries app-style event types; map them
+# deterministically onto Debezium op codes so the *reference semantics*
+# (normalize, delete-rewrite, current-state) are exercised with a real
+# oracle: signup->c, view->r (snapshot read), click/purchase->u, error->d.
+_SIM_OP_SQL = """CASE event_type WHEN 'signup' THEN 'c' WHEN 'view' THEN 'r'
+ WHEN 'click' THEN 'u' WHEN 'purchase' THEN 'u' WHEN 'error' THEN 'd'
+ ELSE 'x' END"""
+
+
+def _sim_op_col() -> F.Column:
+    return (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "view", "r")
+        .when(F.col("event_type") == "click", "u")
+        .when(F.col("event_type") == "purchase", "u")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("x")
+    )
+
+
+_NORM_SQL = """CASE WHEN op IN ('c','r') THEN 'insert' WHEN op = 'u' THEN 'update'
+ WHEN op = 'd' THEN 'delete' WHEN op = 't' THEN 'truncate' ELSE 'other' END"""
+
+
+@_q(
+    "changelog_normalize",
+    f"""
+WITH c AS (SELECT user_id, {_SIM_OP_SQL} AS op FROM events)
+SELECT {_NORM_SQL} AS op_norm,
+       COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_cnt,
+       COUNT(DISTINCT user_id) AS users
+FROM c
+GROUP BY 1
+ORDER BY op_norm
+""",
+)
+def changelog_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("op", _sim_op_col())
+    return (
+        ev.groupBy(normalize_op("op").alias("op_norm"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum((is_deleted("op") == "true").cast("long")).alias("deleted_cnt"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("op_norm")
+    )
+
+
+@_q(
+    "scd2_current_state",
+    f"""
+WITH c AS (
+  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms, {_SIM_OP_SQL} AS op
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM c
+)
+SELECT user_id, {_NORM_SQL} AS last_op, value
+FROM r WHERE rn = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)
+def scd2_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        _sim_op_col().alias("op"),
+        F.unix_millis("ts").alias("source_ts_ms"),
+    )
+    rows = scd2.to_scd2_rows(
+        ev, payload_cols=["user_id", "event_id", "value"], op_col="op",
+        ts_ms_col="source_ts_ms",
+    )
+    cur = scd2.current_state(
+        rows, key_cols=["user_id"], order_cols=["__source_ts_ms", "event_id"]
+    )
+    return cur.select(
+        "user_id", normalize_op("__op").alias("last_op"), "value"
+    ).orderBy("user_id")
+
+
+@_q(
+    "scd2_history_spans",
+    """
+WITH c AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+v AS (
+  SELECT user_id, ts_ms AS valid_from,
+         LEAD(ts_ms) OVER (PARTITION BY user_id
+                           ORDER BY ts_ms ASC, event_id ASC) AS valid_to
+  FROM c
+)
+SELECT COUNT(*) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+       CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN valid_to - valid_from
+                     ELSE 0 END) AS BIGINT) AS total_span_ms
+FROM v
+""",
+)
+def scd2_history_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.lit("u").alias("op"),
+        F.unix_millis("ts").alias("source_ts_ms"),
+    )
+    rows = scd2.to_scd2_rows(
+        ev, payload_cols=["user_id", "event_id"], op_col="op",
+        ts_ms_col="source_ts_ms",
+    )
+    hist = scd2.history_with_validity(
+        rows, key_cols=["user_id"], order_cols=["__source_ts_ms", "event_id"]
+    )
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("is_current").cast("long")).alias("n_current"),
+        F.sum((~F.col("is_current")).cast("long")).alias("n_closed"),
+        F.sum(
+            F.when(
+                F.col("valid_to").isNotNull(),
+                F.col("valid_to") - F.col("valid_from"),
+            ).otherwise(0)
+        ).alias("total_span_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Profiling batteries
+# ---------------------------------------------------------------------------
+@_q(
+    "profile_orders",
+    """
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       COUNT(DISTINCT o_custkey) AS customers
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.countDistinct("o_custkey").alias("customers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_TOPVAL_COLS = ("l_returnflag", "l_linestatus")
+_TOPVAL_ORACLE = (
+    "SELECT col_name, value, cnt, rank FROM (SELECT col_name, value, cnt, "
+    "ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS rank "
+    "FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {c} AS value, COUNT(*) AS cnt "
+        f"FROM lineitem GROUP BY 2"
+        for c in _TOPVAL_COLS
+    )
+    + ") u) t WHERE rank <= 10 ORDER BY col_name, rank"
+)
+
+
+@_q("profile_top_values", _TOPVAL_ORACLE)
+def profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        profiling.top_values_all_columns(li, columns=list(_TOPVAL_COLS), k=10)
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name", "rank")
+    )
+
+
+_ORDERS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+_NULLS_ORACLE = (
+    "SELECT col_name, null_cnt, null_pct FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100 "
+        f"AS null_pct FROM orders"
+        for c in _ORDERS_COLS
+    )
+    + ") t ORDER BY col_name"
+)
+
+
+@_q("profile_nulls", _NULLS_ORACLE)
+def profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        profiling.null_profile(o)
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    )
+
+
+@_q("profile_approx_distinct")  # rows-only: HLL estimate has no exact oracle
+def profile_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.approx_distinct_profile(ev).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# LSN math (reference F2/F3) — round-trip through format + parse
+# ---------------------------------------------------------------------------
+@_q(
+    "lsn_roundtrip",
+    """
+SELECT COUNT(*) AS n,
+       CAST(SUM((o_orderkey % 4096) * 4294967296 + (o_orderkey % 65536) + 17)
+            AS BIGINT) AS sum_lsn,
+       MAX((o_orderkey % 4096) * 4294967296 + (o_orderkey % 65536) + 17) AS max_lsn
+FROM orders
+""",
+)
+def lsn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Synthesize a PG LSN per order, format it as 'X/Y' hex, parse it back
+    # with the engine's column expressions; the oracle computes the identity
+    # directly — any parse/format bug breaks the match.
+    o = load_table(spark, sf_dir, "orders")
+    v = (F.col("o_orderkey") % 4096) * F.lit(4294967296).cast("long") + (
+        F.col("o_orderkey") % 65536
+    ) + 17
+    parsed = pg_lsn_to_long(long_to_pg_lsn(v))
+    return o.select(parsed.alias("lsn")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lsn").alias("sum_lsn"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (synthetic media; decode stubbed — see operators)
+# ---------------------------------------------------------------------------
+@_q("multimodal_features")  # rows-only: input is generated, not a fixture
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media(spark, n=64)
+    feats = multimodal.extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("content_hash").alias("distinct_content"),
+            F.sum("byte_len").alias("total_bytes"),
+        )
+        .orderBy("kind")
+    )
