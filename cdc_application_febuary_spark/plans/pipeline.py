@@ -1,0 +1,135 @@
+"""Pipeline orchestration: the reference's pipeline lifecycle
+(`cdc_manager.py:194-1290`, SURVEY §3 entry point 1) as Spark jobs.
+
+Modes mirror the reference (models.py:163-268):
+  * full_load_only      -> batch snapshot with __op='r' stamping
+  * cdc_only            -> streaming change path from the current offset
+  * full_load_and_cdc   -> snapshot, capture offset, then stream from it
+
+The snapshot-to-stream handoff (reference LSN capture,
+cdc_manager.py:1578-1589) maps to: record the max source timestamp / file
+position at snapshot end; the streaming checkpoint then owns progress.
+
+Everything here is storage-agnostic over DataFrames: sources can be JDBC
+specs, parquet paths, or any reader callable — full loads are tested
+locally over parquet, exactly the path a lakehouse target uses at scale.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.changelog import stamp_full_load
+from ..operators.reconciliation import (
+    validate_row_count,
+    validate_schema,
+    validate_source_non_empty,
+)
+
+
+@dataclass
+class FullLoadResult:
+    table: str
+    rows: int
+    elapsed_sec: float
+    captured_ts_ms: int | None
+    reconciliation: dict = field(default_factory=dict)
+
+
+def run_full_load(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    table: str,
+    ts_column: str | None = None,
+    partition_by: list[str] | None = None,
+    repartition: int | None = None,
+) -> FullLoadResult:
+    """Batch full load: stamp snapshot metadata (__op='r', __source_ts_ms,
+    __deleted=NULL — reference transfer.py:997-998), append to the target,
+    verify row-count and schema parity (validation.py:97-295), and capture
+    the max source timestamp as the stream handoff offset.
+
+    Unlike the reference's sequential 10k-row pages (transfer.py:831-933),
+    the write is fully parallel: every partition appends concurrently.
+    """
+    t0 = time.time()
+    validate_source_non_empty(source)
+
+    stamped = stamp_full_load(source)
+    if repartition:
+        stamped = stamped.repartition(repartition)
+    writer = stamped.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target_path)
+
+    target = spark.read.parquet(target_path)
+    count_res = validate_row_count(source, target.where(F.col("__op") == "r"))
+    schema_res = validate_schema(source, target)
+    if not schema_res["matches"]:
+        raise AssertionError(f"schema parity failed: {schema_res}")
+
+    captured = None
+    if ts_column:
+        captured = source.agg(
+            F.max(F.unix_millis(F.col(ts_column).cast("timestamp")))
+        ).collect()[0][0]
+
+    return FullLoadResult(
+        table=table,
+        rows=count_res.target_rows,
+        elapsed_sec=round(time.time() - t0, 3),
+        captured_ts_ms=captured,
+        reconciliation={
+            "row_count": count_res.matches,
+            "schema": schema_res["matches"],
+        },
+    )
+
+
+@dataclass
+class PipelineSpec:
+    """A pipeline definition (reference models.py:163-268): source tables ->
+    target paths + mode."""
+
+    pipeline_id: str
+    mode: str = "full_load_and_cdc"  # full_load_only | cdc_only | full_load_and_cdc
+    tables: list[str] = field(default_factory=list)
+    target_root: str = ""
+    checkpoint_root: str = ""
+
+    def target_path(self, table: str) -> str:
+        return f"{self.target_root.rstrip('/')}/{table}"
+
+    def checkpoint_dir(self, table: str) -> str:
+        return f"{self.checkpoint_root.rstrip('/')}/{table}"
+
+
+def run_pipeline_full_loads(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    sources: dict[str, DataFrame],
+    ts_columns: dict[str, str] | None = None,
+) -> list[FullLoadResult]:
+    """Full-load every table in the spec. Tables run sequentially like the
+    reference (transfer.py:331-358) but each table's load is internally
+    parallel; at scale you submit tables as concurrent Spark jobs instead."""
+    if spec.mode == "cdc_only":
+        return []
+    ts_columns = ts_columns or {}
+    results = []
+    for table in spec.tables:
+        results.append(
+            run_full_load(
+                spark,
+                sources[table],
+                spec.target_path(table),
+                table,
+                ts_column=ts_columns.get(table),
+            )
+        )
+    return results
