@@ -16,7 +16,7 @@ from ..catalog import load_table
 from ..functions import text as T
 from ..functions.changelog import is_deleted, normalize_op
 from ..functions.lsn import long_to_pg_lsn, pg_lsn_to_long
-from ..operators import dedup, multimodal, profiling, scd2, similarity
+from ..operators import dedup, lineage, multimodal, profiling, scd2, similarity
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -520,6 +520,115 @@ def lsn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("lsn").alias("sum_lsn"),
         F.max("lsn").alias("max_lsn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lineage (J3/J6): FK-graph reachability — Spark iterative-join BFS vs a
+# DuckDB recursive CTE over the same static TPC-H FK edge list.
+# ---------------------------------------------------------------------------
+_FK_EDGES = [
+    ("lineitem", "orders"),
+    ("lineitem", "part"),
+    ("lineitem", "supplier"),
+    ("orders", "customer"),
+    ("customer", "nation"),
+    ("supplier", "nation"),
+    ("nation", "region"),
+]
+_EDGE_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in _FK_EDGES)
+
+
+@_q(
+    "lineage_reachability",
+    f"""
+WITH RECURSIVE edges(from_table, to_table) AS (
+  SELECT * FROM (VALUES {_EDGE_VALUES}) v(f, t)
+),
+reach(tbl, hops) AS (
+  SELECT 'lineitem', 0
+  UNION ALL
+  SELECT e.to_table, r.hops + 1
+  FROM reach r JOIN edges e ON e.from_table = r.tbl
+  WHERE r.hops < 10
+)
+SELECT tbl, CAST(MIN(hops) AS INT) AS hops
+FROM reach GROUP BY tbl ORDER BY tbl
+""",
+)
+def lineage_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = spark.createDataFrame(
+        [(a, b, None, None, "foreign_key") for a, b in _FK_EDGES],
+        "from_table string, to_table string, from_column string, "
+        "to_column string, type string",
+    )
+    return (
+        lineage.reachable_tables(edges, ["lineitem"])
+        .select(F.col("table").alias("tbl"), F.col("hops").cast("int"))
+        .orderBy("tbl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set reconciliation (U2/U3): except-both-ways equality check
+# ---------------------------------------------------------------------------
+@_q(
+    "set_reconcile",
+    """
+SELECT
+  (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events
+                         EXCEPT SELECT DISTINCT c_custkey FROM customer) a) AS only_events,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                         EXCEPT SELECT DISTINCT user_id FROM events) b) AS only_customers,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events
+                         INTERSECT SELECT DISTINCT c_custkey FROM customer) c) AS common
+""",
+)
+def set_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    only_a = ev.exceptAll(cust).count()
+    only_b = cust.exceptAll(ev).count()
+    common = ev.intersect(cust).count()
+    return spark.createDataFrame(
+        [(only_a, only_b, common)], "only_events long, only_customers long, common long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events API pagination (P3/P4/O1): multi-filter + offset page via window
+# ---------------------------------------------------------------------------
+@_q(
+    "events_filtered_page",
+    """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+  AND value BETWEEN 10 AND 400
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+ORDER BY ts DESC, event_id DESC
+LIMIT 50 OFFSET 50
+""",
+)
+def events_filtered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OFFSET pagination via row_number (the engine-side form of the
+    # reference's ORDER BY ... OFFSET skip LIMIT n — api.py:8841-8850).
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").between(10, 400)
+        & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+    )
+    w = Window.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > 50) & (F.col("rn") <= 100))
+        .select("event_id", "user_id", "event_type", "value")
     )
 
 
