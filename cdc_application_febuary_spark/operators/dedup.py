@@ -56,8 +56,12 @@ def drop_exact_dups(
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:
-    """(id, shingle) exploded distinct word n-grams."""
-    return df.select(
+    """(id, shingle) exploded distinct word n-grams.
+
+    Repartitions the input first: a small-file corpus otherwise runs the
+    whole explode in as many tasks as it has files (often one)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
@@ -77,7 +81,9 @@ def jaccard_pairs(
     size. At 100 TB you additionally hash-prune hot shingles (df cap) —
     a shingle shared by thousands of docs carries no near-dup signal.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # The shingle table feeds three plan branches (two join sides + sizes);
+    # persist so the explode+distinct runs once, not three times.
+    sh = shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -183,11 +189,17 @@ def minhash_dedup_pairs(
     Verification joins candidates back to shingle sets, so the output has no
     LSH false positives; recall at `threshold` is 1-(1-t^r)^b (~99.9% for
     t=0.8, r=2, b=16)."""
-    cand = lsh_candidates(
-        minhash_signatures(df, id_col, text_col, num_hashes, n), bands,
-        num_hashes // bands,
+    # One materialization of the shingle table serves signature generation,
+    # both verification join sides, and the size aggregate.
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
-    sh = shingle_table(df, id_col, text_col, n)
+    cand = lsh_candidates(sigs, bands, num_hashes // bands)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_sh, b_sh = sh.alias("ash"), sh.alias("bsh")
     inter = (
@@ -227,7 +239,8 @@ def simhash(
     per bit position, sum +1/-1 weighted by token-hash bit, take sign.
     Expressed as `bits` conditional-sum aggregates over the exploded token
     table (still one shuffle; the agg is map-side combined)."""
-    toks = df.select(
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(parts).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))

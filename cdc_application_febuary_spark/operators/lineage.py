@@ -40,9 +40,33 @@ def reachable_tables(
     edges: DataFrame, start_tables: list[str], max_hops: int = 10
 ) -> DataFrame:
     """BFS over FK edges: all tables reachable from `start_tables` with hop
-    distance (J6). Iterative joins with a loop-invariant visited set;
-    terminates when the frontier is empty or max_hops is hit."""
+    distance (J6).
+
+    Size-aware strategy (the BFS analog of broadcast-vs-shuffle join
+    selection): catalog FK graphs are at most ~1e5 edges, where a collected
+    driver BFS beats per-hop distributed joins by orders of magnitude; the
+    iterative-join path remains for genuinely large lineage graphs."""
     spark = edges.sparkSession
+    n_edges = edges.limit(100_001).count()
+    if n_edges <= 100_000:
+        adj: dict[str, list[str]] = {}
+        for r in edges.select("from_table", "to_table").collect():
+            adj.setdefault(r["from_table"], []).append(r["to_table"])
+        hops = {t: 0 for t in start_tables}
+        frontier_py = list(start_tables)
+        for hop in range(1, max_hops + 1):
+            nxt_py = []
+            for t in frontier_py:
+                for dst in adj.get(t, ()):
+                    if dst not in hops:
+                        hops[dst] = hop
+                        nxt_py.append(dst)
+            if not nxt_py:
+                break
+            frontier_py = nxt_py
+        return spark.createDataFrame(
+            sorted(hops.items()), ["table", "hops"]
+        )
     visited = spark.createDataFrame(
         [(t, 0) for t in start_tables], ["table", "hops"]
     )

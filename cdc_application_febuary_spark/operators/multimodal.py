@@ -70,7 +70,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 1000 * (i % 7) if kind != "image" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # createDataFrame splits tiny row sets across defaultParallelism
+    # partitions — with mapInPandas downstream that spins up one Python
+    # worker per partition for a handful of rows each; coalesce first.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def decode_image(content: bytes) -> "object":

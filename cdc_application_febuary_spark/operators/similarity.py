@@ -24,11 +24,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus_partitions: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, rank, sim).
 
     `queries` must have (query_id_col, vec_col). Self-matches (same id) are
-    excluded. Deterministic tie-break on neighbor id."""
+    excluded. Deterministic tie-break on neighbor id.
+
+    The corpus is repartitioned before the broadcast join: a broadcast join
+    preserves the input partitioning, so a single-file corpus would score
+    every (query x corpus) pair in ONE task. Spreading the corpus spreads
+    the scoring across all cores/executors."""
+    parts = corpus_partitions or corpus.sparkSession.sparkContext.defaultParallelism
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -36,6 +43,7 @@ def cosine_topk(
     )
     scored = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        .repartition(parts)
         .join(q, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
     )
@@ -100,11 +108,12 @@ def lsh_topk(
     bucketing is a map-side expression, and the join is an equi-join on
     (bucket), so the corpus shuffles once by bucket instead of replicating
     per query."""
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
-    )
+    ).repartition(parts, "bucket")
     qb = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),

@@ -585,17 +585,27 @@ SELECT
 """,
 )
 def set_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    # One full-outer join + one aggregate instead of three separate
+    # except/intersect jobs — a single shuffle computes all three counts.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+        .withColumn("in_a", F.lit(1))
+    )
     cust = (
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("k"))
         .distinct()
+        .withColumn("in_b", F.lit(1))
     )
-    only_a = ev.exceptAll(cust).count()
-    only_b = cust.exceptAll(ev).count()
-    common = ev.intersect(cust).count()
-    return spark.createDataFrame(
-        [(only_a, only_b, common)], "only_events long, only_customers long, common long"
+    joined = ev.join(cust, "k", "full_outer")
+    return joined.agg(
+        F.sum(F.when(F.col("in_b").isNull(), 1).otherwise(0)).alias("only_events"),
+        F.sum(F.when(F.col("in_a").isNull(), 1).otherwise(0)).alias("only_customers"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+        ).alias("common"),
     )
 
 
