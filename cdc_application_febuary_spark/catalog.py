@@ -49,6 +49,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with `ts` left as raw int64 epoch-nanos.
+
+    Time-range predicates belong on this raw column: an integer comparison
+    pushes down to parquet row-group statistics and prunes I/O, while a
+    predicate on the *converted* timestamp (`timestamp_micros(ts div 1000)`)
+    cannot. Filter raw, then convert with `events_ts()`."""
+    tune(spark)
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+
+
+def events_ts(df: DataFrame) -> DataFrame:
+    """Convert a raw-nanos events frame to the canonical timestamp shape."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def ts_nanos(iso_ts: str) -> int:
+    """Epoch-nanos bound for a naive-UTC ISO timestamp — whole-second
+    boundaries convert exactly, so raw-nanos comparison is equivalent to
+    the timestamp comparison."""
+    import datetime as _dt
+
+    dt = _dt.datetime.fromisoformat(iso_ts).replace(tzinfo=_dt.timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -31,16 +31,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- Q1 (P1,P4,O1): projection + time filter + sort/limit pagination --------
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Filter + projection reach the parquet scan (pushdown/pruning);
+    # The time filter runs on the RAW nanos column so it pushes down to
+    # parquet row-group stats (a filter on the converted timestamp cannot);
     # TakeOrderedAndProject avoids a global sort for the limit.
+    from ..catalog import events_ts, load_events_raw, ts_nanos
+
+    raw = load_events_raw(spark, sf_dir).where(
+        F.col("ts") >= F.lit(ts_nanos("2024-01-01 00:00:00"))
+    )
     return (
-        _t(spark, sf_dir, "events")
-        .where(F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
-        .select("event_id", "user_id", "event_type", "value")
-        .orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
+        events_ts(raw)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .limit(100)
+        .drop("ts")
     )
 
 

@@ -1,0 +1,69 @@
+"""Physical-plan quality gates: pushdown, pruning, join strategy, partial
+aggregation, limit handling. These are the properties that decide whether a
+query survives a 100x scale-up — codified so a refactor that silently
+drops one fails CI."""
+
+import pytest
+
+from cdc_application_febuary_spark.queries import declared
+
+
+def _physical(spark, sf_dir, name):
+    df = declared.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_no_global_sort(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "q1")
+    # raw-nanos predicate reaches parquet (row-group pruning at scale)
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    # limit+order = top-k, not a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q4_partial_aggregation(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "q4")
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_q7_single_scan_pruned(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "q7")
+    # the whole profiling battery runs in ONE scan of 4 columns
+    assert plan.count("FileScan parquet") == 1
+    scan_line = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    for col in ("l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert col in scan_line
+    assert "l_quantity" not in scan_line  # unused columns never read
+
+
+def test_q9_broadcasts_dimension(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "q9")
+    assert "BroadcastHashJoin" in plan  # fact table never shuffles
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_range_join_not_nested_loop(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "q19")
+    # equi key drives the join; the range predicate rides along
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_anti_join_strategy(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "q11")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["q2", "q6", "q9", "q14"])
+def test_whole_stage_codegen_present(spark, sf_dir, name):
+    # AQE only materializes the final plan (with codegen stages) after
+    # execution — run the query, then inspect.
+    df = declared.QUERIES[name](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages render as "*(n)" prefixes in the final adaptive plan
+    assert "*(1)" in plan  # expressions stay JVM-compiled
+    assert "isFinalPlan=true" in plan
