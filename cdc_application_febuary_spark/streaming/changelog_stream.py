@@ -70,6 +70,16 @@ def kafka_source(
     )
 
 
+def topic_pattern(pipeline: str, engine: str = "postgresql") -> str:
+    """Subscribe-pattern regex for a pipeline's change topics, following the
+    reference topic naming (`debezium_config.py:747-775`):
+    ``{pipeline}.{schema}.{table}`` — SQL Server inserts the database for a
+    4-part name (`{pipeline}.{db}.{schema}.{table}``)."""
+    parts = 3 if engine.lower() != "sqlserver" else 4
+    seg = r"[^.]+"
+    return rf"^{pipeline}\." + r"\.".join([seg] * (parts - 1)) + "$"
+
+
 def file_source(
     spark: SparkSession,
     path: str,
