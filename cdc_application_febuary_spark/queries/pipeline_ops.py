@@ -524,6 +524,152 @@ def lsn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join (custom operator Spark lacks; union-tag implementation) —
+# purchase events attributed to the user's most recent prior click.
+# Timestamps compared as raw epoch-nanos on both sides for exact parity.
+# ---------------------------------------------------------------------------
+@_q(
+    "asof_attribution",
+    """
+WITH p AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_ns(ts) AS tsn, value AS click_value
+      FROM events WHERE event_type = 'click')
+SELECT COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN a.click_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attributed,
+       SUM(CAST(a.click_value AS DECIMAL(38,6))) AS attributed_value
+FROM (SELECT p.*, c.click_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tsn <= p.tsn) a
+""",
+)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_events_raw
+    from ..operators.asof import asof_join
+
+    raw = load_events_raw(spark, sf_dir)  # ts = raw epoch-nanos (exact)
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = raw.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], value_cols=["click_value"]
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(F.col("click_value").isNotNull(), 1).otherwise(0)).alias(
+            "n_attributed"
+        ),
+        F.sum(F.col("click_value").cast("decimal(38,6)")).alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zero-filled daily buckets (A13): date spine + left join — the reference
+# zero-fills client-side (analytics/page.tsx:274-348); here it's a plan.
+# ---------------------------------------------------------------------------
+@_q(
+    "daily_zero_filled",
+    """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM b)
+SELECT s.day, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt
+FROM spine s LEFT JOIN d USING (day)
+ORDER BY day
+""",
+)
+def daily_zero_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monitoring dashboard (A2/A3/A11): per-pipeline totals + success rate +
+# latest event — the api.py:7716-7994 rollup over a simulated pipeline key.
+# ---------------------------------------------------------------------------
+@_q(
+    "monitoring_dashboard",
+    """
+SELECT user_id % 5 AS pipeline_id,
+       COUNT(*) AS total,
+       CAST(SUM(CASE WHEN value >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS applied,
+       CAST(SUM(CASE WHEN value >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS success_rate,
+       COUNT(DISTINCT user_id) AS users,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_event
+FROM events
+GROUP BY 1
+ORDER BY pipeline_id
+""",
+)
+def monitoring_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    applied = F.sum(F.when(F.col("value") >= 0.5, 1).otherwise(0))
+    return (
+        ev.groupBy((F.col("user_id") % 5).alias("pipeline_id"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            applied.alias("applied"),
+            (applied.cast("double") / F.count(F.lit(1))).alias("success_rate"),
+            F.countDistinct("user_id").alias("users"),
+            F.max("ts").alias("last_event"),
+        )
+        .orderBy("pipeline_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quartile bucketing (ntile window tier)
+# ---------------------------------------------------------------------------
+@_q(
+    "value_quartiles",
+    """
+SELECT event_type, CAST(q AS INT) AS quartile, COUNT(*) AS n,
+       MIN(value) AS min_v, MAX(value) AS max_v
+FROM (SELECT event_type, value, event_id,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS q
+      FROM events) t
+GROUP BY 1, 2
+ORDER BY event_type, quartile
+""",
+)
+def value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lineage (J3/J6): FK-graph reachability — Spark iterative-join BFS vs a
 # DuckDB recursive CTE over the same static TPC-H FK edge list.
 # ---------------------------------------------------------------------------
