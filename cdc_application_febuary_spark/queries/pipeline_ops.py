@@ -789,6 +789,51 @@ def events_filtered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stateful streaming (applyInPandasWithState): running per-key counts over
+# the events feed replayed as a stream; the lifetime totals must equal the
+# batch GROUP BY — an oracle for a genuinely streaming operator.
+# ---------------------------------------------------------------------------
+@_q(
+    "stateful_running_counts",
+    """
+SELECT event_type AS key, COUNT(*) AS events
+FROM events GROUP BY 1 ORDER BY key
+""",
+)
+def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import running_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("key")
+    )
+    work = tempfile.mkdtemp(prefix="stateful_q_")
+    feed = f"{work}/feed"
+    ev.coalesce(1).write.json(feed)
+    stream = spark.readStream.schema("event_id long, key string").json(feed)
+    out_dir = f"{work}/out"
+    q = (
+        running_counts(stream.groupBy(F.col("key")))
+        .writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # one row per key per micro-batch; the lifetime total is the max
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("key")
+        .agg(F.max("events").alias("events"))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (synthetic media; decode stubbed — see operators)
 # ---------------------------------------------------------------------------
 @_q("multimodal_features")  # rows-only: input is generated, not a fixture
