@@ -69,6 +69,22 @@ def history_with_validity(
     )
 
 
+def merge_upsert(
+    target_current: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] = ("__source_ts_ms",),
+) -> DataFrame:
+    """The upsert mode the reference deliberately avoids
+    (`sink_config.py:261-263` keeps insert-only): apply a batch of SCD2
+    change rows onto the current snapshot, producing the next snapshot —
+    the Delta-MERGE analog expressed as union + current-state window, so it
+    works on plain parquet. Inserts add keys, updates replace them, deletes
+    (rewritten rows) remove them."""
+    unioned = target_current.unionByName(changes, allowMissingColumns=True)
+    return current_state(unioned, key_cols, order_cols)
+
+
 def normalized_op_counts(changelog: DataFrame, op_col: str = "op") -> DataFrame:
     """The dashboard rollup (reference api.py:7826-7856): events by
     normalized op type."""
