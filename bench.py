@@ -33,6 +33,11 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM/codegen/file-index paths so startup cost isn't billed to
+    # whichever query happens to run first.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
+
     qs = E.queries()
     timings: dict[str, float] = {}
     t_all = time.time()

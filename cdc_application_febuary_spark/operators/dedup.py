@@ -162,6 +162,9 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # both self-join sides read band_rows — persist or the minhash
+    # aggregation upstream runs twice
+    band_rows = band_rows.persist()
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(
@@ -293,6 +296,9 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.val")
+    # persist: the 64-bit-sum aggregation would otherwise run once per
+    # self-join side
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -47,10 +47,11 @@ def reachable_tables(
     driver BFS beats per-hop distributed joins by orders of magnitude; the
     iterative-join path remains for genuinely large lineage graphs."""
     spark = edges.sparkSession
-    n_edges = edges.limit(100_001).count()
-    if n_edges <= 100_000:
+    # one job decides the strategy AND fetches the edges if small
+    sample = edges.select("from_table", "to_table").take(100_001)
+    if len(sample) <= 100_000:
         adj: dict[str, list[str]] = {}
-        for r in edges.select("from_table", "to_table").collect():
+        for r in sample:
             adj.setdefault(r["from_table"], []).append(r["to_table"])
         hops = {t: 0 for t in start_tables}
         frontier_py = list(start_tables)

@@ -245,7 +245,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -271,7 +271,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").alias("bal"),
         )
         .orderBy("r_name", "n_name")
     )

@@ -426,7 +426,7 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("revenue"),
             F.countDistinct("o_custkey").alias("customers"),
         )
         .orderBy("o_orderstatus")
@@ -813,17 +813,24 @@ def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.coalesce(1).write.json(feed)
     stream = spark.readStream.schema("event_id long, key string").json(feed)
     out_dir = f"{work}/out"
-    q = (
-        running_counts(stream.groupBy(F.col("key")))
-        .writeStream.foreachBatch(
-            lambda b, _id: b.write.mode("append").parquet(out_dir)
+    # a fresh checkpoint pins the state-store partition count from the
+    # current shuffle conf; a handful of keys don't need 32 state stores
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_counts(stream.groupBy(F.col("key")))
+            .writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     # one row per key per micro-batch; the lifetime total is the max
     return (
         spark.read.parquet(out_dir)
