@@ -635,6 +635,35 @@ def monitoring_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact percentiles (profiling tier beyond min/max/avg; at 100 TB you'd use
+# approx_percentile — the exact form is the oracle-checkable tier)
+# ---------------------------------------------------------------------------
+@_q(
+    "value_percentiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events
+GROUP BY 1
+ORDER BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quartile bucketing (ntile window tier)
 # ---------------------------------------------------------------------------
 @_q(
