@@ -635,6 +635,103 @@ def monitoring_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rollup (subtotals + grand total) — beyond the reference's flat GROUP BYs
+# (SURVEY §2.4: "no grouping sets / cube / rollup"); Spark gives it free.
+# ---------------------------------------------------------------------------
+@_q(
+    "daily_rollup",
+    """
+SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day,
+       CAST(GROUPING(event_type) AS INT) AS g_type
+FROM events
+WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+ORDER BY g_day, g_type, day, event_type
+""",
+)
+def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        .withColumn("day", F.to_date("ts"))
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+        )
+        .select("day", "event_type", "cnt", "g_day", "g_type")
+        .orderBy("g_day", "g_type", "day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide per-day op counts) — oracle via conditional aggregation.
+# ---------------------------------------------------------------------------
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_q(
+    "daily_pivot",
+    "SELECT CAST(ts AS DATE) AS day, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY 1 ORDER BY day",
+)
+def daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot emits null for absent combinations; the oracle's conditional sum
+    # emits 0 — align
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _PIVOT_TYPES]
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# String-function battery over part names (upper/substr/split/replace tier)
+# ---------------------------------------------------------------------------
+@_q(
+    "part_name_tokens",
+    """
+SELECT lower(string_split(p_name, ' ')[1]) AS first_word,
+       COUNT(*) AS cnt,
+       CAST(MIN(LENGTH(p_name)) AS INT) AS min_len,
+       CAST(MAX(LENGTH(p_name)) AS INT) AS max_len,
+       MIN(upper(substring(p_name, 1, 3))) AS first_prefix
+FROM part
+GROUP BY 1
+ORDER BY cnt DESC, first_word ASC
+LIMIT 10
+""",
+)
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.lower(F.split(F.col("p_name"), " ").getItem(0)).alias("first_word")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.length("p_name")).alias("min_len"),
+            F.max(F.length("p_name")).alias("max_len"),
+            F.min(F.upper(F.substring("p_name", 1, 3))).alias("first_prefix"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("first_word").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles (profiling tier beyond min/max/avg; at 100 TB you'd use
 # approx_percentile — the exact form is the oracle-checkable tier)
 # ---------------------------------------------------------------------------
