@@ -5,6 +5,8 @@ drops one fails CI."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from cdc_application_febuary_spark.queries import declared
 
 
@@ -55,6 +57,45 @@ def test_q11_anti_join_strategy(spark, sf_dir):
     plan = _physical(spark, sf_dir, "q11")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Co-located joins via bucketing: both fact tables bucketed on the join
+    key join WITHOUT an Exchange — the layout strategy that makes repeated
+    fact-fact joins affordable at 100 TB (shuffle once at write time, never
+    again at read time)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{tmp_path}'")
+    # at test scale Spark would broadcast instead; disable so the plan shows
+    # the co-located sort-merge path a fact-fact join takes at 100 TB
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(f"bucketdemo.{name}_b")
+            )
+        joined = (
+            spark.table("bucketdemo.lineitem_b")
+            .join(
+                spark.table("bucketdemo.orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        # no shuffle below the join: bucketing pre-co-located both sides
+        assert "Exchange hashpartitioning" not in join_section
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
 
 
 @pytest.mark.parametrize("name", ["q2", "q6", "q9", "q14"])
