@@ -635,6 +635,28 @@ def monitoring_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew diagnostics (operators/skew.py): heaviest keys + share of total —
+# what you run before deciding to salt a join.
+# ---------------------------------------------------------------------------
+@_q(
+    "events_skew_report",
+    """
+SELECT user_id, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share
+FROM (SELECT user_id, COUNT(*) AS cnt,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+      FROM events GROUP BY user_id) t
+ORDER BY cnt DESC, user_id ASC
+LIMIT 10
+""",
+)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"], top=10)
+
+
+# ---------------------------------------------------------------------------
 # Rollup (subtotals + grand total) — beyond the reference's flat GROUP BYs
 # (SURVEY §2.4: "no grouping sets / cube / rollup"); Spark gives it free.
 # ---------------------------------------------------------------------------
