@@ -67,23 +67,43 @@ def shingle_table(
     )
 
 
+def prune_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `max_df`. At scale a
+    shingle shared by thousands of documents contributes df^2 join pairs but
+    carries no near-dup signal (boilerplate, headers); capping bounds the
+    self-join quadratically. NOTE: pruned shingles also leave the
+    denominator, so jaccard becomes jaccard-over-rare-shingles — apply only
+    when the corpus actually has hot shingles."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
 
     Inverted-index self-join on the shingle: cost is sum over shingles of
     df^2, which for high-entropy shingles (word 5-grams) is ~linear in corpus
-    size. At 100 TB you additionally hash-prune hot shingles (df cap) —
-    a shingle shared by thousands of docs carries no near-dup signal.
+    size. `max_df` prunes hot shingles (see :func:`prune_hot_shingles`) —
+    the 100 TB safety valve.
     """
     # The shingle table feeds three plan branches (two join sides + sizes);
     # persist so the explode+distinct runs once, not three times.
-    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = prune_hot_shingles(sh, max_df)
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -37,7 +37,10 @@ def fk_edges_from_catalog(
 
 
 def reachable_tables(
-    edges: DataFrame, start_tables: list[str], max_hops: int = 10
+    edges: DataFrame,
+    start_tables: list[str],
+    max_hops: int = 10,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """BFS over FK edges: all tables reachable from `start_tables` with hop
     distance (J6).
@@ -48,8 +51,8 @@ def reachable_tables(
     iterative-join path remains for genuinely large lineage graphs."""
     spark = edges.sparkSession
     # one job decides the strategy AND fetches the edges if small
-    sample = edges.select("from_table", "to_table").take(100_001)
-    if len(sample) <= 100_000:
+    sample = edges.select("from_table", "to_table").take(driver_threshold + 1)
+    if len(sample) <= driver_threshold:
         adj: dict[str, list[str]] = {}
         for r in sample:
             adj.setdefault(r["from_table"], []).append(r["to_table"])

@@ -51,7 +51,9 @@ def current_state(
     )
     if keep_deleted:
         return latest
-    return latest.where(F.col("__deleted") != "true")
+    # null-safe: full-load rows carry __deleted=NULL (transfer.py:997-998)
+    # and are live; only an explicit 'true' (rewritten delete) kills a key
+    return latest.where(~F.col("__deleted").eqNullSafe("true"))
 
 
 def history_with_validity(

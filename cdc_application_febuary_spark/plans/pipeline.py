@@ -47,6 +47,7 @@ def run_full_load(
     ts_column: str | None = None,
     partition_by: list[str] | None = None,
     repartition: int | None = None,
+    snapshot_ts_ms: int | None = None,
 ) -> FullLoadResult:
     """Batch full load: stamp snapshot metadata (__op='r', __source_ts_ms,
     __deleted=NULL — reference transfer.py:997-998), append to the target,
@@ -59,7 +60,12 @@ def run_full_load(
     t0 = time.time()
     validate_source_non_empty(source)
 
-    stamped = stamp_full_load(source)
+    # stamp with the snapshot point when the caller knows it (source-clock),
+    # else load wallclock like the reference (transfer.py:997-998)
+    stamped = stamp_full_load(
+        source,
+        ts_ms=None if snapshot_ts_ms is None else F.lit(snapshot_ts_ms),
+    )
     if repartition:
         stamped = stamped.repartition(repartition)
     writer = stamped.write.mode("append")

@@ -196,6 +196,17 @@ def scd2_meta_ddl(engine: str) -> str:
     return f"__op {s['string']}, __source_ts_ms {s['bigint']}, __deleted {s['string']}"
 
 
+def conform_to_schema(df: DataFrame, schema: "StructType") -> DataFrame:
+    """Cast/select a DataFrame to exactly the canonical table schema —
+    the engine-side form of the reference's frozen target schema
+    (auto.create then auto.evolve=false, sink_config.py:162-163). Both the
+    full-load writer and the streaming sink must agree on physical types or
+    a parquet target directory ends up with mixed INT32/INT64 files."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def to_variant_records(df: DataFrame) -> DataFrame:
     """Snowflake-style VARIANT collapse (cdc_manager.py:1859-1912): the whole
     row as RECORD_CONTENT JSON + RECORD_METADATA."""

@@ -1,0 +1,140 @@
+"""Full pipeline lifecycle: snapshot -> offset capture -> CDC stream into
+the same SCD2 target -> current-state reflects both. The end-to-end story
+of the reference's `full_load_and_cdc` mode, plus the distributed-BFS and
+hot-shingle variants."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from cdc_application_febuary_spark.plans.runner import (
+    run_file_pipeline,
+    target_current_state,
+)
+
+PAYLOAD = StructType(
+    [StructField("id", IntegerType()), StructField("name", StringType())]
+)
+
+
+def _env(op, before, after, ts_ms):
+    return json.dumps(
+        {
+            "payload": {
+                "before": before,
+                "after": after,
+                "source": {"ts_ms": ts_ms, "db": "d", "schema": "s", "table": "t"},
+                "op": op,
+                "ts_ms": ts_ms,
+            }
+        }
+    )
+
+
+def test_full_load_and_cdc_lifecycle(spark, tmp_path):
+    # snapshot source: ids 1-3 at snapshot point ts=1000
+    source = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "name"]
+    )
+    # change feed after the snapshot: update 1, delete 2, insert 4
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "changes.json").write_text(
+        "\n".join(
+            [
+                _env("u", {"id": 1, "name": "a"}, {"id": 1, "name": "a2"}, 2000),
+                _env("d", {"id": 2, "name": "b"}, None, 3000),
+                _env("c", None, {"id": 4, "name": "d"}, 4000),
+            ]
+        )
+        + "\n"
+    )
+    res = run_file_pipeline(
+        spark,
+        pipeline_id="lifecycle1",
+        source=source,
+        changelog_dir=str(feed),
+        payload_schema=PAYLOAD,
+        work_root=str(tmp_path / "wk"),
+        snapshot_ts_ms=1000,
+    )
+    assert res.full_load is not None and res.full_load.rows == 3
+    assert res.full_load.reconciliation == {"row_count": True, "schema": True}
+    # after the snapshot the plan flips to stream-from-offset
+    assert res.stream_plan.snapshot_mode == "never"
+    assert not res.stream_plan.run_full_load
+
+    target = spark.read.parquet(res.target_path)
+    # append-only: 3 snapshot rows + 3 change rows, delete rewritten
+    assert target.count() == 6
+    assert target.where(F.col("__op") == "r").count() == 3
+    assert target.where(F.col("__deleted") == "true").count() == 1
+
+    cur = target_current_state(spark, res.target_path, ["id"]).orderBy("id")
+    got = [(r["id"], r["name"]) for r in cur.collect()]
+    # 1 updated, 2 deleted, 3 untouched snapshot row, 4 inserted
+    assert got == [(1, "a2"), (3, "c"), (4, "d")]
+
+
+def test_cdc_only_lifecycle_skips_snapshot(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "c.json").write_text(_env("c", None, {"id": 9, "name": "z"}, 100) + "\n")
+    res = run_file_pipeline(
+        spark,
+        pipeline_id="lifecycle2",
+        source=None,
+        changelog_dir=str(feed),
+        payload_schema=PAYLOAD,
+        work_root=str(tmp_path / "wk"),
+        mode="cdc_only",
+    )
+    assert res.full_load is None
+    target = spark.read.parquet(res.target_path)
+    assert target.count() == 1
+    assert target.where(F.col("__op") == "r").count() == 0
+
+
+def test_lineage_distributed_branch_matches_driver_branch(spark):
+    from cdc_application_febuary_spark.operators.lineage import reachable_tables
+
+    edges = spark.createDataFrame(
+        [(f"t{i}", f"t{i + 1}", None, None, "fk") for i in range(6)]
+        + [("t0", "side", None, None, "fk")],
+        "from_table string, to_table string, from_column string, "
+        "to_column string, type string",
+    )
+    driver = {
+        (r["table"], r["hops"])
+        for r in reachable_tables(edges, ["t0"]).collect()
+    }
+    distributed = {
+        (r["table"], r["hops"])
+        for r in reachable_tables(edges, ["t0"], driver_threshold=0).collect()
+    }
+    assert driver == distributed
+    assert ("t6", 6) in driver and ("side", 1) in driver
+
+
+def test_jaccard_hot_shingle_pruning(spark):
+    from cdc_application_febuary_spark.operators.dedup import jaccard_pairs
+
+    boiler = "standard header line common to every single document here"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique content alpha beta gamma delta epsilon"),
+            (2, boiler + " unique content alpha beta gamma delta epsilon"),
+            (3, boiler + " totally different payload words one two three"),
+        ],
+        ["doc_id", "text"],
+    )
+    # without pruning, the shared boilerplate makes 1-3 look similar
+    plain = {(r["a"], r["b"]) for r in jaccard_pairs(docs, threshold=0.2).collect()}
+    assert (1, 3) in plain
+    # pruning shingles present in every doc leaves only the true dup pair
+    pruned = {
+        (r["a"], r["b"])
+        for r in jaccard_pairs(docs, threshold=0.2, max_df=2).collect()
+    }
+    assert pruned == {(1, 2)}
