@@ -102,25 +102,43 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by SRP signature, rank
-    only within the query's bucket. Corpus side is one narrow projection —
+    only within the query's bucket(s). Corpus side is one narrow projection —
     bucketing is a map-side expression, and the join is an equi-join on
     (bucket), so the corpus shuffles once by bucket instead of replicating
-    per query."""
+    per query.
+
+    ``probes=1`` is multi-probe: each query also searches the `planes`
+    buckets at hamming distance 1 from its own (a near neighbor on the far
+    side of one hyperplane lands there). Candidate volume grows ~(planes+1)x
+    on the query side only; the corpus bucketing is unchanged."""
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
     ).repartition(parts, "bucket")
-    qb = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
-        )
+    q_base = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        srp_bucket(F.col(vec_col), dim, planes).alias("bucket0"),
     )
+    if probes >= 1:
+        flips = F.array(
+            F.col("bucket0"),
+            *[
+                F.col("bucket0").bitwiseXOR(F.lit(1 << p))
+                for p in range(planes)
+            ],
+        )
+        q_base = q_base.select(
+            "query_id", "qvec", F.explode(flips).alias("bucket")
+        )
+    else:
+        q_base = q_base.withColumnRenamed("bucket0", "bucket")
+    qb = F.broadcast(q_base)
     scored = (
         cb.join(qb, (cb.bucket == qb.bucket) & (F.col("query_id") != F.col("neighbor_id")))
         .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))

@@ -133,7 +133,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.lsh_topk(
-        emb, queries, k=5, dim=64, planes=8, query_id_col="query_id"
+        emb, queries, k=5, dim=64, planes=8, query_id_col="query_id", probes=1
     ).orderBy("query_id", "rank")
 
 

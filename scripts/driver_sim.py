@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import os
 import sys
 import time
 from pathlib import Path
@@ -22,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(v):

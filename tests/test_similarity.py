@@ -56,3 +56,28 @@ def test_lsh_topk_subset_of_exact_sims(spark):
     # identical vectors always share a bucket with themselves -> the near
     # neighbor (same orthant) must be found
     assert any(r["neighbor_id"] == 1 for r in approx)
+
+
+def test_lsh_multiprobe_widens_candidates(spark):
+    corpus = _corpus(spark)
+    queries = corpus.where("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    base = {
+        r["neighbor_id"]
+        for r in lsh_topk(corpus, queries, k=10, dim=4, planes=2).collect()
+    }
+    probed = {
+        r["neighbor_id"]
+        for r in lsh_topk(
+            corpus, queries, k=10, dim=4, planes=2, probes=1
+        ).collect()
+    }
+    assert base <= probed  # probing only adds candidates
+    assert len(probed) >= len(base)
+    exact = {
+        r["neighbor_id"]: r["sim"]
+        for r in cosine_topk(corpus, queries, k=10).collect()
+    }
+    for r in lsh_topk(corpus, queries, k=10, dim=4, planes=2, probes=1).collect():
+        assert abs(r["sim"] - exact[r["neighbor_id"]]) < 1e-9
