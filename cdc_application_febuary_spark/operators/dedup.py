@@ -253,6 +253,48 @@ def minhash_dedup_pairs(
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_srp_buckets: bool = False,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold (a < b).
+
+    Exact mode is an all-pairs scoring with one side broadcast — right for
+    corpora up to ~1e5 vectors per broadcast block. ``use_srp_buckets``
+    switches candidate generation to signed-random-projection buckets
+    (equi-join, near-linear) for the 100 TB tier; true near-dups
+    (cosine≈1) almost always share the full SRP signature, so bucket
+    recall is high exactly where dedup cares."""
+    from ..functions.vectors import cosine
+    from .similarity import srp_bucket
+
+    parts = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("avec")
+    ).repartition(parts)
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
+    if use_srp_buckets:
+        a = a.withColumn("bucket", srp_bucket(F.col("avec"), dim, planes))
+        b = b.withColumn("bucket", srp_bucket(F.col("bvec"), dim, planes))
+        cond = (F.col("a") < F.col("b")) & (a.bucket == b.bucket)
+        pairs = a.join(b, cond).drop("bucket")
+    else:
+        pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn("sim", cosine(F.col("avec"), F.col("bvec")))
+        .where(F.col("sim") >= threshold)
+        .select("a", "b", F.round("sim", 6).alias("sim"))
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 def simhash(
