@@ -655,6 +655,175 @@ def monitoring_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sessionization: gap-based sessions via lag + cumulative sum — the batch
+# form of session windows (T7 notes the reference never uses them).
+# Timestamps compared as raw epoch-nanos for exact cross-engine parity.
+# ---------------------------------------------------------------------------
+@_q(
+    "user_sessions",
+    """
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+g AS (
+  SELECT user_id, event_id, tsn,
+         CASE WHEN tsn - LAG(tsn) OVER (PARTITION BY user_id
+                                        ORDER BY tsn, event_id)
+                   > 3600000000000 OR
+              LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+s AS (
+  SELECT user_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY tsn, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       ROUND(AVG(n_events), 6) AS avg_session_events
+FROM per_session
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..catalog import load_events_raw
+
+    gap_ns = 3_600_000_000_000  # 1 hour
+    e = load_events_raw(spark, sf_dir).select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns),
+            1,
+        ).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = g.withColumn("session_id", F.sum("new_session").over(wcum))
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (2h window, 1h slide): each event lands in two buckets.
+# ---------------------------------------------------------------------------
+@_q(
+    "sliding_hourly_counts",
+    """
+SELECT CAST(date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR AS TIMESTAMP)
+         AS window_start,
+       COUNT(*) AS cnt
+FROM events, (VALUES (0), (1)) o(off)
+WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+GROUP BY 1
+ORDER BY window_start
+""",
+)
+def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# arg-max aggregates (max_by / arg_max): the W1 "latest metric" pattern as
+# an aggregate instead of a window.
+# ---------------------------------------------------------------------------
+@_q(
+    "latest_event_per_type",
+    """
+WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts) AS tsn FROM events)
+SELECT event_type,
+       arg_max(event_id, tsn) AS last_event_id,
+       arg_max(value, tsn) AS last_value,
+       CAST(MAX(tsn) AS BIGINT) AS last_tsn
+FROM e
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def latest_event_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_events_raw
+
+    # DuckDB reads TIMESTAMP(NANOS) parquet at microsecond precision, so its
+    # epoch_ns values end in 000 — truncate ours the same way
+    e = load_events_raw(spark, sf_dir).withColumn(
+        "ts", F.expr("(ts div 1000) * 1000")
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", "ts").alias("last_event_id"),
+            F.max_by("value", "ts").alias("last_value"),
+            F.max("ts").alias("last_tsn"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array math over embeddings: per-label norm statistics.
+# ---------------------------------------------------------------------------
+@_q(
+    "embedding_norm_stats",
+    """
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x)))), 6) AS avg_norm,
+       ROUND(MIN(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x)))), 6) AS min_norm,
+       ROUND(MAX(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x)))), 6) AS max_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = norm(F.col("embedding"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(n), 6).alias("avg_norm"),
+            F.round(F.min(n), 6).alias("min_norm"),
+            F.round(F.max(n), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew diagnostics (operators/skew.py): heaviest keys + share of total —
 # what you run before deciding to salt a join.
 # ---------------------------------------------------------------------------
