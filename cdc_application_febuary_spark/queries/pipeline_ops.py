@@ -789,6 +789,62 @@ def latest_event_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Histogram bucketing (width_bucket) and correlation aggregates — the last
+# profiling tiers: distribution shape and cross-column relationships.
+# ---------------------------------------------------------------------------
+@_q(
+    "value_histogram",
+    """
+SELECT CASE WHEN value < 0 THEN 0
+            WHEN value >= 500 THEN 11
+            ELSE CAST(floor(value / 50) AS BIGINT) + 1 END AS bucket,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10)).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@_q(
+    "price_quantity_correlation",
+    """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Array math over embeddings: per-label norm statistics.
 # ---------------------------------------------------------------------------
 @_q(
