@@ -70,18 +70,20 @@ def poll_changes(
 
 
 def changes_to_changelog(
-    changes: DataFrame, ts_ms_col: str | None = None
+    changes: DataFrame, ts_ms_col: str | None = None, op: str = "c"
 ) -> DataFrame:
-    """Shape polled rows as insert change events (`__op='c'`): a poll source
-    only observes appearing rows. ``ts_ms_col`` supplies the source commit
-    time; otherwise ingestion time is stamped."""
+    """Shape polled rows as change events. ``op='c'`` when polling an
+    append-only key (rows only ever appear); ``op='u'`` when polling an
+    ``updated_at`` watermark — every polled row is an upsert and the SCD2
+    current-state window resolves it against prior versions. ``ts_ms_col``
+    supplies the source commit time; otherwise ingestion time is stamped."""
     ts = (
         F.col(ts_ms_col).cast("long")
         if ts_ms_col
         else F.unix_millis(F.current_timestamp())
     )
     return (
-        changes.withColumn("__op", F.lit("c"))
+        changes.withColumn("__op", F.lit(op))
         .withColumn("__source_ts_ms", ts)
         .withColumn("__deleted", F.lit("false"))
     )
