@@ -88,7 +88,11 @@ def decode_debezium(
     schema = debezium_envelope_schema(payload_schema)
     parsed = (
         raw.filter(F.col(value_col).isNotNull())  # tombstone filter (T9)
-        .withColumn("_env", F.from_json(F.col(value_col).cast("string"), schema))
+        .withColumn("_raw_value", F.col(value_col).cast("string"))
+        .withColumn("_env", F.from_json(F.col("_raw_value"), schema))
+        # a non-null input that produced no envelope is corrupt — the
+        # errors.tolerance=all analog: flagged, not dropped or crashed on
+        .withColumn("_corrupt", F.col("_env.payload").isNull())
         .select("*", "_env.payload.*")
         .drop("_env", value_col)
     )

@@ -41,6 +41,7 @@ class StreamConfig:
     checkpoint_dir: str
     trigger: dict = field(default_factory=lambda: {"availableNow": True})
     max_files_per_trigger: int | None = None
+    dead_letter_path: str | None = None  # quarantine for undecodable events
 
 
 def kafka_source(
@@ -147,6 +148,24 @@ def start_changelog_stream(
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
+            if cfg.dead_letter_path is not None:
+                # quarantine undecodable events with provenance
+                # (errors.tolerance=all: log and continue)
+                (
+                    batch.where(F.col("_corrupt"))
+                    .select(
+                        F.col("_raw_value").alias("raw_value"),
+                        "topic",
+                        "partition",
+                        "offset",
+                        F.lit(batch_id).alias("__batch_id"),
+                        F.current_timestamp().alias("quarantined_at"),
+                    )
+                    .write.mode("append")
+                    .parquet(cfg.dead_letter_path)
+                )
+            # corrupt rows never reach the target or the event log
+            batch = batch.where(~F.col("_corrupt"))
             scd2_rows = batch.select(
                 *[F.col("row")[c].alias(c) for c in payload_cols],
                 F.col("op").alias("__op"),

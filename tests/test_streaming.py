@@ -134,6 +134,36 @@ def test_metrics_listener(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_dead_letter_quarantine(spark, tmp_path):
+    feed = tmp_path / "feed"
+    _write_feed(
+        feed,
+        [
+            _envelope("c", None, {"id": 1, "name": "a"}, 1000),
+            "this is not json at all {{{",
+            '{"payload": null}',
+            _envelope("c", None, {"id": 2, "name": "b"}, 2000),
+        ],
+    )
+    cfg = StreamConfig(
+        pipeline_id="dlq",
+        target_path=str(tmp_path / "target"),
+        event_log_path=str(tmp_path / "event_log"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dead_letter_path=str(tmp_path / "dlq"),
+    )
+    run_file_changelog_pipeline(spark, str(feed), PAYLOAD, cfg)
+
+    target = spark.read.parquet(cfg.target_path)
+    assert sorted(r["id"] for r in target.collect()) == [1, 2]  # clean only
+    dlq = spark.read.parquet(cfg.dead_letter_path)
+    assert dlq.count() == 2
+    raws = {r["raw_value"] for r in dlq.collect()}
+    assert "this is not json at all {{{" in raws
+    log = spark.read.parquet(cfg.event_log_path)
+    assert log.count() == 2  # corrupt rows never reach the event log
+
+
 def test_health_thresholds(spark):
     df = spark.createDataFrame(
         [(10, 1024), (100, 200 * 1024), (400, 600 * 1024), (500, 2 * 1024 * 1024)],
