@@ -80,6 +80,39 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q2_min_price_part",
+    """
+SELECT p.p_partkey, p.p_name, p.p_type, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                         WHERE p2.p_type = p.p_type)
+ORDER BY p.p_partkey
+""",
+)
+def tpch_q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated min-per-group scalar subquery (TPC-H Q2 shape, adapted —
+    the fixture has no partsupp). Spark-first: rewrite the correlated
+    subquery as a broadcast join against the per-group min — the group table
+    (distinct p_type) is tiny, so no shuffle lands on the fact side.
+
+    Non-aggregated doubles compare exactly: MIN over identical inputs is the
+    same double in both engines."""
+    p = load_table(spark, sf_dir, "part")
+    mins = (
+        p.groupBy(F.col("p_type").alias("grp_type"))
+        .agg(F.min("p_retailprice").alias("min_price"))
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_type == mins.grp_type) & (p.p_retailprice == mins.min_price),
+        )
+        .select("p_partkey", "p_name", "p_type", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
     "tpch_q3_shipping_priority",
     f"""
 SELECT l.l_orderkey, SUM({_DISC.replace('l_', 'l.l_')}) AS revenue,
@@ -162,4 +195,438 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(F.sum(disc).cast("decimal(38,6)").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@_q(
+    "tpch_q4_order_priority",
+    """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS -> left-semi join with a cross-side inequality (TPC-H Q4 shape;
+    fixture has no l_commitdate/l_receiptdate, so the late-ship predicate is
+    l_shipdate > o_orderdate). The semi join needs only (l_orderkey,
+    l_shipdate) from the probe side — Catalyst prunes the rest of lineitem
+    at the scan."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "tpch_q6_forecast_revenue",
+    f"""
+SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-only aggregate (TPC-H Q6): every predicate reaches the parquet
+    scan (shipdate range prunes row groups via min/max stats), and the agg is
+    a one-row partial+final — zero joins, one narrow shuffle of partial sums.
+
+    price(2dp) x discount(2dp) is a 4-decimal product, exact in a double, so
+    the per-row DECIMAL(38,6) cast is lossless and the SUM order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)")
+    return li.agg(
+        F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "tpch_q7_volume_shipping",
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       SUM({_DISC.replace('l_', 'l.l_')}) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair trade volume by ship year (TPC-H Q7 shape): two aliases
+    of the same dimension joined from opposite fact sides, a disjunctive
+    pair predicate, and year bucketing. Both nation sides broadcast; only
+    lineitem<->orders shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(disc).cast("decimal(38,6)").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_q(
+    "tpch_q10_returned_items",
+    f"""
+SELECT c.c_custkey, c.c_name, SUM({_DISC.replace('l_', 'l.l_')}) AS revenue,
+       c.c_acctbal, c.c_mktsegment
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by lost (returned) revenue in a quarter (TPC-H Q10
+    shape). Both filters land before the joins; the final TakeOrdered runs
+    on the aggregated (small) side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(F.sum(disc).cast("decimal(38,6)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "tpch_q14_promo_effect",
+    f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+         6) AS promo_revenue_pct,
+       SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                ELSE CAST(0 AS DECIMAL(38,6)) END) AS promo_revenue,
+       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+""",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share (TPC-H Q14): conditional aggregation over a fact
+    x dimension join. The part side broadcasts (no shuffle of lineitem);
+    the ratio is computed on exact decimal sums, then rounded as a double.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(promo).cast("decimal(38,6)").alias("promo_revenue"),
+        F.sum(disc).cast("decimal(38,6)").alias("total_revenue"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_revenue").cast("double")
+            / F.col("total_revenue").cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_DISC}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15): an aggregated view
+    joined against its own MAX — the scalar-subquery-on-a-CTE shape. The
+    revenue view is computed once and reused for both sides (Spark caches
+    nothing here, but the agg output is tiny; the MAX side is a one-row
+    broadcast). Decimal revenue keeps the MAX equality exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(disc).cast("decimal(38,6)").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "tpch_q16_brand_supplier_cnt",
+    """
+SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size >= 10
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+LIMIT 25
+""",
+)
+def tpch_q16_brand_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count per group over a bridge join (TPC-H Q16 shape via
+    lineitem, the fixture's partsupp stand-in). COUNT(DISTINCT) expands to
+    a two-phase distinct-then-count under AQE; the part dimension broadcasts."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") >= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+        )
+        .limit(25)
+    )
+
+
+@_q(
+    "tpch_q18_large_volume",
+    """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate, o.o_totalprice,
+       SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(l_quantity) > 300)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+""",
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18): IN-subquery with HAVING -> a
+    semi-join against an aggregated key set. The qualifying key set is tiny
+    (sub-0.1% of orders), so it broadcasts into the semi join; the HAVING
+    filter on the raw double sum mirrors the oracle exactly (comparison
+    only — the *emitted* sum is decimal)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+
+
+@_q(
+    "tpch_q19_disjunctive",
+    f"""
+SELECT SUM({_DISC.replace('l_', 'l.l_')}) AS revenue, COUNT(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 5 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive mixed-side predicates (TPC-H Q19): the OR spans both join
+    sides, so it can't be pushed below the join — but the per-side envelope
+    (brand IN (...), quantity <= 40) CAN be, and Catalyst derives exactly
+    that. Part broadcasts; lineitem never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(5, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(disc).cast("decimal(38,6)").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "tpch_q22_idle_customers",
+    """
+SELECT c.c_mktsegment, COUNT(*) AS numcust,
+       SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > 5000
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no orders in a year (TPC-H Q22 shape):
+    NOT EXISTS -> left-anti join against the filtered order keys, then a
+    small grouped aggregate. The anti-join probe side is just the year's
+    distinct custkeys."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )
