@@ -157,6 +157,21 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@_q("ann_topk_ivf")  # rows-only: IVF probing is approximate by design
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings fixture: sampled-kmeans cells, 6-of-16
+    cluster probing (~37% of brute-force work per query, ~0.77 recall@5 on
+    the sf0.01 fixture)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=6, dim=64,
+        query_id_col="query_id",
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

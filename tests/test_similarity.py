@@ -81,3 +81,53 @@ def test_lsh_multiprobe_widens_candidates(spark):
     }
     for r in lsh_topk(corpus, queries, k=10, dim=4, planes=2, probes=1).collect():
         assert abs(r["sim"] - exact[r["neighbor_id"]]) < 1e-9
+
+
+def test_ivf_probe_all_equals_exact(spark):
+    """n_probe >= n_centroids degenerates IVF to exact brute force."""
+    from cdc_application_febuary_spark.operators.similarity import ivf_topk
+
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = corpus.where("vec_id % 30 = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(corpus, qs, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(
+            corpus, qs, k=5, n_centroids=6, n_probe=6, iters=3
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    """Probing half the clusters keeps most true neighbors and every
+    returned (neighbor, sim) agrees with the exact scan."""
+    from cdc_application_febuary_spark.operators.similarity import ivf_topk
+
+    import random
+
+    random.seed(12)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = corpus.where("vec_id % 20 = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact_rows = cosine_topk(corpus, qs, k=5).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in exact_rows
+    }
+    approx = ivf_topk(corpus, qs, k=5, n_centroids=8, n_probe=4, iters=3).collect()
+    found = [r for r in approx if (r["query_id"], r["neighbor_id"]) in exact_pairs]
+    assert len(found) / len(exact_rows) >= 0.6
+    for r in found:
+        assert abs(r["sim"] - exact_sims[(r["query_id"], r["neighbor_id"])]) < 1e-9
