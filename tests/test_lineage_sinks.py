@@ -116,3 +116,41 @@ def test_run_with_recovery_exhausts(spark):
 
     with pytest.raises(RuntimeError, match="always dies"):
         run_with_recovery(lambda: FakeQuery(), max_attempts=2, await_sec=1)
+
+
+def test_reachable_distributed_branch_agrees_with_driver(spark):
+    """A randomized 600-edge DAG walked by BOTH strategies — the
+    driver-threshold=0 call forces the iterative-join branch, which must
+    produce exactly the driver BFS's (table, hops) map, including min-hop
+    tie resolution on diamond shapes."""
+    import random
+
+    rng = random.Random(42)
+    n = 200
+    edge_set = set()
+    # layered DAG with shortcuts and diamonds: t{i} -> t{j>i}
+    for i in range(n - 1):
+        edge_set.add((f"t{i}", f"t{i+1}"))
+    while len(edge_set) < 600:
+        i = rng.randrange(0, n - 1)
+        j = rng.randrange(i + 1, min(i + 20, n))
+        edge_set.add((f"t{i}", f"t{j}"))
+    edges = spark.createDataFrame(
+        [(a, b, None, None, "foreign_key") for a, b in sorted(edge_set)],
+        "from_table string, to_table string, from_column string, "
+        "to_column string, type string",
+    )
+    starts = ["t0", "t50"]
+    via_driver = {
+        r["table"]: r["hops"]
+        for r in reachable_tables(edges, starts, max_hops=30).collect()
+    }
+    via_joins = {
+        r["table"]: r["hops"]
+        for r in reachable_tables(
+            edges, starts, max_hops=30, driver_threshold=0
+        ).collect()
+    }
+    assert via_joins == via_driver
+    assert via_driver["t0"] == 0 and via_driver["t50"] == 0
+    assert max(via_driver.values()) <= 30
