@@ -20,6 +20,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import pandas as pd  # noqa: E402
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,6 +39,18 @@ def main() -> None:
     # whichever query happens to run first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
+    # ... and the Python/Arrow worker pool (spark.python.worker.reuse keeps
+    # them alive), so the first pandas-UDF query isn't billed the pool
+    # spin-up either.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_pandas(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(cpus * 4, numPartitions=cpus).select(
+        _warm_pandas("id")
+    ).collect()
 
     qs = E.queries()
     timings: dict[str, float] = {}

@@ -379,3 +379,97 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# Pair sets -> canonical clusters (connected components)
+# --------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """(node, component) for every node in a near-duplicate pair set, where
+    component = the minimum node id in its connected component — the
+    canonical "keep one representative per duplicate cluster" step after any
+    pair generator (MinHash/SimHash/Jaccard/embedding).
+
+    Size-aware strategy, mirroring ``lineage.reachable_tables``:
+    - pair sets under ``driver_threshold`` collect once into a path-halving
+      union-find (catalog/doc-batch scale — orders of magnitude faster than
+      iterative jobs);
+    - larger sets run distributed min-label propagation: each round is one
+      join + one min-aggregate (two shuffles), lineage truncated by
+      localCheckpoint, converging in O(component diameter) rounds. The
+      certificate is the label sum: labels only ever decrease, so an
+      unchanged sum over a fixed node set proves the fixpoint — one scalar
+      per round, no row-level diff join.
+    """
+    spark = pairs.sparkSession
+    sample = pairs.select(a_col, b_col).take(driver_threshold + 1)
+    if len(sample) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sample:
+            va, vb = r[a_col], r[b_col]
+            parent.setdefault(va, va)
+            parent.setdefault(vb, vb)
+            ra, rb = find(va), find(vb)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = sorted((n, find(n)) for n in parent)
+        return spark.createDataFrame(rows, ["node", "component"])
+
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "component"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", **cc_kwargs
+) -> DataFrame:
+    """Per-node cluster assignment plus each cluster's keeper: (doc_id,
+    cluster, keep) where cluster is the min doc id in the component and
+    keep marks the representative row that survives dedup."""
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col, **cc_kwargs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

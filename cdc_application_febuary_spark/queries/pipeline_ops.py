@@ -87,6 +87,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, threshold=0.8).orderBy("a", "b")
 
 
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       UNNEST(generate_series(1, len(w)-4)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS icnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE CAST(i.icnt AS DOUBLE)/(sa.sz+sb.sz-i.icnt) >= 0.8
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster,
+       src = LEAST(src, MIN(dst)) AS keep
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
+@_q("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> canonical clusters: the Jaccard pair set fed
+    through connected components (size-aware union-find / min-label
+    propagation), emitting each doc's cluster id and keeper flag. The
+    oracle walks the same pair set with a recursive transitive-closure CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
 @_q("dedup_simhash")  # rows-only: xxhash64-seeded fingerprint, not in SQL
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -66,3 +66,57 @@ def test_simhash_near_pairs(docs):
     got = {(r["a"], r["b"]) for r in simhash_near_pairs(docs, max_hamming=10).collect()}
     assert (1, 2) in got  # identical token sets -> identical simhash
     assert (3, 5) not in got and (1, 5) not in got
+
+
+def test_connected_components_union_find(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in __import__(
+            "cdc_application_febuary_spark.operators.dedup", fromlist=["x"]
+        ).connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_distributed_agrees_with_driver(spark):
+    """driver_threshold=0 forces label propagation; must equal union-find
+    on a randomized graph with chains, cliques, and singleton pairs."""
+    import random
+
+    from cdc_application_febuary_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = set()
+    for base in range(0, 200, 20):  # 10 chains of length ~10
+        for i in range(base, base + 19):
+            if rng.random() < 0.8:
+                edges.add((i, i + 1))
+    for _ in range(40):  # random cross links
+        a, b = rng.randrange(200), rng.randrange(200)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "a long, b long")
+    via_driver = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    via_lp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert via_lp == via_driver
+
+
+def test_dedup_clusters_keep_flags(spark):
+    from cdc_application_febuary_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(5, 3), (3, 9), (7, 8)], "a long, b long")
+    rows = {r["doc_id"]: (r["cluster"], r["keep"]) for r in dedup_clusters(pairs).collect()}
+    assert rows == {3: (3, True), 5: (3, False), 9: (3, False),
+                    7: (7, True), 8: (7, False)}
