@@ -1309,3 +1309,137 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cube (all grouping-set combinations) — completes the rollup/pivot family.
+# ---------------------------------------------------------------------------
+@_q(
+    "cube_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+""",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "cnt", "total",
+            "g_status", "g_priority",
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (value-based, not row-based): 3-day moving average.
+# Both sides order by integer epoch-days so the frame arithmetic is exact.
+# ---------------------------------------------------------------------------
+@_q(
+    "daily_moving_avg",
+    """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           FROM events GROUP BY 1)
+SELECT day, cnt,
+       ROUND(AVG(cnt) OVER (ORDER BY day - DATE '1970-01-01'
+                            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS ma3
+FROM d
+ORDER BY day
+""",
+)
+def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.orderBy(F.datediff("day", F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return (
+        d.withColumn("ma3", F.round(F.avg("cnt").over(w), 6))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source — the classic text-analysis ranking, fully
+# JVM-side (split/explode/groupBy), no UDF. Ranking runs on the ROUNDED
+# score in both engines so tie-breaks agree.
+# ---------------------------------------------------------------------------
+@_q(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.token,
+         ROUND(tf.tf * ln((n.n + 1.0) / (df.dfreq + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT source, token, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored) t
+WHERE rn <= 5
+ORDER BY source, tfidf DESC, token
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "token", "tfidf")
+        .orderBy("source", F.col("tfidf").desc(), "token")
+    )
