@@ -1443,3 +1443,51 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "token", "tfidf")
         .orderBy("source", F.col("tfidf").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (batch form of the streaming gap-merge operator).
+# Emitted as epoch-micros so the ns-parquet -> us-Spark conversion is
+# byte-identical cross-engine; merge rule: a gap >= 1h starts a new session
+# (session_window's end bound is exclusive).
+# ---------------------------------------------------------------------------
+@_q(
+    "user_session_windows",
+    """
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+g AS (
+  SELECT user_id, event_id, tsn,
+         CASE WHEN LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+                   IS NULL
+                OR tsn - LAG(tsn) OVER (PARTITION BY user_id
+                                        ORDER BY tsn, event_id)
+                   >= 3600000000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e),
+s AS (
+  SELECT user_id, tsn,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g)
+SELECT user_id,
+       CAST(MIN(tsn) // 1000 AS BIGINT) AS session_start_us,
+       CAST(MAX(tsn) // 1000 + 3600000000 AS BIGINT) AS session_end_us,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+""",
+)
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )

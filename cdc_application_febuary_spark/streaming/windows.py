@@ -32,3 +32,30 @@ def windowed_counts(
             "cnt",
         )
     )
+
+
+def session_windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "source_ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key session windows (dynamic-length, gap-merged) with
+    watermarked event time — the streaming twin of the batch
+    ``user_session_windows`` query. A session emits once the watermark
+    passes its end (last event + gap), so output is append-mode safe."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+    )

@@ -148,3 +148,43 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     # windows whose watermark passed have emitted
     assert out[(0, "x")] == 2
     assert out[(1, "y")] == 1
+
+
+def test_session_windowed_counts_streaming(spark, tmp_path):
+    """Gap-merged session windows in append mode: a session emits once the
+    watermark (driven by a later event) passes its end."""
+    from cdc_application_febuary_spark.streaming.windows import (
+        session_windowed_counts,
+    )
+
+    feed = tmp_path / "sfeed"
+    rows = [
+        {"ts": "2024-01-01T00:00:00", "user_id": 1},
+        {"ts": "2024-01-01T00:10:00", "user_id": 1},  # merges (gap 30m)
+        {"ts": "2024-01-01T01:30:00", "user_id": 1},  # new session
+        {"ts": "2024-01-01T00:05:00", "user_id": 2},
+        {"ts": "2024-01-01T06:00:00", "user_id": 9},  # watermark driver
+    ]
+    _feed(feed, rows)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long").json(str(feed))
+    )
+    agg = session_windowed_counts(
+        stream, ts_col="ts", key_col="user_id", gap="30 minutes",
+        watermark="5 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sw")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat()): r["cnt"]
+        for r in spark.sql("SELECT * FROM sw").collect()
+    }
+    assert got[(1, "2024-01-01T00:00:00", "2024-01-01T00:40:00")] == 2
+    assert got[(1, "2024-01-01T01:30:00", "2024-01-01T02:00:00")] == 1
+    assert got[(2, "2024-01-01T00:05:00", "2024-01-01T00:35:00")] == 1
