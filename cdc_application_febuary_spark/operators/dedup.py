@@ -266,30 +266,64 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold (a < b).
 
-    Exact mode is an all-pairs scoring with one side broadcast — right for
-    corpora up to ~1e5 vectors per broadcast block. ``use_srp_buckets``
+    Exact mode scores each corpus partition against the full corpus matrix
+    as one numpy matmul inside ``mapInPandas`` (the matrix rides along as a
+    closure broadcast — right for corpora up to ~1e5 vectors, ~50 MB at
+    dim 64). Only pairs at/above threshold ever materialize as rows, so
+    the quadratic scoring never touches the shuffle. ``use_srp_buckets``
     switches candidate generation to signed-random-projection buckets
     (equi-join, near-linear) for the 100 TB tier; true near-dups
     (cosine≈1) almost always share the full SRP signature, so bucket
     recall is high exactly where dedup cares."""
-    from ..functions.vectors import cosine
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import cosine_pairs
     from .similarity import srp_bucket
 
     parts = emb.sparkSession.sparkContext.defaultParallelism
-    a = emb.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("avec")
-    ).repartition(parts)
-    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
     if use_srp_buckets:
-        a = a.withColumn("bucket", srp_bucket(F.col("avec"), dim, planes))
-        b = b.withColumn("bucket", srp_bucket(F.col("bvec"), dim, planes))
-        cond = (F.col("a") < F.col("b")) & (a.bucket == b.bucket)
-        pairs = a.join(b, cond).drop("bucket")
-    else:
-        pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        a = emb.select(
+            F.col(id_col).alias("a"), F.col(vec_col).alias("avec")
+        ).repartition(parts).withColumn(
+            "bucket", srp_bucket(F.col("avec"), dim, planes)
+        )
+        b = emb.select(
+            F.col(id_col).alias("b"), F.col(vec_col).alias("bvec")
+        ).withColumn("bucket", srp_bucket(F.col("bvec"), dim, planes))
+        pairs = a.join(b, (F.col("a") < F.col("b")) & (a.bucket == b.bucket)).drop("bucket")
+        return (
+            pairs.withColumn("sim", cosine_pairs(F.col("avec"), F.col("bvec")))
+            .where(F.col("sim") >= threshold)
+            .select("a", "b", F.round("sim", 6).alias("sim"))
+        )
+
+    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
+    ids_all = np.asarray([r[0] for r in rows])
+    M = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
+    nn = np.linalg.norm(M, axis=1, keepdims=True)
+    nn[nn == 0] = 1.0
+    Mn = M / nn
+
+    def score_blocks(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy()
+            A = np.vstack(pdf["_vec"].to_numpy()).astype("float64")
+            an = np.linalg.norm(A, axis=1, keepdims=True)
+            an[an == 0] = 1.0
+            sims = (A / an) @ Mn.T  # (block, corpus)
+            keep = (sims >= threshold) & (ids[:, None] < ids_all[None, :])
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"a": ids[i], "b": ids_all[j], "sim": sims[i, j]}
+            )
+
     return (
-        pairs.withColumn("sim", cosine(F.col("avec"), F.col("bvec")))
-        .where(F.col("sim") >= threshold)
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .repartition(parts)
+        .mapInPandas(score_blocks, "a long, b long, sim double")
         .select("a", "b", F.round("sim", 6).alias("sim"))
     )
 

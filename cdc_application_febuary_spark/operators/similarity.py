@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import cosine, cosine_pairs, dot, norm
 
 
 def cosine_topk(
@@ -55,6 +55,92 @@ def cosine_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )
+
+
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_partitions: int | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query — block-matmul formulation.
+
+    Same contract and results as :func:`cosine_topk` (self-matches
+    excluded, ties broken by neighbor id), but instead of materializing the
+    query x corpus pair join and scoring each pair with an interpreted
+    array expression, each corpus partition is scored as ONE numpy matmul
+    against the whole (broadcast) query matrix inside ``mapInPandas``, and
+    only the per-partition top-k survives.
+
+    This is the 100 TB shape for small-query-set ANN: the corpus is
+    scanned once and never replicated, the query matrix rides to executors
+    as a closure broadcast (queries x dim floats), and post-scoring data
+    volume is partitions x queries x k rows — independent of corpus size —
+    before the final global rank. Per-batch selection orders by
+    (sim desc, id asc), the same lexicographic order as the global window,
+    so the union of batch top-ks provably contains the global top-k.
+    """
+    qrows = (
+        queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    )
+    if not qrows:
+        empty = "query_id long, neighbor_id long, rank int, sim double"
+        return corpus.sparkSession.createDataFrame([], empty)
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.vstack([np.asarray(r[1], dtype="float64") for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+
+    def score_blocks(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy()
+            M = np.vstack(pdf["_vec"].to_numpy()).astype("float64")
+            nn = np.linalg.norm(M, axis=1, keepdims=True)
+            nn[nn == 0] = 1.0
+            sims = (M / nn) @ Qn.T  # (block, n_queries)
+            kk = min(k, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                col = sims[:, j].copy()
+                col[ids == qids[j]] = -np.inf  # exclude self-match
+                top = np.lexsort((ids, -col))[:kk]
+                top = top[np.isfinite(col[top])]
+                out_q.extend([qids[j]] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    parts = corpus_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    partial = (
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        )
+        .repartition(parts)
+        .mapInPandas(
+            score_blocks, "query_id long, neighbor_id long, sim double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
@@ -144,7 +230,7 @@ def lsh_topk(
     qb = F.broadcast(q_base)
     scored = (
         cb.join(qb, (cb.bucket == qb.bucket) & (F.col("query_id") != F.col("neighbor_id")))
-        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("sim", cosine_pairs(F.col("qvec"), F.col("cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -289,7 +375,7 @@ def ivf_topk(
         F.broadcast(probed),
         (assigned.cluster == probed.cluster)
         & (F.col("query_id") != F.col("neighbor_id")),
-    ).withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+    ).withColumn("sim", cosine_pairs(F.col("qvec"), F.col("cvec")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

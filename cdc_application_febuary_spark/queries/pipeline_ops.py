@@ -182,11 +182,14 @@ ORDER BY query_id, rank
 
 @_q("ann_topk_bruteforce", _ANN_ORACLE)
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k via the blocked matmul path (per-partition
+    numpy scoring + partial top-k); hash-matches the same pair-join oracle
+    as the interpreted-expression tier it replaced."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.cosine_topk(
+    return similarity.cosine_topk_blocked(
         emb, queries, k=5, query_id_col="query_id"
     ).orderBy("query_id", "rank")
 

@@ -83,6 +83,48 @@ def test_lsh_multiprobe_widens_candidates(spark):
         assert abs(r["sim"] - exact[r["neighbor_id"]]) < 1e-9
 
 
+def test_blocked_topk_equals_interpreted(spark):
+    """The mapInPandas block-matmul path returns exactly the same (rank,
+    neighbor, rounded sim) table as the pair-join + expression path,
+    including sim ties broken by neighbor id."""
+    from cdc_application_febuary_spark.operators.similarity import (
+        cosine_topk_blocked,
+    )
+
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(150)]
+    # planted exact tie: 130 and 131 are the same vector, so any query
+    # scoring them equally must rank the smaller id first
+    tie = [random.gauss(0, 1) for _ in range(8)]
+    rows[130] = (130, list(tie))
+    rows[131] = (131, list(tie))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = corpus.where("vec_id % 25 = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in cosine_topk(corpus, qs, k=7).collect()
+    )
+    blocked = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in cosine_topk_blocked(corpus, qs, k=7).collect()
+    )
+    assert blocked == exact
+
+
+def test_blocked_topk_empty_queries(spark):
+    from cdc_application_febuary_spark.operators.similarity import (
+        cosine_topk_blocked,
+    )
+
+    corpus = _corpus(spark)
+    qs = corpus.where("vec_id < 0").selectExpr("vec_id AS query_id", "embedding")
+    assert cosine_topk_blocked(corpus, qs, k=3).count() == 0
+
+
 def test_ivf_probe_all_equals_exact(spark):
     """n_probe >= n_centroids degenerates IVF to exact brute force."""
     from cdc_application_febuary_spark.operators.similarity import ivf_topk
