@@ -14,7 +14,10 @@ Variants:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.text import fingerprint, word_shingles
 
@@ -275,9 +278,6 @@ def embedding_near_dup_pairs(
     (equi-join, near-linear) for the 100 TB tier; true near-dups
     (cosine≈1) almost always share the full SRP signature, so bucket
     recall is high exactly where dedup cares."""
-    import numpy as np
-    import pandas as pd
-
     from ..functions.vectors import cosine_pairs
     from .similarity import srp_bucket
 
@@ -336,8 +336,13 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash long) — classic Charikar simhash over word tokens:
     per bit position, sum +1/-1 weighted by token-hash bit, take sign.
-    Expressed as `bits` conditional-sum aggregates over the exploded token
-    table (still one shuffle; the agg is map-side combined)."""
+
+    Token hashing stays JVM-side (xxhash64); the per-document bit fold is
+    an Arrow-batched pandas UDF over the collected hash list. The earlier
+    all-expression form (64 conditional-sum aggregates + a 64-branch
+    reassembly) spent seconds in janino compilation and ran interpreted —
+    the numpy fold is exact integer math on the same hashes, so the
+    fingerprints are bit-identical."""
     parts = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(parts).select(
         F.col(id_col).alias("id"),
@@ -345,20 +350,24 @@ def simhash(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         ).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy("id").agg(*bit_sums)
-    acc = F.lit(0).cast("long")
-    for j in range(bits):
-        acc = acc + F.when(
-            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select("id", acc.alias("simhash"))
+
+    @pandas_udf("long")
+    def fold(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = []
+        for row in hs:
+            arr = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            # (tokens, bits) of ±1, summed per bit; sign>0 sets the bit
+            signs = (((arr[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+            val = ((signs > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out.append(np.int64(val))
+        return pd.Series(out, dtype="int64")
+
+    return (
+        toks.groupBy("id")
+        .agg(F.collect_list("h").alias("hs"))
+        .select("id", fold("hs").alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
