@@ -1448,6 +1448,47 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "value_band_join",
+    """
+WITH bands AS (
+  SELECT b AS band, CAST(20*b AS DOUBLE) AS lo, CAST(20*b + 30 AS DOUBLE) AS hi
+  FROM range(25) t(b)
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(value), 6) AS avg_value
+FROM bands JOIN events e ON e.value >= lo AND e.value < hi
+GROUP BY band
+ORDER BY band
+""",
+)
+def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every event matched to each of the OVERLAPPING value
+    bands [20b, 20b+30) containing it (stride 20, width 30 — most points
+    match two bands), via the bucketized equi-join in
+    ``operators/rangejoin.py`` instead of the BroadcastNestedLoopJoin a
+    raw BETWEEN predicate would produce. The oracle is the plain theta
+    join."""
+    from ..operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.range(25).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 20).cast("double").alias("lo"),
+        (F.col("id") * 20 + 30).cast("double").alias("hi"),
+    )
+    pts = ev.select("event_id", "value")
+    return (
+        interval_join(pts, bands, "value", "lo", "hi",
+                      bucket_width=16, closed="left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("band")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Native session windows (batch form of the streaming gap-merge operator).
 # Emitted as epoch-micros so the ns-parquet -> us-Spark conversion is
