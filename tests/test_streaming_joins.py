@@ -1,0 +1,93 @@
+"""Streaming joins: stream x stream range join with watermark state
+bounds; watermark-bounded in-stream dedup; stream x static enrichment."""
+
+import json
+
+
+def _feed(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    f = path / f"b{len(list(path.glob('*.json')))}.json"
+    f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def test_stream_stream_range_join(spark, tmp_path):
+    """Clicks attribute to the impression they follow within the delay
+    bound; a click outside the bound never joins."""
+    from cdc_application_febuary_spark.streaming.joins import (
+        stream_stream_range_join,
+    )
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    _feed(imp_dir, [
+        {"imp_id": 1, "user": "u1", "its": "2024-01-01T00:00:00"},
+        {"imp_id": 2, "user": "u2", "its": "2024-01-01T00:05:00"},
+        {"imp_id": 3, "user": "u3", "its": "2024-01-01T00:00:00"},
+    ])
+    _feed(clk_dir, [
+        {"clk_id": 10, "user": "u1", "cts": "2024-01-01T00:20:00"},  # in bound
+        {"clk_id": 11, "user": "u2", "cts": "2024-01-01T02:00:00"},  # too late
+        {"clk_id": 12, "user": "u3", "cts": "2023-12-31T23:59:00"},  # before
+    ])
+    imps = spark.readStream.schema("imp_id long, user string, its timestamp").json(str(imp_dir))
+    clks = spark.readStream.schema("clk_id long, user string, cts timestamp").json(str(clk_dir))
+    joined = stream_stream_range_join(
+        imps, clks, on=["user"], left_ts="its", right_ts="cts",
+        max_delay="30 minutes", watermark="5 minutes",
+    ).select("imp_id", "clk_id")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["imp_id"], r["clk_id"]) for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert got == {(1, 10)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from cdc_application_febuary_spark.streaming.joins import stream_dedup
+
+    feed = tmp_path / "feed"
+    _feed(feed, [
+        {"k": "a", "ts": "2024-01-01T00:00:00", "v": 1},
+        {"k": "a", "ts": "2024-01-01T00:01:00", "v": 2},  # dup within horizon
+        {"k": "b", "ts": "2024-01-01T00:00:30", "v": 3},
+    ])
+    stream = spark.readStream.schema("k string, ts timestamp, v long").json(str(feed))
+    out = stream_dedup(stream, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sdd")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sdd").collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [("a", 1), ("b", 3)]
+
+
+def test_enrich_with_dimension_broadcasts(spark, tmp_path):
+    from cdc_application_febuary_spark.streaming.joins import (
+        enrich_with_dimension,
+    )
+
+    feed = tmp_path / "efeed"
+    _feed(feed, [{"topic": "p1.s.t", "v": 1}, {"topic": "p9.s.t", "v": 2}])
+    dim = spark.createDataFrame(
+        [("p1.s.t", "pipeline-1")], "topic string, pipeline string"
+    )
+    stream = spark.readStream.schema("topic string, v long").json(str(feed))
+    out = enrich_with_dimension(stream, dim, "topic")
+    q = (
+        out.writeStream.format("memory").queryName("enr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["v"]: r["pipeline"] for r in spark.sql("SELECT * FROM enr").collect()}
+    assert rows == {1: "pipeline-1", 2: None}
