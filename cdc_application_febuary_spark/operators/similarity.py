@@ -164,11 +164,13 @@ def _srp_plane(plane: int, dim: int) -> list[int]:
     return out
 
 
-def srp_bucket(vec_col, dim: int, planes: int = 8):
-    """Signed-random-projection bucket id (0..2^planes-1) as a column."""
+def srp_bucket(vec_col, dim: int, planes: int = 8, table: int = 0):
+    """Signed-random-projection bucket id (0..2^planes-1) as a column.
+    ``table`` offsets the plane seeds so independent hash tables
+    (OR-amplification) see independent hyperplane sets."""
     acc = F.lit(0)
     for p in range(planes):
-        coeffs = _srp_plane(p, dim)
+        coeffs = _srp_plane(table * 1009 + p, dim)
         dot = F.aggregate(
             F.zip_with(
                 vec_col,
@@ -192,28 +194,56 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     probes: int = 0,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by SRP signature, rank
     only within the query's bucket(s). Corpus side is one narrow projection —
     bucketing is a map-side expression, and the join is an equi-join on
-    (bucket), so the corpus shuffles once by bucket instead of replicating
-    per query.
+    (table, bucket), so the corpus shuffles once by bucket instead of
+    replicating per query.
 
-    ``probes=1`` is multi-probe: each query also searches the `planes`
-    buckets at hamming distance 1 from its own (a near neighbor on the far
-    side of one hyperplane lands there). Candidate volume grows ~(planes+1)x
-    on the query side only; the corpus bucketing is unchanged."""
+    Two independent recall dials (both multiply candidate volume, not
+    corpus passes):
+    * ``probes=1`` — multi-probe: each query also searches the `planes`
+      buckets at hamming distance 1 from its own (a near neighbor on the
+      far side of one hyperplane lands there). Query side grows
+      ~(planes+1)x; the corpus bucketing is unchanged.
+    * ``tables=L`` — OR-amplification: L independent hyperplane sets; a
+      neighbor is a candidate if it shares a bucket in ANY table. Miss
+      probability decays as miss_one^L. Corpus rows are bucketed L times
+      (corpus side grows Lx), still one shuffle.
+
+    Duplicate candidates across tables/probes are collapsed before
+    scoring, so each (query, neighbor) is scored once."""
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
-    ).repartition(parts, "bucket")
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    srp_bucket(F.col(vec_col), dim, planes, table=t).alias("bucket"),
+                )
+                for t in range(tables)
+            ])
+        ).alias("tb"),
+    ).select(
+        "neighbor_id", "cvec", "tb.tbl", "tb.bucket"
+    ).repartition(parts, "tbl", "bucket")
     q_base = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        srp_bucket(F.col(vec_col), dim, planes).alias("bucket0"),
-    )
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    srp_bucket(F.col(vec_col), dim, planes, table=t).alias("bucket0"),
+                )
+                for t in range(tables)
+            ])
+        ).alias("tb"),
+    ).select("query_id", "qvec", "tb.tbl", "tb.bucket0")
     if probes >= 1:
         flips = F.array(
             F.col("bucket0"),
@@ -223,14 +253,23 @@ def lsh_topk(
             ],
         )
         q_base = q_base.select(
-            "query_id", "qvec", F.explode(flips).alias("bucket")
+            "query_id", "qvec", "tbl", F.explode(flips).alias("bucket")
         )
     else:
         q_base = q_base.withColumnRenamed("bucket0", "bucket")
     qb = F.broadcast(q_base)
-    scored = (
-        cb.join(qb, (cb.bucket == qb.bucket) & (F.col("query_id") != F.col("neighbor_id")))
-        .withColumn("sim", cosine_pairs(F.col("qvec"), F.col("cvec")))
+    cand = (
+        cb.join(
+            qb,
+            (cb.tbl == qb.tbl)
+            & (cb.bucket == qb.bucket)
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "sim", cosine_pairs(F.col("qvec"), F.col("cvec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

@@ -83,6 +83,43 @@ def test_lsh_multiprobe_widens_candidates(spark):
         assert abs(r["sim"] - exact[r["neighbor_id"]]) < 1e-9
 
 
+def test_lsh_multi_table_raises_recall(spark):
+    """OR-amplification: with enough independent tables the candidate set
+    approaches exact; sims of returned rows always equal the exact scan."""
+    from cdc_application_febuary_spark.operators.similarity import (
+        cosine_topk_blocked,
+    )
+
+    import random
+
+    random.seed(21)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = corpus.where("vec_id % 40 = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk_blocked(corpus, qs, k=5).collect()
+    }
+
+    def recall(tables):
+        got = {
+            (r["query_id"], r["neighbor_id"]): r["sim"]
+            for r in lsh_topk(
+                corpus, qs, k=5, dim=16, planes=4, probes=1, tables=tables
+            ).collect()
+        }
+        for pair, sim in got.items():
+            if pair in exact:
+                assert abs(sim - exact[pair]) < 1e-6
+        return len(got.keys() & exact.keys()) / len(exact)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 >= 0.9
+
+
 def test_blocked_topk_equals_interpreted(spark):
     """The mapInPandas block-matmul path returns exactly the same (rank,
     neighbor, rounded sim) table as the pair-join + expression path,
