@@ -17,11 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the monitoring-dashboard
-    shape — 3-way dimension join + per-group rollup (SURVEY §2.11 Q10)."""
-    from cdc_application_febuary_spark.queries import declared
+    """Flagship query on /root/testdata/sf0.001: the corpus-prep funnel —
+    the training-data pipeline (quality -> language -> exact dedup) as one
+    plan, reported as per-stage surviving docs + token budget."""
+    from cdc_application_febuary_spark.queries import pipeline_ops
 
-    return declared.q10(spark, "/root/testdata/sf0.001")
+    return pipeline_ops.corpus_prep_funnel(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1454,6 +1454,100 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_oracle() -> str:
+    """The corpus-prep funnel oracle: per-doc quality/lang/fingerprint
+    exprs (identical fragments to the text_quality / lang_id_confusion /
+    fingerprint_stats oracles) -> staged CTEs -> one UNION ALL funnel."""
+    score_exprs = ", ".join(
+        "len(list_intersect(words, ['"
+        + "','".join(T.LANG_MARKERS[code])
+        + f"'])) AS s_{code}"
+        for code in sorted(T.LANG_MARKERS)
+    )
+    greatest = "GREATEST(" + ", ".join(f"s_{c}" for c in sorted(T.LANG_MARKERS)) + ")"
+    lang_case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for code in sorted(T.LANG_MARKERS):
+        lang_case += f"WHEN s_{code} = {greatest} THEN '{code}' "
+    lang_case += "ELSE 'und' END"
+    return f"""
+WITH raw0 AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS tok,
+         GREATEST(LEAST(LEAST(len(string_split_regex(trim(text), '\\s+'))/50.0, 1.0)
+                        - ABS(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                       t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+                              / len(string_split_regex(lower(trim(text)), '\\s+')) - 0.1)
+                        - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', '', 'g')) AS DOUBLE)
+                          / length(text), 1.0), 0.0) AS q,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS words,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+raw AS (SELECT doc_id, tok, q, fp, {lang_case} AS lp
+        FROM (SELECT *, {score_exprs} FROM raw0) t),
+q2 AS (SELECT * FROM raw WHERE q >= 0.3),
+q3 AS (SELECT * FROM q2 WHERE lp <> 'und'),
+q4 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                      FROM q3) t WHERE rn = 1)
+SELECT * FROM (
+  SELECT 1 AS stage, 'raw' AS name, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tokens FROM raw
+  UNION ALL
+  SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT) FROM q2
+  UNION ALL
+  SELECT 3, 'language', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT) FROM q3
+  UNION ALL
+  SELECT 4, 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT) FROM q4
+) f
+ORDER BY stage
+"""
+
+
+@_q("corpus_prep_funnel", _funnel_oracle())
+def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data prep pipeline as ONE plan: quality filter ->
+    language filter -> exact dedup (min-doc_id survivor per fingerprint),
+    reported as a per-stage funnel of surviving docs + token budget.
+
+    Scale shape: a single scan computes all per-doc signals (each a pure
+    column expression — no Python), the stages are cascading filters over
+    that projection, and each funnel row is a tiny aggregate; the dedup
+    stage's window shuffles only (fp, doc_id, tok). At 100 TB this is one
+    pass over the corpus plus one fingerprint-keyed shuffle of ~40 B/doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    # ~50 B/doc projection feeding four plan branches — persist so the
+    # expensive text expressions evaluate once, not once per stage
+    base = docs.select(
+        "doc_id",
+        T.token_count("text").alias("tok"),
+        T.quality_score("text").alias("q"),
+        T.lang_id("text").alias("lp"),
+        T.fingerprint("text").alias("fp"),
+    ).persist()
+    q2 = base.where(F.col("q") >= 0.3)
+    q3 = q2.where(F.col("lp") != "und")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    q4 = q3.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+
+    def stage(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+        ).select("stage", "name", "n_docs", "total_tokens")
+
+    return (
+        stage(base, 1, "raw")
+        .unionByName(stage(q2, 2, "quality"))
+        .unionByName(stage(q3, 3, "language"))
+        .unionByName(stage(q4, 4, "exact_dedup"))
+        .orderBy("stage")
+    )
+
+
 @_q(
     "value_band_join",
     """
