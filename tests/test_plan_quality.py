@@ -108,3 +108,27 @@ def test_whole_stage_codegen_present(spark, sf_dir, name):
     # codegen stages render as "*(n)" prefixes in the final adaptive plan
     assert "*(1)" in plan  # expressions stay JVM-compiled
     assert "isFinalPlan=true" in plan
+
+
+def test_tpch_q8_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    """The 7-table market-share star: every dimension join (part,
+    customer-side nation/region, supplier, supplier-side nation) must be
+    a broadcast hash join — only lineitem/orders may shuffle."""
+    from cdc_application_febuary_spark.queries import tpch_style
+
+    df = tpch_style.QUERIES["tpch_q8_market_share"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_prep_funnel_single_fingerprint_shuffle(spark, sf_dir):
+    """The funnel's only wide exchange should be the fingerprint window
+    (plus AQE-inserted reads); no range partitioning, no nested loops."""
+    from cdc_application_febuary_spark.queries import pipeline_ops
+
+    df = pipeline_ops.QUERIES["corpus_prep_funnel"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
