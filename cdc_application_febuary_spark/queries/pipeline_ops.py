@@ -1549,6 +1549,53 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "part_name_near_pairs",
+    """
+WITH reps AS (
+  SELECT p_name, MIN(p_partkey) AS rid, COUNT(*) AS cnt
+  FROM part GROUP BY p_name
+)
+SELECT a.rid AS a, b.rid AS b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       CAST(a.cnt * b.cnt AS BIGINT) AS pair_volume
+FROM reps a JOIN reps b
+  ON a.rid < b.rid
+ AND regexp_extract(a.p_name, '(\\S+)$', 1) = regexp_extract(b.p_name, '(\\S+)$', 1)
+ AND abs(length(a.p_name) - length(b.p_name)) <= 1
+ AND levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY a, b
+""",
+)
+def part_name_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on part names, canonicalize-first: exact dups
+    collapse to one representative per distinct name (min partkey +
+    multiplicity), THEN the block-verify fuzzy join (same head word,
+    edit distance <= 1) runs on representatives only. pair_volume is the
+    implied row-level match count. Canonicalize-then-resolve is the
+    shape that survives scale — the fuzzy join's input is the distinct-
+    name table, not the corpus."""
+    from ..operators.fuzzyjoin import fuzzy_self_pairs, last_token
+
+    p = load_table(spark, sf_dir, "part")
+    reps = p.groupBy("p_name").agg(
+        F.min("p_partkey").alias("rid"), F.count(F.lit(1)).alias("cnt")
+    )
+    pairs = fuzzy_self_pairs(
+        reps, "rid", "p_name", last_token("p_name"), max_dist=1
+    )
+    sz = reps.select("rid", "cnt")
+    return (
+        pairs.join(sz.alias("sa"), pairs.a == F.col("sa.rid"))
+        .join(sz.alias("sb"), pairs.b == F.col("sb.rid"))
+        .select(
+            "a", "b", "dist",
+            (F.col("sa.cnt") * F.col("sb.cnt")).alias("pair_volume"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+@_q(
     "value_band_join",
     """
 WITH bands AS (
