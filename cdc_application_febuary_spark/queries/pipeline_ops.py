@@ -1596,6 +1596,57 @@ def part_name_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "supplier_balance_ranks",
+    """
+WITH r AS (
+  SELECT s_nationkey, s_suppkey, s_acctbal,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS cume,
+         NTH_VALUE(s_suppkey, 2) OVER (PARTITION BY s_nationkey
+                                       ORDER BY s_acctbal DESC, s_suppkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND UNBOUNDED FOLLOWING)
+           AS second_richest,
+         LEAD(s_suppkey, 1) OVER w AS next_supp
+  FROM supplier
+  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+)
+SELECT * FROM r WHERE rnk <= 3
+ORDER BY s_nationkey, rnk, s_suppkey
+""",
+)
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth on one partitioned ordering: rank /
+    dense_rank / percent_rank / cume_dist / nth_value / lead — one
+    window sort per partition serves all six (Spark collapses same-spec
+    window functions into a single Window exec)."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("s_suppkey", 2).over(wfull).alias("second_richest"),
+            F.lead("s_suppkey", 1).over(w).alias("next_supp"),
+        )
+        .where(F.col("rnk") <= 3)
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    )
+
+
+@_q(
     "value_band_join",
     """
 WITH bands AS (
