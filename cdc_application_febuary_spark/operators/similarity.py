@@ -184,6 +184,35 @@ def srp_bucket(vec_col, dim: int, planes: int = 8, table: int = 0):
     return acc
 
 
+def _srp_buckets_udf(dim: int, planes: int, tables: int):
+    """All tables' SRP buckets in one Arrow batch: (batch x dim) @
+    (dim x planes*tables) -> sign bits -> per-table bucket ints. Same
+    hyperplanes as :func:`srp_bucket` (``_srp_plane(table*1009 + p)``),
+    same ``dot >= 0`` sign rule — one numpy matmul replaces
+    planes x tables interpreted higher-order dot products per row."""
+    P = np.asarray(
+        [
+            _srp_plane(t * 1009 + p, dim)
+            for t in range(tables)
+            for p in range(planes)
+        ],
+        dtype="float64",
+    ).T  # (dim, tables*planes)
+    weights = (1 << np.arange(planes, dtype=np.int64))
+
+    @pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        M = np.vstack(v.to_numpy()).astype("float64")
+        bits = (M @ P) >= 0  # (batch, tables*planes)
+        bits = bits.reshape(len(M), tables, planes)
+        vals = (bits * weights).sum(axis=2).astype("int32")  # (batch, tables)
+        return pd.Series(list(vals))
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -216,34 +245,17 @@ def lsh_topk(
     Duplicate candidates across tables/probes are collapsed before
     scoring, so each (query, neighbor) is scored once."""
     parts = corpus.sparkSession.sparkContext.defaultParallelism
+    bucketize = _srp_buckets_udf(dim, planes, tables)
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    srp_bucket(F.col(vec_col), dim, planes, table=t).alias("bucket"),
-                )
-                for t in range(tables)
-            ])
-        ).alias("tb"),
-    ).select(
-        "neighbor_id", "cvec", "tb.tbl", "tb.bucket"
+        F.posexplode(bucketize(F.col(vec_col))).alias("tbl", "bucket"),
     ).repartition(parts, "tbl", "bucket")
     q_base = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    srp_bucket(F.col(vec_col), dim, planes, table=t).alias("bucket0"),
-                )
-                for t in range(tables)
-            ])
-        ).alias("tb"),
-    ).select("query_id", "qvec", "tb.tbl", "tb.bucket0")
+        F.posexplode(bucketize(F.col(vec_col))).alias("tbl", "bucket0"),
+    )
     if probes >= 1:
         flips = F.array(
             F.col("bucket0"),
