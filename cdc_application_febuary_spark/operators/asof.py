@@ -27,13 +27,20 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] | None = None,
     inclusive: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left columns + the latest preceding right
-    `value_cols` (null when no right row precedes).
+    """As-of join: left columns + the nearest right `value_cols` in the
+    given direction (null when no right row qualifies).
 
-    ``inclusive`` controls whether an equal-timestamp right row matches
-    (``<=`` vs ``<``); equal-timestamp ordering is resolved by sorting the
-    right row before (inclusive) or after (exclusive) the left row."""
+    ``direction='backward'`` (default) carries the latest right row with
+    ``right_ts <= left_ts``; ``'forward'`` the earliest right row with
+    ``right_ts >= left_ts`` — same union-tag single-shuffle plan with the
+    time ordering reversed. ``inclusive`` controls whether an
+    equal-timestamp right row matches; equal-timestamp ordering is
+    resolved by sorting the right row before (inclusive) or after
+    (exclusive) the left row."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     value_cols = list(value_cols or [c for c in right.columns
                                      if c not in set(on) and c != right_ts])
     on = list(on)
@@ -55,9 +62,14 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
 
+    ts_order = (
+        F.col("__asof_ts").asc()
+        if direction == "backward"
+        else F.col("__asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__asof_ts").asc(), F.col(_TAG).asc())
+        .orderBy(ts_order, F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
