@@ -1596,6 +1596,41 @@ def part_name_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "grouping_sets_mktsegment_nation",
+    """
+SELECT c_mktsegment, c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+       CAST(GROUPING(c_nationkey) AS INT) AS g_nat
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey
+""",
+)
+def grouping_sets_mktsegment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither cube nor rollup): per-segment,
+    per-nation, and grand-total aggregates in one pass — completes the
+    multi-dimensional trio next to cube_status_priority and daily_rollup.
+    Spark expresses arbitrary sets via the SQL GROUPING SETS clause."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_gs"
+    )
+    return spark.sql(
+        """
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+       CAST(GROUPING(c_nationkey) AS INT) AS g_nat
+FROM customer_gs
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey
+"""
+    )
+
+
+@_q(
     "supplier_balance_ranks",
     """
 WITH r AS (
