@@ -1,0 +1,77 @@
+"""Stateful streaming on the Spark 4 transformWithStateInPandas API —
+the successor to applyInPandasWithState (streaming/stateful.py keeps the
+classic form). Differences that matter at scale: typed state variables
+(ValueState/ListState/MapState) instead of one tuple, per-state TTL so
+idle keys expire without a custom timeout dance, and timer callbacks.
+
+Requires the RocksDB state store provider (the HDFS-backed default does
+not support transformWithState); callers flip the conf via
+``use_rocksdb_state``. The Python<->JVM state protocol additionally
+needs ``google.protobuf`` at runtime — environments without it should
+use the applyInPandasWithState operators in ``stateful.py`` (same
+semantics, tuple-typed state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("events", LongType()),
+        StructField("batch_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("events", LongType())])
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """transformWithState requires RocksDB-backed state."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
+class RunningCountProcessor(StatefulProcessor):
+    """Per-key running totals in a typed ValueState — the
+    transformWithState twin of ``stateful.running_counts``."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._count = handle.getValueState("events", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = sum(len(p) for p in rows)
+        prev = self._count.get()
+        total = (prev[0] if prev is not None else 0) + batch
+        self._count.update((total,))
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "events": [total], "batch_events": [batch]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_counts_tws(grouped) -> DataFrame:
+    """`grouped` is `stream.groupBy(key_col)`; emits (key, events,
+    batch_events) per key per micro-batch with the all-time total."""
+    return grouped.transformWithStateInPandas(
+        RunningCountProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

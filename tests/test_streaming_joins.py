@@ -91,3 +91,61 @@ def test_enrich_with_dimension_broadcasts(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["v"]: r["pipeline"] for r in spark.sql("SELECT * FROM enr").collect()}
     assert rows == {1: "pipeline-1", 2: None}
+
+
+def test_running_counts_transform_with_state(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas twin of running_counts:
+    typed ValueState totals survive across micro-batches (RocksDB store).
+
+    The state protocol between the Python worker and the JVM rides on
+    protobuf; skip where google.protobuf is absent (this container) —
+    the classic applyInPandasWithState operators in streaming/stateful.py
+    cover the stateful contract there."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol requires protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.streaming.stateful_v2 import (
+        running_counts_tws,
+        use_rocksdb_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        feed = tmp_path / "twsfeed"
+        _feed(feed, [{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 3}])
+        stream = spark.readStream.schema("k string, v long").json(str(feed))
+        out = running_counts_tws(stream.groupBy(F.col("k")))
+        ck = tmp_path / "twsck"
+
+        def run_batch(qname):
+            q = (
+                out.writeStream.format("memory").queryName(qname)
+                .outputMode("update")
+                .option("checkpointLocation", str(ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                r["key"]: (r["events"], r["batch_events"])
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            }
+
+        got1 = run_batch("tws1")
+        assert got1 == {"a": (2, 2), "b": (1, 1)}
+        _feed(feed, [{"k": "a", "v": 4}])
+        got2 = run_batch("tws2")
+        assert got2["a"] == (3, 1)  # total carried across restarts
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
