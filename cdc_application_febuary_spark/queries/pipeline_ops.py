@@ -1595,6 +1595,26 @@ def part_name_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("value_percentiles_approx")  # rows-only: sketch-based by design
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile tier made explicit: approx_percentile
+    (KLL-style sketch, mergeable across partitions — one narrow shuffle
+    of sketches instead of a global sort) next to the exact
+    `value_percentiles` oracle query. Rows-only check: sketch error is
+    bounded (accuracy 10000 ~= 0.01%) but not bit-deterministic across
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(
+                F.expr(f"approx_percentile(value, {q}, 10000)"), 4
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ],
+    ).orderBy("event_type")
+
+
 @_q(
     "grouping_sets_mktsegment_nation",
     """
