@@ -1,0 +1,95 @@
+"""Dataset sampling and mixture construction — the "data mixing" step of
+a training-data pipeline (choose per-source sampling rates to hit target
+mixture weights, optionally with upsampling by integer replication).
+
+Scale shape: everything is per-row Bernoulli against a seeded
+deterministic hash — no shuffle, no count-then-sample second pass except
+where explicitly requested (`exact` weights need one count per source,
+a metadata-cheap aggregate). Hash-based sampling (xxhash64(id, seed))
+rather than Spark's `sample()` RNG makes the draw a pure function of
+(id, seed): reproducible across runs, partitionings, AND engines — the
+property that matters when a 100 TB mixture must be re-materialized
+identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, functions as F
+
+# xxhash64 output spans the full signed 64-bit range; map to [0, 1)
+_SPAN = float(1 << 64)
+
+
+def _unit_hash(id_col: str, seed: int):
+    """Deterministic U[0,1) from (id, seed) — same value on any engine
+    that implements xxhash64."""
+    return (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double") / _SPAN) + 0.5
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep rows whose unit hash < fraction. Pure filter: pushes down,
+    no shuffle, reproducible for a fixed (id set, seed)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.where(_unit_hash(id_col, seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum hash sampling; strata absent from `fractions` are
+    dropped (explicit beats implicit for mixture construction)."""
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col(strata_col)]
+    return df.where(
+        frac.isNotNull() & (_unit_hash(id_col, seed) < frac)
+    )
+
+
+def mixture(
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    id_col: str,
+    seed: int = 0,
+    counts: Mapping[str, int] | None = None,
+) -> DataFrame:
+    """Union the sources, each downsampled so the EXPECTED output
+    composition matches `weights` (normalized). The largest
+    weight-to-size ratio anchors at fraction 1.0 (no upsampling) and the
+    rest scale under it; one `count()` per source prices the anchor —
+    the only non-streaming-friendly step, and a metadata-only aggregate
+    on parquet sources.
+
+    Adds a `__mix_source` column naming each row's origin. When the
+    sources are strata of one parent table, pass `counts` from a single
+    grouped count instead of paying one count job per source."""
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must cover the same keys")
+    total_w = float(sum(weights.values()))
+    if counts is None:
+        counts = {k: df.count() for k, df in sources.items()}
+    elif set(counts) != set(sources):
+        raise ValueError("counts must cover the same keys as sources")
+    if any(c == 0 for c in counts.values()):
+        empty = [k for k, c in counts.items() if c == 0]
+        raise ValueError(f"empty mixture source(s): {empty}")
+    # anchor s.t. max fraction == 1.0
+    ratios = {k: (weights[k] / total_w) / counts[k] for k in sources}
+    anchor = max(ratios.values())
+    out = None
+    for k, df in sources.items():
+        frac = ratios[k] / anchor
+        part = hash_sample(df, id_col, frac, seed).withColumn(
+            "__mix_source", F.lit(k)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1595,6 +1595,38 @@ def part_name_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("documents_mixture")  # rows-only: xxhash64 sampling has no DuckDB twin
+def documents_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction over the documents table: split by
+    source, rebalance to equal weights via deterministic hash sampling
+    (the scarcest source anchors at 1.0 — never upsampled), report the
+    resulting composition. Rows-only: the draw is a pure function of
+    (doc_id, seed) through xxhash64, reproducible across runs and
+    partitionings but not expressible in DuckDB."""
+    from ..operators.sampling import mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["cnt"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    out = mixture(
+        {s: docs.where(F.col("source") == s) for s in sorted(counts)},
+        {s: 1.0 for s in counts},
+        id_col="doc_id",
+        seed=42,
+        counts=counts,
+    )
+    return (
+        out.groupBy("__mix_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("__mix_source")
+    )
+
+
 @_q("value_percentiles_approx")  # rows-only: sketch-based by design
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile tier made explicit: approx_percentile

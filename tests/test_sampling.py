@@ -1,0 +1,87 @@
+"""Hash-based sampling & mixture: determinism, nested fractions,
+stratified rates, mixture composition."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_application_febuary_spark.operators.sampling import (
+    hash_sample,
+    mixture,
+    stratified_sample,
+)
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+
+
+def test_fraction_accuracy_and_determinism(spark, ids):
+    got1 = hash_sample(ids, "doc_id", 0.3, seed=7)
+    got2 = hash_sample(ids, "doc_id", 0.3, seed=7)
+    n = got1.count()
+    assert abs(n / 20000 - 0.3) < 0.02
+    assert got1.exceptAll(got2).count() == 0  # same (id, seed) -> same draw
+    other = hash_sample(ids, "doc_id", 0.3, seed=8).count()
+    assert other != n or True  # different seed draws a different set:
+    assert (
+        hash_sample(ids, "doc_id", 0.3, seed=8)
+        .exceptAll(got1)
+        .count()
+        > 0
+    )
+
+
+def test_smaller_fraction_is_subset(spark, ids):
+    small = hash_sample(ids, "doc_id", 0.1, seed=3)
+    big = hash_sample(ids, "doc_id", 0.4, seed=3)
+    assert small.exceptAll(big).count() == 0  # threshold filter nests
+
+
+def test_stratified_rates(spark, ids):
+    df = ids.withColumn(
+        "src", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("code")
+    )
+    out = stratified_sample(
+        df, "src", {"web": 0.5, "code": 0.1}, id_col="doc_id", seed=1
+    )
+    rates = {
+        r["src"]: r["cnt"] / 10000
+        for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert abs(rates["web"] - 0.5) < 0.03
+    assert abs(rates["code"] - 0.1) < 0.03
+    # strata without a fraction are dropped
+    df2 = df.withColumn("src", F.lit("other"))
+    assert stratified_sample(
+        df2, "src", {"web": 1.0}, id_col="doc_id"
+    ).count() == 0
+
+
+def test_mixture_composition(spark, ids):
+    web = ids.where("doc_id < 16000")     # 16k rows
+    code = ids.where("doc_id >= 16000")   # 4k rows
+    out = mixture(
+        {"web": web, "code": code},
+        {"web": 0.5, "code": 0.5},
+        id_col="doc_id",
+        seed=5,
+    )
+    got = {
+        r["__mix_source"]: r["cnt"]
+        for r in out.groupBy("__mix_source").agg(F.count("*").alias("cnt")).collect()
+    }
+    # code is the scarce source -> anchors at 1.0 (all 4k kept);
+    # web downsamples to ~4k for a 50/50 blend
+    assert got["code"] == 4000
+    assert abs(got["web"] - 4000) < 300
+
+
+def test_mixture_rejects_empty_source(spark, ids):
+    with pytest.raises(ValueError, match="empty mixture source"):
+        mixture(
+            {"a": ids, "b": ids.where("doc_id < 0")},
+            {"a": 0.5, "b": 0.5},
+            id_col="doc_id",
+        )
