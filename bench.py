@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...slowest 5...}, "sf": ..., "query_count": N,
+"queries_file": path}. The full per-query map goes to the sidecar
+bench_queries.json (round 1's all-91-query line was too long for the
+driver's capture — BENCH_r01.json recorded parsed:null).
 
 Timing is per-query wall-clock of plan construction + execution to
 completion (count/collect of an already-aggregated result — the queries all
@@ -71,14 +74,22 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    sidecar = Path(__file__).resolve().parent / "bench_queries.json"
+    sidecar.write_text(json.dumps(timings, indent=1, sort_keys=True))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     print(
         json.dumps(
             {
-                "metric": "declared+pipeline query suite wall-clock",
+                "metric": "full query suite wall-clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "query_count": len(timings),
+                "errors": sum(1 for v in timings.values() if v < 0),
                 "sf": sf_val,
+                "queries_file": str(sidecar),
             }
         )
     )

@@ -253,7 +253,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q9_SQL = """
 SELECT c.c_mktsegment, COUNT(*) AS orders,
-       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
@@ -279,7 +279,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT r.r_name, n.n_name, COUNT(*) AS customers,
-       SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS bal
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey

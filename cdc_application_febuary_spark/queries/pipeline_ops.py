@@ -500,7 +500,7 @@ def scd2_history_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderstatus, COUNT(*) AS cnt,
        MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        COUNT(DISTINCT o_custkey) AS customers
 FROM orders
 GROUP BY o_orderstatus
@@ -627,7 +627,7 @@ c AS (SELECT user_id, epoch_ns(ts) AS tsn, value AS click_value
 SELECT COUNT(*) AS n_purchases,
        CAST(SUM(CASE WHEN a.click_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_attributed,
-       SUM(CAST(a.click_value AS DECIMAL(38,6))) AS attributed_value
+       CAST(SUM(CAST(a.click_value AS DECIMAL(38,6))) AS DOUBLE) AS attributed_value
 FROM (SELECT p.*, c.click_value
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tsn <= p.tsn) a
 """,
@@ -1327,7 +1327,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_status_priority",
     """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
 FROM orders
@@ -1652,7 +1652,7 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c_mktsegment, c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS cnt,
-       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
        CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
        CAST(GROUPING(c_nationkey) AS INT) AS g_nat
 FROM customer

@@ -37,10 +37,10 @@ _CHARGE = "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6
     "tpch_q1_pricing_summary",
     f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM({_DISC}) AS sum_disc_price,
-       SUM({_CHARGE}) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_DISC}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
        ROUND(AVG(l_extendedprice), 6) AS avg_price,
        ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -115,7 +115,7 @@ def tpch_q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q3_shipping_priority",
     f"""
-SELECT l.l_orderkey, SUM({_DISC.replace('l_', 'l.l_')}) AS revenue,
+SELECT l.l_orderkey, CAST(SUM({_DISC.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
        CAST(o.o_orderdate AS DATE) AS orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -155,7 +155,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q5_local_supplier_volume",
     f"""
-SELECT n.n_name, SUM({_DISC.replace('l_', 'l.l_')}) AS revenue
+SELECT n.n_name, CAST(SUM({_DISC.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -238,7 +238,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q6_forecast_revenue",
     f"""
-SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -273,7 +273,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-       SUM({_DISC.replace('l_', 'l.l_')}) AS revenue
+       CAST(SUM({_DISC.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -328,7 +328,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q10_returned_items",
     f"""
-SELECT c.c_custkey, c.c_name, SUM({_DISC.replace('l_', 'l.l_')}) AS revenue,
+SELECT c.c_custkey, c.c_name, CAST(SUM({_DISC.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
        c.c_acctbal, c.c_mktsegment
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -373,10 +373,10 @@ SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                      ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
            / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE),
          6) AS promo_revenue_pct,
-       SUM(CASE WHEN p.p_type = 'PROMO'
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
-                ELSE CAST(0 AS DECIMAL(38,6)) END) AS promo_revenue,
-       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS total_revenue
+                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
@@ -423,7 +423,7 @@ WITH rev AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey)
-SELECT s.s_suppkey, s.s_name, r.total_revenue
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
 FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
 ORDER BY s.s_suppkey
@@ -492,7 +492,7 @@ def tpch_q16_brand_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
        CAST(o.o_orderdate AS DATE) AS orderdate, o.o_totalprice,
-       SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS total_qty
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -543,7 +543,7 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q19_disjunctive",
     f"""
-SELECT SUM({_DISC.replace('l_', 'l.l_')}) AS revenue, COUNT(*) AS n
+SELECT CAST(SUM({_DISC.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue, COUNT(*) AS n
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 1 AND 21)
@@ -594,7 +594,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_idle_customers",
     """
 SELECT c.c_mktsegment, COUNT(*) AS numcust,
-       SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS totacctbal
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE c.c_acctbal > 5000
   AND NOT EXISTS (SELECT 1 FROM orders o

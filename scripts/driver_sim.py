@@ -65,6 +65,19 @@ def main(only: list[str]) -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF)
+            # Lint: DECIMAL output columns are forbidden in driver-visible
+            # results — the round driver's hasher turns one side into float64,
+            # so trailing-zero decimals ("123.40" vs "123.4") hash-mismatch
+            # even when values are identical (VERDICT r1). Emit DOUBLE/BIGINT.
+            decs = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.simpleString().startswith("decimal")
+            ]
+            if decs:
+                print(f"{name}: DECIMAL OUTPUT LINT spark cols={decs}")
+                bad += 1
+                continue
             scols = sorted(sdf.columns)
             srows = sorted(
                 tuple(canon(r[c]) for c in scols) for r in sdf.collect()
@@ -77,6 +90,11 @@ def main(only: list[str]) -> int:
             print(f"{name}: rows-only rows={len(srows)} ({time.time() - t0:.1f}s)")
             continue
         rel = con.sql(oracles[name])
+        ddecs = [c for c, t in zip(rel.columns, rel.types) if "DECIMAL" in str(t)]
+        if ddecs:
+            print(f"{name}: DECIMAL OUTPUT LINT oracle cols={ddecs}")
+            bad += 1
+            continue
         dcols = sorted(rel.columns)
         idx = [rel.columns.index(c) for c in dcols]
         drows = sorted(tuple(canon(r[i]) for i in idx) for r in rel.fetchall())
