@@ -151,11 +151,30 @@ ORDER BY a, b
 """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-exact cosine near-dup: block-pair self-join, one numpy
+    matmul per block pair, nothing collected to the driver (the r1-flagged
+    closure-broadcast mode is gone). Exact, so it hash-matches the
+    all-pairs oracle."""
     # threshold 0.45: the fixture embeddings have no planted duplicates
     # (max pairwise cosine ~0.51), so this surfaces the genuinely-closest
     # pairs; production dedup would use ~0.95
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(emb, threshold=0.45).orderBy("a", "b")
+
+
+@_q("dedup_embedding_srp")  # rows-only: SRP buckets are a recall<1
+# candidate generator (seeded-RNG hyperplanes, not expressible in SQL);
+# PARITY.md records the exact-vs-approximate tier split.
+def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-linear tier of the same operator: SRP-bucketed
+    candidate equi-join (3 planes x 12 OR-amplified tables — per-pair miss
+    prob at cosine 0.45 is (1-0.648^3)^12 ≈ 0.03) + vectorized cosine
+    verify. Every emitted pair is a true >=threshold pair (precision 1);
+    recall < 1 by design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        emb, threshold=0.45, use_srp_buckets=True, planes=3, tables=12
+    ).orderBy("a", "b")
 
 
 # ---------------------------------------------------------------------------
