@@ -32,6 +32,59 @@ def _q(name: str, oracle: str):
 _DISC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
 _CHARGE = "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))"
 
+# ---------------------------------------------------------------------------
+# Synthetic partsupp: the fixture lacks TPC-H's partsupp table, so Q9/Q11/
+# Q20 derive one deterministically from part x {0..3} with pure integer
+# arithmetic — the same closed-form formula runs as a Spark expression and
+# as a DuckDB CTE, so both sides see the identical table without any
+# on-disk fixture. 4 distinct suppliers per part ((p + i*13) % S is
+# injective over i<4 for S in {10,100,1000}); supplycost has exactly 2
+# conceptual decimals (k/100 + 1), so downstream products with integral
+# quantities stay far from DECIMAL(38,6) rounding midpoints and the
+# double->decimal cast agrees across engines.
+# ---------------------------------------------------------------------------
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT p.p_partkey AS ps_partkey,
+         (p.p_partkey + i.i * 13) % s.s_cnt AS ps_suppkey,
+         CAST((p.p_partkey * 7 + i.i * 11) % 9999 + 1 AS INT) AS ps_availqty,
+         ((p.p_partkey * 31 + i.i * 17) % 100000) / 100.0 + 1.0 AS ps_supplycost
+  FROM part p
+  CROSS JOIN (SELECT unnest(range(4)) AS i) i
+  CROSS JOIN (SELECT COUNT(*) AS s_cnt FROM supplier) s
+)"""
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_PARTSUPP_CTE`` — identical integer arithmetic, so
+    every (partkey, suppkey, availqty, supplycost) matches the oracle's
+    CTE bit-for-bit. The supplier count rides in as a 1-row broadcast
+    (scalar-subquery shape), never a driver collect."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = (
+        load_table(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    i = spark.range(4).select(F.col("id").alias("i"))
+    return (
+        p.crossJoin(F.broadcast(i))
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.pmod(F.col("p_partkey") + F.col("i") * 13, F.col("s_cnt")).alias(
+                "ps_suppkey"
+            ),
+            (F.pmod(F.col("p_partkey") * 7 + F.col("i") * 11, F.lit(9999)) + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            (
+                F.pmod(F.col("p_partkey") * 31 + F.col("i") * 17, F.lit(100000))
+                / F.lit(100.0)
+                + F.lit(1.0)
+            ).alias("ps_supplycost"),
+        )
+    )
+
 
 @_q(
     "tpch_q1_pricing_summary",
@@ -884,4 +937,190 @@ def tpch_q21_last_to_ship_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
+    )
+
+
+@_q(
+    "tpch_q9_product_type_profit",
+    f"""
+WITH {_PARTSUPP_CTE.strip()}
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount)
+              - ps.ps_supplycost * l.l_quantity AS DECIMAL(38,6)) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                  AND ps.ps_suppkey = l.l_suppkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+""",
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9 shape over the
+    synthetic partsupp). The name-filtered part set prunes partsupp before
+    it ever meets lineitem, and both ride in as broadcasts — only the
+    lineitem<->orders join shuffles. amount is a 4-decimal-conceptual
+    double, so the DECIMAL(38,6) cast is midpoint-safe cross-engine."""
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    ps = synth_partsupp(spark, sf_dir).join(
+        F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast("decimal(38,6)")
+    return (
+        li.join(
+            F.broadcast(ps),
+            (li.l_partkey == F.col("ps_partkey"))
+            & (li.l_suppkey == F.col("ps_suppkey")),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("decimal(38,6)").cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@_q(
+    "tpch_q11_important_stock",
+    f"""
+WITH {_PARTSUPP_CTE.strip()},
+nat AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost, ps.ps_availqty
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+),
+grouped AS (
+  SELECT ps_partkey,
+         SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,2))) AS value_dec
+  FROM nat GROUP BY ps_partkey
+),
+total AS (SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) * 1.5 AS threshold
+          FROM grouped)
+SELECT g.ps_partkey, CAST(g.value_dec AS DOUBLE) AS value
+FROM grouped g, total t
+WHERE CAST(g.value_dec AS DOUBLE) > t.threshold
+ORDER BY value DESC, ps_partkey ASC
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock by nation (TPC-H Q11 shape over the synthetic
+    partsupp): per-part inventory value for one nation's suppliers,
+    filtered against a multiple of the mean per-part value (scale-free,
+    unlike the spec's fraction-of-total, which pins the pass rate to the
+    group count) — the HAVING-vs-scalar-subquery shape. The scalar joins
+    back as a 1-row broadcast; the comparison runs on identical doubles
+    both sides. supplycost x availqty is 2-decimal-conceptual, so the
+    DECIMAL(18,2) cast is midpoint-safe."""
+    ps = synth_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    value = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(18,2)")
+    grouped = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    total = grouped.agg(
+        (F.sum("value_dec").cast("double") / F.count(F.lit(1)) * 1.5).alias(
+            "threshold"
+        )
+    )
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select(
+            "ps_partkey", F.col("value_dec").cast("double").alias("value")
+        )
+        .orderBy(F.col("value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+@_q(
+    "tpch_q20_potential_promotion",
+    f"""
+WITH {_PARTSUPP_CTE.strip()},
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sqty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM partsupp ps
+  JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_name LIKE 'blue%'
+  JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                 AND sh.l_suppkey = ps.ps_suppkey
+  WHERE ps.ps_availqty > 0.5 * sh.sqty
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN excess e ON e.ps_suppkey = s.s_suppkey
+WHERE n.n_name = 'NATION_3'
+ORDER BY s.s_suppkey
+""",
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers overstocked on a part family (TPC-H Q20 shape over the
+    synthetic partsupp): the correlated half-of-shipped-quantity subquery
+    becomes a grouped aggregate equi-joined back on (partkey, suppkey).
+    Quantity sums are integral doubles (order-independent), so the 0.5x
+    comparison is exact cross-engine; the qualifying supplier set
+    collapses through DISTINCT before the final semi-join."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sqty")
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("blue%")
+    ).select("p_partkey")
+    ps = synth_partsupp(spark, sf_dir).join(
+        F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("sqty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(excess), s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
