@@ -2,10 +2,12 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side machinery (schema, partition sizing, UDF signature, batch
-shape) is real and tested; the actual media decode is STUBBED — the decode
-libraries (PIL/ffmpeg/librosa) are not in this container. Each stub either
-raises NotImplementedError (real-decode mode) or produces a deterministic
-fake (test mode), clearly marked.
+shape) is real and tested. Image decode is REAL for PNG/PPM/BMP — a pure
+Python/numpy codec over stdlib zlib (see ``decode_image``), exercised
+end-to-end by ``synthetic_media_png`` + ``decode_features``. Formats that
+need external codecs (JPEG, audio, video) raise NotImplementedError,
+clearly marked; ``extract_features``' deterministic-fake mode remains for
+engine-independent hashing tests.
 
 Scale design: media bytes stay in executor memory one Arrow batch at a
 time (mapInPandas is a streaming iterator — never a full-partition
@@ -22,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -76,10 +79,192 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
-def decode_image(content: bytes) -> "object":
-    """STUB — real image decode requires PIL/opencv, not in this container."""
+# ---------------------------------------------------------------------------
+# Real image decode — pure Python/numpy over stdlib zlib, no PIL/opencv
+# needed. Covers PNG (8-bit gray/RGB/palette/gray+alpha/RGBA, all five
+# scanline filters), binary PPM (P6), and uncompressed 24/32-bit BMP; PIL
+# is still preferred when present. Runs inside Arrow batches on executors,
+# so decode throughput scales with partitions, not the driver.
+# ---------------------------------------------------------------------------
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Minimal PNG writer (filter 0, 8-bit gray/RGB/RGBA) — exists so tests
+    and the synthetic fixture can round-trip real PNGs in-container."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(content: bytes) -> "np.ndarray":
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, chunks, palette = len(_PNG_MAGIC), [], None
+    ihdr = None
+    while pos < len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            chunks.append(payload)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _, _, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} unsupported"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(chunks)), np.uint8)
+    stride = w * channels
+    raw = raw.reshape(h, stride + 1)
+    filters, data = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    c = channels  # byte offset of the pixel to the left
+    for y in range(h):
+        f, row = int(filters[y]), data[y].copy()
+        prior = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub
+            for x in range(stride):
+                row[x] = (row[x] + (row[x - c] if x >= c else 0)) & 0xFF
+            out[y] = row
+        elif f == 2:  # Up
+            out[y] = (row + prior) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = row[x - c] if x >= c else 0
+                row[x] = (row[x] + ((left + prior[x]) >> 1)) & 0xFF
+            out[y] = row
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - c] if x >= c else 0
+                b = prior[x]
+                cc = prior[x - c] if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[x] = (row[x] + pred) & 0xFF
+            out[y] = row
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def _decode_ppm(content: bytes) -> "np.ndarray":
+    import numpy as np
+
+    # P6 header: magic, width, height, maxval (ASCII, #-comments allowed)
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while content[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    data = np.frombuffer(content, np.uint8, count=w * h * 3, offset=pos + 1)
+    return data.reshape(h, w, 3)
+
+
+def _decode_bmp(content: bytes) -> "np.ndarray":
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("pre-BITMAPINFOHEADER BMP unsupported")
+    w, h = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    c = bpp // 8
+    stride = (w * c + 3) & ~3
+    rows = []
+    flipped = h > 0
+    h = abs(h)
+    for y in range(h):
+        off = data_off + y * stride
+        row = np.frombuffer(content, np.uint8, count=w * c, offset=off)
+        rows.append(row.reshape(w, c)[:, :3][:, ::-1])  # BGR -> RGB
+    img = np.stack(rows)
+    return img[::-1] if flipped else img
+
+
+def decode_image(content: bytes) -> "np.ndarray":
+    """Decode PNG/PPM/BMP bytes to an (H, W, C) uint8 numpy array.
+
+    Uses PIL when importable; otherwise the pure-Python decoders above
+    (stdlib zlib + numpy — nothing beyond the baked-in deps). Raises
+    NotImplementedError for formats needing codecs this container lacks
+    (JPEG DCT, video/audio)."""
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image
+        import numpy as np
+
+        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    except ImportError:
+        pass
+    if content[:8] == _PNG_MAGIC:
+        return _decode_png(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
     raise NotImplementedError(
-        "image decode stubbed: install PIL/opencv and replace this body"
+        "only PNG/PPM/BMP decodable without external codecs (JPEG/video "
+        "need libjpeg/ffmpeg, absent in this container)"
     )
 
 
@@ -112,6 +297,87 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
             yield out
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def synthetic_media_png(spark, n: int = 48) -> DataFrame:
+    """Image table whose payloads are REAL PNGs (deterministic gradient +
+    checker patterns, encoded in-process) — the real-decode path runs
+    end-to-end in-container with reproducible pixel statistics."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        if i % 2:  # gradient RGB
+            arr = np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1)),
+                    (yy * 255 // max(h - 1, 1)),
+                    np.full_like(xx, i * 5 % 256),
+                ],
+                axis=2,
+            ).astype(np.uint8)
+        else:  # checkerboard gray
+            arr = (((xx // 4 + yy // 4) % 2) * 255).astype(np.uint8)
+        rows.append((i, "image", "png", bytearray(encode_png(arr)), w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Real per-image decode over mapInPandas: width/height/channels and
+    mean luminance from the actual pixels. Decode failures land in
+    `decode_error` instead of killing the batch — at 100 TB a corrupt
+    object must cost one row, not a stage retry loop."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    img = decode_image(bytes(content))
+                    luma = float(np.mean(img, dtype=np.float64))
+                    recs.append(
+                        (
+                            int(mid),
+                            int(img.shape[1]),
+                            int(img.shape[0]),
+                            int(img.shape[2]),
+                            round(luma, 6),
+                            None,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 - per-row quarantine
+                    recs.append((int(mid), None, None, None, None, str(e)[:200]))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_luma",
+                    "decode_error",
+                ],
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        batches, DECODE_SCHEMA
+    )
 
 
 def media_metadata_stats(media: DataFrame) -> DataFrame:

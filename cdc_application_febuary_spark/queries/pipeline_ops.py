@@ -1339,6 +1339,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("multimodal_decode")  # rows-only: PNG payloads are generated in-process
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: deterministic PNGs through the pure
+    numpy/zlib codec inside mapInPandas, aggregated by decoded geometry.
+    Every row decodes (decode_error count asserts zero quarantines)."""
+    media = multimodal.synthetic_media_png(spark, n=48)
+    feats = multimodal.decode_features(media)
+    return (
+        feats.groupBy("width", "height", "channels")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+            F.sum(
+                F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
+            ).alias("decode_errors"),
+        )
+        .orderBy("width", "height", "channels")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cube (all grouping-set combinations) — completes the rollup/pivot family.
 # ---------------------------------------------------------------------------
