@@ -7,9 +7,13 @@ numPartitions concurrent range scans on a numeric/temporal column — and a
 partitioned `df.write.jdbc` append with per-executor batched inserts, which
 is the distributed form of `executemany` batching (transfer.py:961-1099).
 
-No database exists in this container: these builders return the exact
-reader/writer configuration (unit-testable), and `read()`/`write()` execute
-them when a JDBC URL is reachable.
+No *networked* database exists in this container, so the
+PG/SQLServer/Oracle/AS400/Snowflake paths are spec-level (exact
+reader/writer configuration, unit-tested); embedded Derby DOES ship with
+Spark, and `tests/test_jdbc_derby.py` executes the same `read()`/`write()`
+code paths against it end-to-end — partitioned range reads, predicate
+pushdown, batched appends, incremental polling, and the streaming
+foreachBatch sink.
 """
 
 from __future__ import annotations
@@ -28,6 +32,10 @@ JDBC_URLS = {
     "oracle": "jdbc:oracle:thin:@{host}:{port}/{database}",
     "db2": "jdbc:as400://{host};libraries={database}",
     "snowflake": "jdbc:snowflake://{host}/?db={database}",
+    # Embedded Derby (ships with Spark): `database` is a filesystem path,
+    # host/port unused. This is the engine the integration tests exercise
+    # end-to-end — the one JDBC database that exists in-container.
+    "derby": "jdbc:derby:{database};create=true",
 }
 
 DRIVERS = {

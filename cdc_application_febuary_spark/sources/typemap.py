@@ -169,6 +169,15 @@ _TARGET_DDL: dict[str, dict[str, str]] = {
         "string": "CLOB", "date": "DATE", "timestamp": "TIMESTAMP",
         "binary": "BLOB",
     },
+    # Embedded Derby (integration-tested in-container). VARCHAR over CLOB:
+    # Derby CLOBs cannot be compared/filtered, which breaks predicate
+    # pushdown on string columns.
+    "derby": {
+        "byte": "smallint", "short": "smallint", "int": "integer",
+        "bigint": "bigint", "float": "real", "double": "double",
+        "boolean": "boolean", "string": "varchar(4000)", "date": "date",
+        "timestamp": "timestamp", "binary": "blob",
+    },
 }
 
 
