@@ -91,6 +91,90 @@ def test_auto_bucket_width(spark):
     assert got == naive
 
 
+def _bimodal(spark, n_short=4000, n_long=12, short_len=1.0, long_len=80_000.0):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    span = 1_000_000.0
+    starts = rng.uniform(0, span, n_short + n_long)
+    lens = np.r_[np.full(n_short, short_len), np.full(n_long, long_len)]
+    ivs = spark.createDataFrame(
+        [
+            (i, float(s), float(s + l))
+            for i, (s, l) in enumerate(zip(starts, lens))
+        ],
+        "iid long, lo double, hi double",
+    )
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rng.uniform(0, span, 3000))],
+        "pid long, v double",
+    )
+    return pts, ivs
+
+
+def test_bimodal_width_bounds_candidate_blowup(spark):
+    """The r1-flagged failure mode: p75 of a bimodal length mix picks the
+    short width, and the long tail explodes into len/width buckets each.
+    The histogram-cost width must keep total interval replication within a
+    small multiple of the interval count."""
+    from cdc_application_febuary_spark.operators.rangejoin import (
+        auto_bucket_width,
+    )
+
+    pts, ivs = _bimodal(spark)
+    w = auto_bucket_width(pts, ivs, "v", "lo", "hi")
+
+    lens = [(r["hi"] - r["lo"]) for r in ivs.collect()]
+    n = len(lens)
+    # what the old default would have chosen: p75 == the short mode
+    p75 = sorted(lens)[int(0.75 * n)]
+    repl_p75 = sum(int(l / p75) + 1 for l in lens)
+    repl_auto = sum(int(l / w) + 1 for l in lens)
+    assert repl_p75 > 200 * n  # the old default genuinely blows up here
+    assert repl_auto <= 8 * n  # the histogram width stays bounded
+    # and the bucketed join still matches the naive theta join exactly
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(ivs, F.expr("v >= lo AND v <= hi")).collect()
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "v", "lo", "hi").collect()
+    )
+    assert got == naive
+
+
+@pytest.mark.parametrize(
+    "n_short,n_long,short_len,long_len",
+    [(500, 3, 0.5, 200_000.0), (1000, 0, 2.0, 2.0), (0, 40, 0.0, 50_000.0)],
+)
+def test_auto_width_property_mixes(spark, n_short, n_long, short_len, long_len):
+    """Property across degenerate and mixed length distributions: the
+    chosen width always keeps replication bounded and results exact."""
+    from cdc_application_febuary_spark.operators.rangejoin import (
+        auto_bucket_width,
+    )
+
+    pts, ivs = _bimodal(
+        spark, n_short=n_short, n_long=n_long,
+        short_len=short_len, long_len=long_len,
+    )
+    w = auto_bucket_width(pts, ivs, "v", "lo", "hi")
+    assert w > 0
+    lens = [(r["hi"] - r["lo"]) for r in ivs.collect()]
+    repl = sum(int(l / w) + 1 for l in lens)
+    assert repl <= 8 * max(len(lens), 1)
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(ivs, F.expr("v >= lo AND v <= hi")).collect()
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "v", "lo", "hi").collect()
+    )
+    assert got == naive
+
+
 def test_no_nested_loop_join_in_plan(spark):
     """The whole point: the physical plan must be an equi-join on the
     bucket, not a BroadcastNestedLoopJoin."""
