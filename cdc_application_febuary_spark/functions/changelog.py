@@ -112,7 +112,10 @@ def stamp_full_load(df: DataFrame, ts_ms: Column | None = None) -> DataFrame:
     """Stamp a batch full-load DataFrame with the reference's snapshot
     metadata columns: ``__op='r'``, ``__source_ts_ms``, ``__deleted=NULL``
     (`transfer.py:997-998`)."""
-    ts = ts_ms if ts_ms is not None else (F.unix_timestamp(F.current_timestamp()) * 1000)
+    # unix_millis, not unix_timestamp*1000: the streaming path stamps true
+    # milliseconds, and a whole-second stamp here would mis-order full-load
+    # vs streamed rows landing in the same SCD2 target within the same second
+    ts = ts_ms if ts_ms is not None else F.unix_millis(F.current_timestamp())
     return (
         df.withColumn("__op", F.lit("r"))
         .withColumn("__source_ts_ms", ts.cast("long"))

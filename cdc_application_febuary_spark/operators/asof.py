@@ -44,6 +44,13 @@ def asof_join(
     value_cols = list(value_cols or [c for c in right.columns
                                      if c not in set(on) and c != right_ts])
     on = list(on)
+    clash = set(value_cols) & (set(left.columns) - set(on))
+    if clash:
+        raise ValueError(
+            "value_cols collide with non-key left columns (the output would "
+            f"carry duplicate names): {sorted(clash)}; rename or alias the "
+            "right-side columns before the join"
+        )
 
     l_tag = left.select(
         *[F.col(c) for c in left.columns],

@@ -45,16 +45,22 @@ def compact_scd2_target(
     if archive_path:
         log.write.mode("append").parquet(archive_path)
 
-    snapshot = current_state(log, key_cols, list(order_cols))
-    snapshot.write.mode("overwrite").parquet(compacted_path)
-
-    after = spark.read.parquet(compacted_path)
-    rows_after = after.count()
-    live_and_dead = current_state(
+    # ONE current-state pass (keep_deleted=True), split live vs deleted from
+    # it: a second window over the full log would be an extra full shuffle,
+    # and with tied order_cols its row_number could pick a different survivor
+    # than the snapshot actually written, skewing deleted_keys_dropped.
+    latest = current_state(
         log, key_cols, list(order_cols), keep_deleted=True
-    ).count()
+    ).persist()
+    try:
+        snapshot = latest.where(~F.col("__deleted").eqNullSafe("true"))
+        snapshot.write.mode("overwrite").parquet(compacted_path)
+        rows_after = spark.read.parquet(compacted_path).count()
+        deleted_dropped = latest.count() - rows_after
+    finally:
+        latest.unpersist()
     return CompactionStats(
         rows_before=rows_before,
         rows_after=rows_after,
-        deleted_keys_dropped=live_and_dead - rows_after,
+        deleted_keys_dropped=deleted_dropped,
     )
