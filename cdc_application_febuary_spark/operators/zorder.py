@@ -1,0 +1,139 @@
+"""Z-order (Morton-curve) clustering for multi-column data layout.
+
+Parquet row-group pruning keys off per-file min/max ranges. Sorting by one
+column makes *that* column's ranges tight and every other column's ranges
+full-width; at 100 TB a query filtering on the second column then scans
+everything. Z-ordering interleaves the bits of several rank-normalized
+columns so files cover small hyper-rectangles in the combined key space —
+each clustered column's per-file range shrinks to roughly
+``n_files^(-1/k)`` of its domain, making min/max pruning effective on ALL
+of them (the layout trick behind Delta/Iceberg OPTIMIZE ZORDER BY).
+
+Everything stays JVM-side and declarative:
+
+1. rank-normalize each column to [0, 2^bits) cells via approx-quantile
+   boundaries — rank, not raw value, so skewed distributions still fill
+   the curve uniformly. One bounded stats job (``approxQuantile`` over all
+   columns at once, 2^bits-1 doubles per column to the driver); cell
+   assignment is then a pure column expression (count of boundaries <= v
+   over a literal array — codegen'd, fully distributed; a global
+   ``percent_rank`` window would funnel every row through ONE partition);
+2. interleave bits with a closed-form sum of shifted masked bits (pure
+   column expressions, whole-stage-codegen friendly — no UDF);
+3. ``repartitionByRange`` on the z-value (range exchange: one sampling pass
+   + one shuffle) and sort within partitions so row groups inside each
+   file are tight too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+_Z = "__zval"
+
+
+def _interleave(cols: Sequence[str], bits: int) -> F.Column:
+    """Morton code: bit j of column i lands at position j*k + i."""
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("long")
+        for j in range(bits):
+            z = z + (
+                (F.shiftrightunsigned(v, j) % 2)
+                * F.lit(2 ** (j * k + i)).cast("long")
+            )
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    relative_error: float = 1e-3,
+    boundaries: Sequence[Sequence[float]] | None = None,
+) -> DataFrame:
+    """Append the Morton key column ``__zval`` for ``cols``.
+
+    ``bits`` per column; k*bits must stay under 63. 8 bits (256 cells per
+    dimension) out-resolves any realistic per-dimension file split; cell
+    precision beyond the file count adds nothing to pruning. Pass explicit
+    ``boundaries`` (one ascending list per column, 2^bits - 1 values) to
+    pin the cell mapping — e.g. for deterministic tests or precomputed
+    domain knowledge; otherwise one approxQuantile stats job derives them.
+    """
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits overflows a long")
+    cells = 1 << bits
+    probs = [i / cells for i in range(1, cells)]
+    if boundaries is None:
+        boundaries = df.approxQuantile(list(cols), probs, relative_error)
+    ranked = df
+    rank_cols = []
+    for c, bnds in zip(cols, boundaries):
+        rc = f"__zr_{c}"
+        # cell = how many quantile boundaries lie at/below the value; a
+        # literal-array filter is codegen'd per row, no shuffle, no window
+        arr = F.array(*[F.lit(float(b)) for b in sorted(bnds)])
+        v = F.col(c).cast("double")
+        ranked = ranked.withColumn(
+            rc, F.size(F.filter(arr, lambda x: x <= v)).cast("long")
+        )
+        rank_cols.append(rc)
+    return ranked.withColumn(_Z, _interleave(rank_cols, bits)).drop(*rank_cols)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_files: int,
+    bits: int = 12,
+) -> DataFrame:
+    """Repartition + sort ``df`` into ``num_files`` z-ordered output slices.
+
+    Write the result with ``.write.parquet(...)`` — each task produces one
+    file covering a compact z-range, i.e. a small hyper-rectangle in the
+    clustered columns.
+    """
+    keyed = zorder_key(df, cols, bits)
+    return (
+        keyed.repartitionByRange(num_files, F.col(_Z))
+        .sortWithinPartitions(_Z)
+        .drop(_Z)
+    )
+
+
+def layout_stats(
+    df: DataFrame, cols: Sequence[str], part_col: str | None = None
+) -> DataFrame:
+    """Per-slice min/max spans for ``cols`` — the pruning-effectiveness
+    metric. Without ``part_col`` the physical partition id is used (i.e.
+    what each output file would contain)."""
+    pc = part_col or "__pid"
+    base = df if part_col else df.withColumn(pc, F.spark_partition_id())
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    return base.groupBy(F.col(pc).alias("slice_id")).agg(
+        F.count(F.lit(1)).alias("rows"), *aggs
+    )
+
+
+def pruning_ratio(
+    stats_rows: list, col: str, lo: float, hi: float
+) -> float:
+    """Fraction of slices a min/max-pruned scan of ``col BETWEEN lo AND hi``
+    must still read (smaller = better layout), from ``layout_stats`` rows."""
+    total = len(stats_rows)
+    hit = sum(
+        1
+        for r in stats_rows
+        if not (r[f"{col}_max"] < lo or r[f"{col}_min"] > hi)
+    )
+    return hit / total if total else 1.0

@@ -53,6 +53,8 @@ _ROUND_PRIORITY = [
     "asof_attribution",
     "dedup_embedding",
     "dedup_embedding_srp",
+    "ivm_segment_totals",
+    "zorder_layout_stats",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

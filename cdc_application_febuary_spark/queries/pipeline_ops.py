@@ -1859,3 +1859,145 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (operators/ivm.py)
+# ---------------------------------------------------------------------------
+# Split the month of events into two changelog batches at Jan 16; fold batch 1
+# into empty state, then batch 2 into the result. The oracle recomputes the
+# final state from scratch — the incremental path must match it exactly
+# (decimal delta sums are exact and telescoping: +after-before per update).
+_IVM_SPLIT_MS = 1705363200000  # 2024-01-16T00:00:00Z
+
+
+@_q(
+    "ivm_segment_totals",
+    """
+WITH latest AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS seg,
+       COUNT(*) AS users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM latest WHERE rn = 1
+GROUP BY 1
+ORDER BY seg
+""",
+)
+def ivm_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain per-segment user counts + value totals incrementally from a
+    synthesized CDC changelog (first event per user = insert, later events =
+    updates carrying the prior value as the before-image), applied as two
+    successive batches through ``aggregate_deltas``/``merge_state``. The
+    DuckDB oracle computes the same final state non-incrementally; matching
+    it proves the retraction math, not just the aggregation."""
+    from pyspark.sql import Window
+
+    from ..operators import ivm
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    img = lambda v: F.struct(
+        (F.col("user_id") % 10).alias("seg"), v.alias("value")
+    )
+    changelog = ev.select(
+        "ts_ms",
+        F.when(F.row_number().over(w) == 1, F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.when(
+            F.row_number().over(w) > 1, img(F.lag("value").over(w))
+        ).alias("before"),
+        img(F.col("value")).alias("after"),
+    )
+    state = None
+    for batch in (
+        changelog.where(F.col("ts_ms") < _IVM_SPLIT_MS),
+        changelog.where(F.col("ts_ms") >= _IVM_SPLIT_MS),
+    ):
+        deltas = ivm.aggregate_deltas(batch, ["seg"], ["value"])
+        state = ivm.merge_state(state, deltas, ["seg"], ["value"])
+    return state.select(
+        F.col("seg").cast("long").alias("seg"),
+        F.col("cnt").alias("users"),
+        F.col("value_sum").alias("total_value"),
+    ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/zorder.py)
+# ---------------------------------------------------------------------------
+@_q(
+    "zorder_layout_stats",
+    """
+WITH d AS (
+  SELECT o_custkey % 256 AS x,
+         (epoch_us(o_orderdate) // 86400000000) % 256 AS y
+  FROM orders
+),
+z AS (
+  SELECT x, y,
+         ( ((x >> 0) & 1) * 1     + ((y >> 0) & 1) * 2
+         + ((x >> 1) & 1) * 4     + ((y >> 1) & 1) * 8
+         + ((x >> 2) & 1) * 16    + ((y >> 2) & 1) * 32
+         + ((x >> 3) & 1) * 64    + ((y >> 3) & 1) * 128
+         + ((x >> 4) & 1) * 256   + ((y >> 4) & 1) * 512
+         + ((x >> 5) & 1) * 1024  + ((y >> 5) & 1) * 2048
+         + ((x >> 6) & 1) * 4096  + ((y >> 6) & 1) * 8192
+         + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 ) AS zval
+  FROM d
+)
+SELECT CAST(zval >> 10 AS BIGINT) AS slice_id,
+       COUNT(*) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z
+GROUP BY 1
+ORDER BY slice_id
+""",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key layout audit over orders: map (custkey, orderdate-day)
+    onto 256x256 cells with pinned uniform boundaries, slice the z-curve
+    into 64 ranges (= what ``cluster_by_zorder`` would write as files), and
+    report per-slice min/max spans for BOTH dimensions. The DuckDB oracle
+    recomputes the bit interleave arithmetically — an exact check on the
+    Morton math that underpins the clustering operator."""
+    from ..operators import zorder
+
+    uniform = [list(range(1, 256))] * 2
+    d = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+            % 256
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    keyed = zorder.zorder_key(d, ["x", "y"], bits=8, boundaries=uniform)
+    return (
+        zorder.layout_stats(
+            keyed.withColumn("slice_id", F.shiftrightunsigned(F.col("__zval"), 10)),
+            ["x", "y"],
+            part_col="slice_id",
+        )
+        .select(
+            F.col("slice_id").cast("long").alias("slice_id"),
+            F.col("rows").alias("n_rows"),
+            F.col("x_min").cast("long").alias("x_min"),
+            F.col("x_max").cast("long").alias("x_max"),
+            F.col("y_min").cast("long").alias("y_min"),
+            F.col("y_max").cast("long").alias("y_max"),
+        )
+        .orderBy("slice_id")
+    )

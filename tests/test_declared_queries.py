@@ -3,12 +3,15 @@ the driver applies."""
 
 import pytest
 
-from cdc_application_febuary_spark.queries import declared
+from cdc_application_febuary_spark.queries import all_queries, declared
 
 from .oracle_utils import compare_to_oracle
+
+# driver-facing registry: includes the _hash_stable decimal->double wrapper
+_REGISTRY = all_queries()
 
 
 @pytest.mark.parametrize("name", sorted(declared.QUERIES, key=lambda n: int(n[1:])))
 def test_declared_query(spark, sf_dir, name):
-    df = declared.QUERIES[name](spark, sf_dir)
+    df = _REGISTRY[name](spark, sf_dir)
     compare_to_oracle(df, declared.ORACLES[name], sf_dir)
