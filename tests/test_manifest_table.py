@@ -1,0 +1,114 @@
+"""Manifest-committed parquet tables: snapshot isolation, optimistic
+conflict detection, and file-pruned copy-on-write MERGE."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_application_febuary_spark.sources.manifest_table import (
+    CommitConflict,
+    _read_manifest,
+    _write_manifest_atomic,
+    current_version,
+    merge_upsert,
+    read_table,
+    write_table,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_write_read_roundtrip_and_versions(spark, tmp_path):
+    t = str(tmp_path / "t1")
+    assert current_version(spark, t) is None
+    v0 = write_table(_df(spark, [(1, "a"), (2, "b")]), t, ["k"])
+    assert v0 == 0
+    v1 = write_table(_df(spark, [(3, "c")]), t, ["k"], mode="append")
+    assert v1 == 1
+    got = {(r["k"], r["v"]) for r in read_table(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_overwrite_replaces_snapshot(spark, tmp_path):
+    t = str(tmp_path / "t2")
+    write_table(_df(spark, [(1, "a")]), t, ["k"])
+    write_table(_df(spark, [(9, "z")]), t, ["k"], mode="overwrite")
+    got = [(r["k"], r["v"]) for r in read_table(spark, t).collect()]
+    assert got == [(9, "z")]
+
+
+def test_reader_sees_committed_snapshot_not_staged_files(spark, tmp_path):
+    """Crash-mid-write safety: stage data files WITHOUT committing a
+    manifest — a reader must still resolve the previous version."""
+    t = str(tmp_path / "t3")
+    write_table(_df(spark, [(1, "a")]), t, ["k"])
+    # simulate a dying writer: parquet lands, no manifest rename
+    _df(spark, [(2, "orphan")]).write.parquet(f"{t}/data-orphan")
+    got = [(r["k"], r["v"]) for r in read_table(spark, t).collect()]
+    assert got == [(1, "a")]
+
+
+def test_commit_conflict_raises(spark, tmp_path):
+    t = str(tmp_path / "t4")
+    write_table(_df(spark, [(1, "a")]), t, ["k"])
+    entries = _read_manifest(spark, t, 0)
+    _write_manifest_atomic(spark, t, 1, entries)  # a "concurrent" writer
+    with pytest.raises(CommitConflict):
+        _write_manifest_atomic(spark, t, 1, entries)
+
+
+def test_merge_upserts_and_inserts(spark, tmp_path):
+    t = str(tmp_path / "t5")
+    write_table(_df(spark, [(1, "a"), (2, "b")]), t, ["k"])
+    stats = merge_upsert(
+        spark, t, _df(spark, [(2, "B2"), (5, "e")]), ["k"]
+    )
+    assert stats["version"] == 1
+    got = {(r["k"], r["v"]) for r in read_table(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B2"), (5, "e")}
+
+
+def test_merge_deletes_via_flag(spark, tmp_path):
+    t = str(tmp_path / "t6")
+    write_table(_df(spark, [(1, "a"), (2, "b")]), t, ["k"])
+    changes = spark.createDataFrame(
+        [(2, None, True), (3, "c", False)], "k long, v string, is_del boolean"
+    )
+    merge_upsert(spark, t, changes, ["k"], delete_col="is_del")
+    got = {(r["k"], r["v"]) for r in read_table(spark, t).collect()}
+    assert got == {(1, "a"), (3, "c")}
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """The 100 TB property: a batch touching keys 0..99 must not rewrite
+    files holding keys 100_000+."""
+    t = str(tmp_path / "t7")
+    low = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit("low").alias("v")
+    ).repartition(4)
+    high = spark.range(100_000, 101_000).select(
+        F.col("id").alias("k"), F.lit("high").alias("v")
+    ).repartition(4)
+    write_table(low, t, ["k"])
+    write_table(high, t, ["k"], mode="append")
+    n_files = len(_read_manifest(spark, t, 1))
+    assert n_files >= 8
+
+    stats = merge_upsert(spark, t, _df(spark, [(5, "LOW5")]), ["k"])
+    # only the low-range files overlap the batch envelope
+    assert 0 < stats["files_rewritten"] <= 4
+    tbl = read_table(spark, t)
+    assert tbl.where("k = 5").first()["v"] == "LOW5"
+    assert tbl.count() == 2000
+    # untouched high files carried over verbatim (same paths in manifest)
+    before = {e.path for e in _read_manifest(spark, t, 1)}
+    after = {e.path for e in _read_manifest(spark, t, 2)}
+    assert len(before & after) == n_files - stats["files_rewritten"]
+
+
+def test_merge_empty_batch_noop(spark, tmp_path):
+    t = str(tmp_path / "t8")
+    write_table(_df(spark, [(1, "a")]), t, ["k"])
+    stats = merge_upsert(spark, t, _df(spark, []), ["k"])
+    assert stats == {"version": 0, "files_total": 1, "files_rewritten": 0}
