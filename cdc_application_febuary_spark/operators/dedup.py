@@ -283,39 +283,66 @@ def embedding_near_dup_pairs(
     1e8 vectors x dim 64, B=1024 gives 50 MB blocks and ~500k pair tasks.
 
     ``use_srp_buckets`` switches candidate generation to
-    signed-random-projection buckets (equi-join, near-linear) for the
-    100 TB approximate tier. A pair with angle θ shares one table's
-    p-plane bucket with probability (1-θ/π)^p, so single-table recall is
-    high only near cosine 1; ``tables`` adds OR-amplification (miss
-    probability decays as miss_one^tables) for moderate thresholds.
-    Duplicate candidates across tables collapse before the cosine verify,
-    so each pair is scored once; every emitted pair is exact-verified
-    (precision 1, recall < 1)."""
-    from ..functions.vectors import cosine_pairs
+    signed-random-projection buckets for the 100 TB approximate tier. A
+    pair with angle θ shares one table's p-plane bucket with probability
+    (1-θ/π)^p, so single-table recall is high only near cosine 1;
+    ``tables`` adds OR-amplification (miss probability decays as
+    miss_one^tables) for moderate thresholds. Candidates are never
+    materialized as rows: the single shuffle groups (id, vec) by
+    (table, bucket) and each bucket is verified in one chunked float64
+    matmul inside ``applyInPandas`` — only true >=threshold pairs leave
+    the bucket (precision 1, recall < 1), then the cross-table duplicates
+    collapse. (The earlier row-level candidate equi-join shuffled every
+    candidate pair with both vectors attached and scored them one
+    interpreted cosine at a time — 6M pairs x 1 KB at a 2k-vector corpus;
+    this form moves n x tables packed rows instead.) Per-bucket memory is
+    bounded by chunk x |bucket| sim cells; bucket size is the
+    ``planes`` dial (E|bucket| = n / 2^planes for centered data)."""
     from .similarity import _srp_buckets_udf
 
     spark = emb.sparkSession
     parts = spark.sparkContext.defaultParallelism
     if use_srp_buckets:
         bucketize = _srp_buckets_udf(dim, planes, tables)
-        a = emb.select(
-            F.col(id_col).alias("a"),
-            F.col(vec_col).alias("avec"),
-            F.posexplode(bucketize(F.col(vec_col))).alias("tbl", "bucket"),
-        ).repartition(parts, "tbl", "bucket")
-        b = emb.select(
-            F.col(id_col).alias("b"),
-            F.col(vec_col).alias("bvec"),
+        exploded = emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
             F.posexplode(bucketize(F.col(vec_col))).alias("tbl", "bucket"),
         )
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["_id"].to_numpy()
+            M = np.vstack(pdf["_vec"].to_numpy()).astype("float64")
+            nn = np.linalg.norm(M, axis=1, keepdims=True)
+            nn[nn == 0] = 1.0
+            Mn = M / nn
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            chunk = 2048  # bounds the sims slab at chunk x |bucket| floats
+            for s in range(0, len(ids), chunk):
+                ia = ids[s : s + chunk]
+                sims = Mn[s : s + chunk] @ Mn.T
+                keep = (sims >= threshold) & (ia[:, None] < ids[None, :])
+                i, j = np.nonzero(keep)
+                out_a.append(ia[i])
+                out_b.append(ids[j])
+                out_s.append(sims[i, j])
+            return pd.DataFrame(
+                {
+                    "a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                    "b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+                    "sim": np.concatenate(out_s) if out_s else np.array([], "float64"),
+                }
+            )
+
         pairs = (
-            a.join(b, ["tbl", "bucket"])
-            .where(F.col("a") < F.col("b"))
-            .dropDuplicates(["a", "b"])
+            exploded.repartition(parts, "tbl", "bucket")
+            .groupBy("tbl", "bucket")
+            .applyInPandas(score_bucket, "a long, b long, sim double")
         )
         return (
-            pairs.withColumn("sim", cosine_pairs(F.col("avec"), F.col("bvec")))
-            .where(F.col("sim") >= threshold)
+            pairs.dropDuplicates(["a", "b"])
             .select("a", "b", F.round("sim", 6).alias("sim"))
         )
 
