@@ -2001,3 +2001,77 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slice_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-table change feed (time travel diff)
+# ---------------------------------------------------------------------------
+@_q(
+    "manifest_change_feed",
+    """
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+         CAST(c_nationkey AS BIGINT) AS nation
+  FROM customer
+),
+upd AS (SELECT * FROM c WHERE k % 7 = 0 AND k % 13 <> 0),
+del AS (SELECT * FROM c WHERE k % 13 = 0),
+ins AS (SELECT -k AS k FROM c WHERE k % 11 = 0)
+SELECT * FROM (
+  SELECT k, 'new' AS c_name, CAST(0 AS BIGINT) AS nation,
+         'insert' AS __change_type, CAST(1 AS INTEGER) AS __commit_version
+  FROM ins
+  UNION ALL
+  SELECT k, c_name, nation, 'delete', 1 FROM del
+  UNION ALL
+  SELECT k, c_name, nation, 'update_preimage', 1 FROM upd
+  UNION ALL
+  SELECT k, c_name, nation + 100, 'update_postimage', 1 FROM upd
+)
+ORDER BY __change_type, k
+""",
+)
+def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transactional-table lifecycle as one checkable query:
+    commit customers as manifest-table v0, MERGE a deterministic change
+    batch (updates where k%7=0, deletes where k%13=0, inserts of fresh
+    negative keys where k%11=0), then diff the two snapshots with
+    :func:`..sources.manifest_table.change_feed`. The DuckDB oracle states
+    the expected net changelog directly from the source table — matching it
+    proves snapshot isolation, copy-on-write MERGE, and the file-pruned
+    diff produce exactly the net row-level effect (carried-over rows in
+    rewritten files must NOT surface in the feed)."""
+    import tempfile
+
+    from ..sources import manifest_table as mt
+
+    t = tempfile.mkdtemp(prefix="manifest_cf_") + "/t"
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        "c_name",
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )
+    mt.write_table(cust, t, ["k"])
+
+    upd = (
+        cust.where((F.col("k") % 7 == 0) & (F.col("k") % 13 != 0))
+        .withColumn("nation", F.col("nation") + 100)
+    )
+    dele = cust.where(F.col("k") % 13 == 0)
+    ins = cust.where(F.col("k") % 11 == 0).select(
+        (-F.col("k")).alias("k"),
+        F.lit("new").alias("c_name"),
+        F.lit(0).cast("bigint").alias("nation"),
+    )
+    changes = (
+        upd.withColumn("is_del", F.lit(False))
+        .unionByName(dele.withColumn("is_del", F.lit(True)))
+        .unionByName(ins.withColumn("is_del", F.lit(False)))
+    )
+    mt.merge_upsert(spark, t, changes, ["k"], delete_col="is_del")
+
+    return (
+        mt.change_feed(spark, t, 0, 1, ["k"])
+        .select("k", "c_name", "nation", "__change_type", "__commit_version")
+        .orderBy("__change_type", "k")
+    )

@@ -80,6 +80,12 @@ def _read_manifest(spark: SparkSession, table_path: str, version: int) -> list[F
     # manifests are small driver-side JSON; spark.read.text handles any
     # Hadoop filesystem without py4j byte-stream gymnastics
     path = f"{_manifest_dir(table_path)}/v{version}.json"
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"version {version} of {table_path} does not exist "
+            f"(vacuumed or never committed)"
+        )
     text = "\n".join(r["value"] for r in spark.read.text(path).collect())
     return [FileEntry(**e) for e in json.loads(text)]
 
@@ -135,13 +141,77 @@ def _stage_files(
     ]
 
 
-def read_table(spark: SparkSession, table_path: str) -> DataFrame:
-    """Snapshot read: exactly the files of the highest committed version."""
-    v = current_version(spark, table_path)
-    if v is None:
+def read_table(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Snapshot read: exactly the files of one committed version.
+
+    Time travel: ``version`` pins an exact manifest; ``as_of_ms`` resolves
+    the newest version committed at or before that epoch-ms timestamp
+    (manifest-file modification time IS the commit time — the rename that
+    published it). Default: the highest committed version.
+    """
+    if version is None:
+        version = (
+            version_as_of(spark, table_path, as_of_ms)
+            if as_of_ms is not None
+            else current_version(spark, table_path)
+        )
+    if version is None:
         raise FileNotFoundError(f"no committed version at {table_path}")
-    entries = _read_manifest(spark, table_path, v)
+    entries = _read_manifest(spark, table_path, version)
+    if not entries:
+        raise FileNotFoundError(f"version {version} of {table_path} is empty")
     return spark.read.parquet(*[e.path for e in entries])
+
+
+def version_as_of(
+    spark: SparkSession, table_path: str, ts_ms: int
+) -> int | None:
+    """Newest version whose manifest was committed at or before ``ts_ms``."""
+    import re
+
+    fs, mdir = _fs(spark, _manifest_dir(table_path))
+    if not fs.exists(mdir):
+        return None
+    best = None
+    for st in fs.listStatus(mdir):
+        m = re.fullmatch(r"v(\d+)\.json", st.getPath().getName())
+        if m and st.getModificationTime() <= ts_ms:
+            v = int(m.group(1))
+            best = v if best is None else max(best, v)
+    return best
+
+
+def snapshots(spark: SparkSession, table_path: str) -> list[dict]:
+    """Commit history (DESCRIBE HISTORY analog), oldest first: one dict per
+    version with commit time, file count, and row count — all from the
+    driver-side manifests, no data files opened."""
+    import re
+
+    fs, mdir = _fs(spark, _manifest_dir(table_path))
+    if not fs.exists(mdir):
+        return []
+    commit_ms = {}
+    for st in fs.listStatus(mdir):
+        m = re.fullmatch(r"v(\d+)\.json", st.getPath().getName())
+        if m:
+            commit_ms[int(m.group(1))] = st.getModificationTime()
+    out = []
+    for v in sorted(commit_ms):
+        entries = _read_manifest(spark, table_path, v)
+        out.append(
+            {
+                "version": v,
+                "committed_at_ms": commit_ms[v],
+                "n_files": len(entries),
+                "n_rows": sum(e.rows for e in entries),
+            }
+        )
+    return out
 
 
 def write_table(
@@ -236,4 +306,146 @@ def merge_upsert(
         "version": base + 1,
         "files_total": len(entries),
         "files_rewritten": rewritten,
+    }
+
+
+CHANGE_TYPE = "__change_type"
+COMMIT_VERSION = "__commit_version"
+
+
+def change_feed(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Net row-level changes between two committed snapshots, as a CDC
+    changelog: ``__change_type`` in (insert, update_preimage,
+    update_postimage, delete) plus every table column.
+
+    File-pruned like a stored change-data-feed: data files are immutable,
+    so any file present in BOTH manifests contributed zero net change and
+    is excluded from BOTH sides before the diff — only files removed or
+    added between the versions are read. A copy-on-write MERGE rewrites a
+    handful of files per batch, so at 100 TB the diff joins megabytes, not
+    the table. Rows a rewrite carried over unchanged compare equal and are
+    filtered out, leaving exactly the net effect.
+
+    Assumes keys are unique within a snapshot (the invariant
+    :func:`merge_upsert` maintains); append-mode duplicates would make
+    "the row for key k" ambiguous.
+    """
+    if from_version >= to_version:
+        raise ValueError("change_feed requires from_version < to_version")
+    from_entries = _read_manifest(spark, table_path, from_version)
+    to_entries = _read_manifest(spark, table_path, to_version)
+    from_paths = {e.path for e in from_entries}
+    to_paths = {e.path for e in to_entries}
+    removed = [e.path for e in from_entries if e.path not in to_paths]
+    added = [e.path for e in to_entries if e.path not in from_paths]
+
+    schema_paths = removed or added or [e.path for e in to_entries]
+    template = spark.read.parquet(*schema_paths)
+    cols = template.columns
+
+    def _side(paths: list[str]) -> DataFrame:
+        return spark.read.parquet(*paths) if paths else template.limit(0)
+
+    old = _side(removed).select(
+        *key_cols, F.struct(*cols).alias("__o")
+    )
+    new = _side(added).select(
+        *key_cols, F.struct(*cols).alias("__n")
+    )
+    j = old.join(new, key_cols, "full_outer")
+
+    inserts = (
+        j.where(F.col("__o").isNull())
+        .select("__n.*")
+        .withColumn(CHANGE_TYPE, F.lit("insert"))
+    )
+    deletes = (
+        j.where(F.col("__n").isNull())
+        .select("__o.*")
+        .withColumn(CHANGE_TYPE, F.lit("delete"))
+    )
+    changed = j.where(
+        F.col("__o").isNotNull()
+        & F.col("__n").isNotNull()
+        & ~F.col("__o").eqNullSafe(F.col("__n"))
+    )
+    pre = changed.select("__o.*").withColumn(
+        CHANGE_TYPE, F.lit("update_preimage")
+    )
+    post = changed.select("__n.*").withColumn(
+        CHANGE_TYPE, F.lit("update_postimage")
+    )
+    return (
+        inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+        .withColumn(COMMIT_VERSION, F.lit(to_version).cast("int"))
+    )
+
+
+def vacuum(
+    spark: SparkSession, table_path: str, keep_last: int = 2
+) -> dict:
+    """Garbage-collect unreferenced files: keep the newest ``keep_last``
+    manifests, delete older manifests and every data file no kept manifest
+    references. Time travel older than the kept window stops working —
+    that is the retention trade, same as any lake format's VACUUM.
+
+    Driver-side metadata work only: path sets come from the manifests; the
+    listing walks the table's staging dirs, never opens data files.
+    """
+    import re
+    from urllib.parse import urlparse
+
+    def _norm(p: str) -> str:
+        return urlparse(p).path or p
+
+    versions = []
+    fs, mdir = _fs(spark, _manifest_dir(table_path))
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            m = re.fullmatch(r"v(\d+)\.json", st.getPath().getName())
+            if m:
+                versions.append(int(m.group(1)))
+    versions.sort()
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    referenced = {
+        _norm(e.path)
+        for v in keep
+        for e in _read_manifest(spark, table_path, v)
+    }
+
+    data_removed = 0
+    fs, tdir = _fs(spark, table_path.rstrip("/"))
+    for st in fs.listStatus(tdir):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("data-")):
+            continue
+        all_gone = True
+        for f in fs.listStatus(st.getPath()):
+            fpath = _norm(f.getPath().toString())
+            if not f.getPath().getName().startswith("part-"):
+                fs.delete(f.getPath(), False)  # _SUCCESS and friends
+            elif fpath not in referenced:
+                fs.delete(f.getPath(), False)
+                data_removed += 1
+            else:
+                all_gone = False
+        if all_gone:
+            fs.delete(st.getPath(), True)
+
+    manifests_removed = 0
+    for v in versions:
+        if v not in keep:
+            _, mf = _fs(spark, f"{_manifest_dir(table_path)}/v{v}.json")
+            fs.delete(mf, False)
+            manifests_removed += 1
+    return {
+        "data_files_removed": data_removed,
+        "manifests_removed": manifests_removed,
+        "versions_kept": sorted(keep),
     }

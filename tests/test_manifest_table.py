@@ -8,9 +8,13 @@ from cdc_application_febuary_spark.sources.manifest_table import (
     CommitConflict,
     _read_manifest,
     _write_manifest_atomic,
+    change_feed,
     current_version,
     merge_upsert,
     read_table,
+    snapshots,
+    vacuum,
+    version_as_of,
     write_table,
 )
 
@@ -112,3 +116,114 @@ def test_merge_empty_batch_noop(spark, tmp_path):
     write_table(_df(spark, [(1, "a")]), t, ["k"])
     stats = merge_upsert(spark, t, _df(spark, []), ["k"])
     assert stats == {"version": 0, "files_total": 1, "files_rewritten": 0}
+
+
+def test_time_travel_by_version_and_timestamp(spark, tmp_path):
+    t = str(tmp_path / "tt")
+    write_table(_df(spark, [(1, "a"), (2, "b")]), t, ["k"])
+    merge_upsert(spark, t, _df(spark, [(2, "B2"), (3, "c")]), ["k"])
+
+    v0 = {(r["k"], r["v"]) for r in read_table(spark, t, version=0).collect()}
+    v1 = {(r["k"], r["v"]) for r in read_table(spark, t).collect()}
+    assert v0 == {(1, "a"), (2, "b")}
+    assert v1 == {(1, "a"), (2, "B2"), (3, "c")}
+
+    # commit time = manifest mtime: far future resolves to the newest
+    # version, before-the-epoch resolves to nothing
+    far_future = 4_000_000_000_000
+    assert version_as_of(spark, t, far_future) == 1
+    assert version_as_of(spark, t, 0) is None
+    as_of = {
+        (r["k"], r["v"])
+        for r in read_table(spark, t, as_of_ms=far_future).collect()
+    }
+    assert as_of == v1
+
+
+def test_snapshots_history(spark, tmp_path):
+    t = str(tmp_path / "hist")
+    write_table(_df(spark, [(1, "a"), (2, "b")]), t, ["k"])
+    write_table(_df(spark, [(3, "c")]), t, ["k"], mode="append")
+    hist = snapshots(spark, t)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["n_rows"] == 2
+    assert hist[1]["n_rows"] == 3
+    assert hist[1]["n_files"] > hist[0]["n_files"] or hist[1]["n_files"] >= 1
+    assert all(h["committed_at_ms"] > 0 for h in hist)
+
+
+def test_change_feed_net_effect(spark, tmp_path):
+    t = str(tmp_path / "cf")
+    write_table(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]), t, ["k"]
+    )
+    changes = spark.createDataFrame(
+        # update k=2, delete k=3, re-write k=4 with the SAME value
+        # (carried-over rows must not appear in the feed), insert k=9
+        [(2, "B2", False), (3, None, True), (4, "d", False), (9, "i", False)],
+        "k long, v string, is_del boolean",
+    )
+    merge_upsert(spark, t, changes, ["k"], delete_col="is_del")
+
+    feed = change_feed(spark, t, 0, 1, ["k"])
+    got = {
+        (r["__change_type"], r["k"], r["v"]) for r in feed.collect()
+    }
+    assert got == {
+        ("update_preimage", 2, "b"),
+        ("update_postimage", 2, "B2"),
+        ("delete", 3, "c"),
+        ("insert", 9, "i"),
+    }
+    assert feed.select("__commit_version").distinct().first()[0] == 1
+
+
+def test_change_feed_skips_files_common_to_both_versions(spark, tmp_path):
+    """Files carried over between versions are excluded from the diff on
+    both sides — the feed's scan is proportional to the change, not the
+    table."""
+    t = str(tmp_path / "cfprune")
+    low = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.lit("low").alias("v")
+    ).repartition(3)
+    high = spark.range(100_000, 100_500).select(
+        F.col("id").alias("k"), F.lit("high").alias("v")
+    ).repartition(3)
+    write_table(low, t, ["k"])
+    write_table(high, t, ["k"], mode="append")
+    merge_upsert(spark, t, _df(spark, [(7, "LOW7")]), ["k"])
+
+    feed = change_feed(spark, t, 1, 2, ["k"])
+    got = {(r["__change_type"], r["k"], r["v"]) for r in feed.collect()}
+    assert got == {
+        ("update_preimage", 7, "low"),
+        ("update_postimage", 7, "LOW7"),
+    }
+    # structural pruning: every high-range file carried over between v1 and
+    # v2 (same path in both manifests), so the diff excludes it by
+    # construction — only rewritten low files and their replacements are read
+    m1 = {e.path for e in _read_manifest(spark, t, 1)}
+    m2 = {e.path for e in _read_manifest(spark, t, 2)}
+    high_paths = {
+        e.path
+        for e in _read_manifest(spark, t, 1)
+        if e.key_min["k"] >= 100_000
+    }
+    assert high_paths and high_paths <= (m1 & m2)
+
+
+def test_vacuum_drops_unreferenced_files_keeps_current(spark, tmp_path):
+    t = str(tmp_path / "vac")
+    write_table(_df(spark, [(1, "a"), (2, "b")]), t, ["k"])
+    merge_upsert(spark, t, _df(spark, [(2, "B2")]), ["k"])
+    merge_upsert(spark, t, _df(spark, [(1, "A2")]), ["k"])
+
+    stats = vacuum(spark, t, keep_last=1)
+    assert stats["versions_kept"] == [2]
+    assert stats["manifests_removed"] == 2
+    assert stats["data_files_removed"] > 0
+
+    got = {(r["k"], r["v"]) for r in read_table(spark, t).collect()}
+    assert got == {(1, "A2"), (2, "B2")}
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, t, version=0)
