@@ -50,14 +50,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events with `ts` left as raw int64 epoch-nanos.
+    """Events with `ts` normalized to raw int64 epoch-nanos.
 
-    Time-range predicates belong on this raw column: an integer comparison
-    pushes down to parquet row-group statistics and prunes I/O, while a
-    predicate on the *converted* timestamp (`timestamp_micros(ts div 1000)`)
-    cannot. Filter raw, then convert with `events_ts()`."""
+    Two fixture generations exist: TIMESTAMP(NANOS) parquet (read as bigint
+    via the nanosAsLong conf — already epoch-nanos) and TIMESTAMP(MICROS)
+    parquet (read as TimestampType — converted here with ``unix_micros * 1000``,
+    exact because the source precision is micros). Integer-nanos is the
+    engine's exchange representation for as-of joins, session gaps, and the
+    DuckDB ``epoch_ns`` oracles. For time-RANGE pruning prefer
+    ``push_ts_filter`` which predicates the *native* column so parquet
+    row-group stats apply."""
     tune(spark)
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    if dict(df.dtypes).get("ts") != "bigint":
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
+
+
+def push_ts_filter(spark: SparkSession, sf_dir: str, lo_iso: str) -> DataFrame:
+    """Events with ``ts >= lo_iso`` applied on the NATIVE column type, then
+    normalized to epoch-nanos. Predicating before any conversion keeps the
+    comparison on the stored column so it reaches parquet row-group statistics
+    (bigint-nanos fixtures compare against the integer bound; timestamp
+    fixtures against a timestamp literal — both prune I/O)."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.where(F.col("ts") >= F.lit(ts_nanos(lo_iso)))
+    else:
+        df = df.where(
+            F.col("ts") >= F.lit(lo_iso).cast(dict(df.dtypes)["ts"])
+        ).withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def events_ts(df: DataFrame) -> DataFrame:

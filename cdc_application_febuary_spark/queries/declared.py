@@ -31,14 +31,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- Q1 (P1,P4,O1): projection + time filter + sort/limit pagination --------
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The time filter runs on the RAW nanos column so it pushes down to
-    # parquet row-group stats (a filter on the converted timestamp cannot);
+    # The time filter runs on the NATIVE stored column so it pushes down to
+    # parquet row-group stats (a filter on a converted expression cannot);
     # TakeOrderedAndProject avoids a global sort for the limit.
-    from ..catalog import events_ts, load_events_raw, ts_nanos
+    from ..catalog import events_ts, push_ts_filter
 
-    raw = load_events_raw(spark, sf_dir).where(
-        F.col("ts") >= F.lit(ts_nanos("2024-01-01 00:00:00"))
-    )
+    raw = push_ts_filter(spark, sf_dir, "2024-01-01 00:00:00")
     return (
         events_ts(raw)
         .select("event_id", "user_id", "event_type", "value", "ts")

@@ -2016,7 +2016,7 @@ WITH c AS (
 ),
 upd AS (SELECT * FROM c WHERE k % 7 = 0 AND k % 13 <> 0),
 del AS (SELECT * FROM c WHERE k % 13 = 0),
-ins AS (SELECT -k AS k FROM c WHERE k % 11 = 0)
+ins AS (SELECT -k - 1 AS k FROM c WHERE k % 11 = 0)
 SELECT * FROM (
   SELECT k, 'new' AS c_name, CAST(0 AS BIGINT) AS nation,
          'insert' AS __change_type, CAST(1 AS INTEGER) AS __commit_version
@@ -2058,8 +2058,11 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nation", F.col("nation") + 100)
     )
     dele = cust.where(F.col("k") % 13 == 0)
+    # Insert keys are -k-1: always negative, so they can never collide with an
+    # existing key (k starts at 0 in the fixtures — plain -k would alias k=0
+    # into both the insert and delete sets, an ill-defined merge batch).
     ins = cust.where(F.col("k") % 11 == 0).select(
-        (-F.col("k")).alias("k"),
+        (-F.col("k") - 1).alias("k"),
         F.lit("new").alias("c_name"),
         F.lit(0).cast("bigint").alias("nation"),
     )

@@ -16,9 +16,14 @@ from pyspark.sql import SparkSession
 # to us by an external harness). Keep only confs that SQLConf allows setting
 # after startup.
 RUNTIME_CONFS: dict[str, str] = {
-    # The fixture `events` table stores TIMESTAMP(NANOS) which Spark's parquet
-    # reader rejects; read as long and convert (see catalog.load_table).
+    # Fixture timestamps: TIMESTAMP(NANOS) parquet (round-1 fixtures) is
+    # rejected by Spark's reader — read as long and convert (see
+    # catalog.load_table). TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet
+    # (round-2 fixtures) would read as TIMESTAMP_NTZ by default; disable NTZ
+    # inference so it reads as plain TimestampType, which under the UTC
+    # session zone is value-identical and keeps one timestamp type engine-wide.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Deterministic date/timestamp semantics matching a naive-UTC oracle.
     "spark.sql.session.timeZone": "UTC",
     # Adaptive execution: runtime coalescing of shuffle partitions and
