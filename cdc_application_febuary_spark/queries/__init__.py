@@ -56,6 +56,7 @@ _ROUND_PRIORITY = [
     "ivm_segment_totals",
     "zorder_layout_stats",
     "manifest_change_feed",
+    "pack_documents",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

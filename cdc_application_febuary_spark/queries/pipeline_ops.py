@@ -2078,3 +2078,49 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "c_name", "nation", "__change_type", "__commit_version")
         .orderBy("__change_type", "k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch construction)
+# ---------------------------------------------------------------------------
+@_q(
+    "pack_documents",
+    """
+WITH RECURSIVE d AS (
+  SELECT doc_id, source AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.shard, d.n_tokens, d.rn,
+         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256
+              THEN d.n_tokens ELSE p.fill + d.n_tokens END
+  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, bin_id
+FROM p
+ORDER BY shard, doc_id
+""",
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic next-fit sequence packing into 256-token bins, sharded
+    by source (`operators/packing.py` — parallel across shards, sequential
+    walk inside one Arrow group). The DuckDB oracle replays the identical
+    walk as a recursive CTE over the row sequence, so every per-doc bin
+    assignment is value-checked, not just the bin counts."""
+    from ..operators import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        packing.pack_documents(docs, budget=256)
+        .select(F.col("id").alias("doc_id"), "shard", "n_tokens", "bin_id")
+        .orderBy("shard", "doc_id")
+    )
