@@ -57,6 +57,7 @@ _ROUND_PRIORITY = [
     "zorder_layout_stats",
     "manifest_change_feed",
     "pack_documents",
+    "contamination_check",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

@@ -2124,3 +2124,45 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "shard", "n_tokens", "bin_id")
         .orderBy("shard", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------------
+@_q(
+    "contamination_check",
+    """
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(generate_series(1, len(w)-4)) AS t(i)
+),
+d AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+b AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 17 = 0),
+bs AS (SELECT bench_id, COUNT(*) AS bench_ngrams FROM b GROUP BY 1),
+h AS (SELECT d.doc_id, b.bench_id, COUNT(*) AS overlap_ngrams
+      FROM d JOIN b USING (g) GROUP BY 1, 2)
+SELECT h.doc_id, h.bench_id, h.overlap_ngrams, bs.bench_ngrams,
+       ROUND(CAST(h.overlap_ngrams AS DOUBLE) / bs.bench_ngrams, 6)
+         AS overlap_frac
+FROM h JOIN bs USING (bench_id)
+ORDER BY doc_id, bench_id
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep (`operators/contamination.py`): every
+    17th document plays the eval set; the rest are the corpus. Broadcast
+    benchmark n-grams, map-side semi-join, per-pair unique-5-gram overlap
+    — the oracle replays the same split and join in SQL, value-checking
+    each (doc, bench) collision and its overlap fraction."""
+    from ..operators import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination.ngram_overlap(corpus, bench, n=5).orderBy(
+        "doc_id", "bench_id"
+    )
