@@ -58,6 +58,7 @@ _ROUND_PRIORITY = [
     "manifest_change_feed",
     "pack_documents",
     "contamination_check",
+    "hll_shard_distinct",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

@@ -2166,3 +2166,18 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination.ngram_overlap(corpus, bench, n=5).orderBy(
         "doc_id", "bench_id"
     )
+
+
+@_q("hll_shard_distinct")  # rows-only: DataSketches HLL registers aren't in SQL
+def hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-once/merge-forever distinct users (`operators/sketches.py`):
+    one fixed-size HLL per event_type, global rollup as a register union of
+    those blobs — the re-aggregation never rescans events. Rows-only by
+    design (DataSketches registers have no SQL twin); merge==single-pass
+    exactness and error bounds are pinned in tests/test_sketches.py."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.distinct_by_shard(ev, "user_id", "event_type").orderBy(
+        "shard"
+    )

@@ -1,0 +1,67 @@
+"""HLL sketch operators: merge exactness, estimate accuracy, plan shape."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_application_febuary_spark.operators import sketches
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 10k rows, 2k distinct user ids spread over 4 shards (overlapping ids
+    # across shards, so the global distinct < sum of per-shard distincts).
+    return (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 2000).alias("uid"),
+            F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("shard"),
+        )
+        .persist()
+    )
+
+
+def test_merged_estimate_equals_single_pass(spark, values):
+    """Union of per-shard sketches must equal one global sketch exactly —
+    HLL union is lossless over registers at equal lg_k."""
+    sk = sketches.shard_sketches(values, "uid", "shard", lg_k=12)
+    merged = sketches.merge_estimate(sk).first()["distinct_estimate"]
+    single = values.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid", F.lit(12)))
+    ).first()[0]
+    assert merged == single
+
+
+def test_estimate_within_hll_error(spark, values):
+    est = sketches.merge_estimate(
+        sketches.shard_sketches(values, "uid", "shard")
+    ).first()["distinct_estimate"]
+    assert est == pytest.approx(2000, rel=0.05)
+
+
+def test_rollup_row_present_and_consistent(spark, values):
+    rows = {
+        r["shard"]: r["distinct_estimate"]
+        for r in sketches.distinct_by_shard(values, "uid", "shard").collect()
+    }
+    assert set(rows) == {"s0", "s1", "s2", "s3", "<all>"}
+    # every shard holds ids k*4+i in [0,2000) -> 500 distinct each
+    for s in ("s0", "s1", "s2", "s3"):
+        assert rows[s] == pytest.approx(500, rel=0.05)
+    assert rows["<all>"] == pytest.approx(2000, rel=0.05)
+    assert rows["<all>"] < sum(v for k, v in rows.items() if k != "<all>")
+
+
+def test_shuffle_carries_blobs_not_values(spark, values):
+    """The merge aggregates over one row per shard — the exchanged payload
+    is sketch blobs, pinned by the union-agg operating on shard_sketches
+    output (4 rows) rather than the 10k-row input."""
+    sk = sketches.shard_sketches(values, "uid", "shard")
+    assert sk.count() == 4
+    plan = (
+        sketches.merge_estimate(sk)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hll_union_agg" in plan
