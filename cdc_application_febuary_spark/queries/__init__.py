@@ -59,6 +59,7 @@ _ROUND_PRIORITY = [
     "pack_documents",
     "contamination_check",
     "hll_shard_distinct",
+    "embedding_pca_variance",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

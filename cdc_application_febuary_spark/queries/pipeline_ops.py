@@ -2181,3 +2181,26 @@ def hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.distinct_by_shard(ev, "user_id", "event_type").orderBy(
         "shard"
     )
+
+
+@_q("embedding_pca_variance")  # rows-only: eigendecomposition has no SQL twin
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA spectrum (`operators/pca.py`): per-partition moment
+    partials (d^2 state, one row each) -> driver eigh of the 64x64
+    covariance; the corpus is never collected. Emits the top-8 explained
+    variance ratios. Rows-only by design; numerical equivalence to
+    in-memory PCA and partitioning-invariance are pinned in
+    tests/test_pca.py."""
+    from ..operators import pca as P
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = P.fit_pca(emb, vec_col="embedding", dim=64, k=8)
+    ratios = model.explained_variance_ratio
+    cum = ratios.cumsum()
+    rows = [
+        (i, round(float(ratios[i]), 6), round(float(cum[i]), 6))
+        for i in range(len(ratios))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, variance_ratio double, cumulative_ratio double"
+    ).orderBy("component")
