@@ -87,18 +87,43 @@ def _read_manifest(spark: SparkSession, table_path: str, version: int) -> list[F
             f"(vacuumed or never committed)"
         )
     text = "\n".join(r["value"] for r in spark.read.text(path).collect())
-    return [FileEntry(**e) for e in json.loads(text)]
+    doc = json.loads(text)
+    entries = doc["entries"] if isinstance(doc, dict) else doc
+    return [FileEntry(**e) for e in entries]
+
+
+def read_commit_meta(
+    spark: SparkSession, table_path: str, version: int
+) -> dict:
+    """Commit metadata of one version ({} for metadata-less commits).
+    Manifests are either a bare entry list (original form) or
+    ``{"meta": {...}, "entries": [...]}`` — both remain readable."""
+    path = f"{_manifest_dir(table_path)}/v{version}.json"
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        raise FileNotFoundError(f"version {version} of {table_path} does not exist")
+    text = "\n".join(r["value"] for r in spark.read.text(path).collect())
+    doc = json.loads(text)
+    return doc.get("meta", {}) if isinstance(doc, dict) else {}
 
 
 def _write_manifest_atomic(
-    spark: SparkSession, table_path: str, version: int, entries: list[FileEntry]
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    entries: list[FileEntry],
+    meta: dict | None = None,
 ) -> None:
     """Commit point: write to a temp name, then rename. HDFS/posix rename
-    into an existing name fails, which doubles as the conflict check."""
+    into an existing name fails, which doubles as the conflict check.
+    ``meta`` (e.g. a streaming batch id) rides in the same atomic commit,
+    so idempotence markers can never be observed without their data."""
     fs, mdir = _fs(spark, _manifest_dir(table_path))
     if not fs.exists(mdir):
         fs.mkdirs(mdir)
-    payload = json.dumps([e.__dict__ for e in entries]).encode("utf-8")
+    body = [e.__dict__ for e in entries]
+    doc = {"meta": meta, "entries": body} if meta is not None else body
+    payload = json.dumps(doc).encode("utf-8")
     tmp_name = f"{_manifest_dir(table_path)}/.v{version}.{uuid.uuid4().hex}.tmp"
     _, tmp = _fs(spark, tmp_name)
     out = fs.create(tmp, False)
@@ -215,7 +240,11 @@ def snapshots(spark: SparkSession, table_path: str) -> list[dict]:
 
 
 def write_table(
-    df: DataFrame, table_path: str, key_cols: list[str], mode: str = "overwrite"
+    df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    mode: str = "overwrite",
+    meta: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next version. ``mode='append'`` keeps prior
     files; ``'overwrite'`` replaces them (old files stay on disk for
@@ -226,7 +255,7 @@ def write_table(
     if mode == "append" and base is not None:
         entries = _read_manifest(spark, table_path, base) + entries
     next_v = 0 if base is None else base + 1
-    _write_manifest_atomic(spark, table_path, next_v, entries)
+    _write_manifest_atomic(spark, table_path, next_v, entries, meta=meta)
     return next_v
 
 
@@ -246,6 +275,7 @@ def merge_upsert(
     changes: DataFrame,
     key_cols: list[str],
     delete_col: str | None = None,
+    meta: dict | None = None,
 ) -> dict:
     """Copy-on-write MERGE: upsert ``changes`` into the table by key.
 
@@ -265,7 +295,7 @@ def merge_upsert(
             first = changes.where(
                 ~F.col(delete_col).eqNullSafe(True)
             ).drop(delete_col)
-        v = write_table(first, table_path, key_cols)
+        v = write_table(first, table_path, key_cols, meta=meta)
         return {"version": v, "files_total": 0, "files_rewritten": 0}
 
     entries = _read_manifest(spark, table_path, base)
@@ -301,7 +331,7 @@ def merge_upsert(
     else:
         new_entries += _stage_files(live_changes, table_path, key_cols)
 
-    _write_manifest_atomic(spark, table_path, base + 1, new_entries)
+    _write_manifest_atomic(spark, table_path, base + 1, new_entries, meta=meta)
     return {
         "version": base + 1,
         "files_total": len(entries),
