@@ -60,6 +60,7 @@ _ROUND_PRIORITY = [
     "contamination_check",
     "hll_shard_distinct",
     "embedding_pca_variance",
+    "conversion_funnel",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
@@ -89,7 +90,6 @@ _ROUND_PRIORITY = [
     "daily_pivot",
     "value_percentiles",
     "value_quartiles",
-    "value_percentiles_approx",
     "supplier_balance_ranks",
     "value_band_join",
     "user_session_windows",
@@ -99,11 +99,14 @@ _ROUND_PRIORITY = [
     "set_reconcile",
     "events_filtered_page",
     "stateful_running_counts",
-    "multimodal_features",
-    "multimodal_decode",
     "daily_moving_avg",
     "tfidf_top_terms",
     "part_name_near_pairs",
+    # below here: rows-only shapes whose oracle-paired twin is already in
+    # the window — first to drop out if the driver caps at ~50 entries
+    "value_percentiles_approx",
+    "multimodal_features",
+    "multimodal_decode",
     "documents_mixture",
 ]
 

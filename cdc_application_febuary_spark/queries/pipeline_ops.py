@@ -2204,3 +2204,44 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, variance_ratio double, cumulative_ratio double"
     ).orderBy("component")
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel (sequential event pattern)
+# ---------------------------------------------------------------------------
+@_q(
+    "conversion_funnel",
+    """
+WITH e AS (SELECT user_id AS u, event_type, epoch_ns(ts) AS tsn FROM events),
+s1 AS (SELECT u, MIN(tsn) AS t1 FROM e WHERE event_type = 'signup' GROUP BY u),
+s2 AS (SELECT e.u, MIN(e.tsn) AS t2 FROM e JOIN s1 ON e.u = s1.u
+       WHERE e.event_type = 'click' AND e.tsn > s1.t1 GROUP BY e.u),
+s3 AS (SELECT e.u, MIN(e.tsn) AS t3 FROM e JOIN s2 ON e.u = s2.u
+       WHERE e.event_type = 'purchase' AND e.tsn > s2.t2 GROUP BY e.u),
+cnt AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'signup' AS stage, n1 AS users,
+         ROUND(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM cnt
+  UNION ALL
+  SELECT 2, 'click', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM cnt
+  UNION ALL
+  SELECT 3, 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / n1, 6) FROM cnt
+)
+ORDER BY stage_idx
+""",
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered signup -> click -> purchase funnel
+    (`operators/funnel.py`): stage i = earliest qualifying event strictly
+    after the user's stage-(i-1) time; per-stage survivor counts and
+    conversion vs stage 1. The oracle restates each stage as a filtered
+    min-aggregate CTE chain."""
+    from ..catalog import load_events_raw
+    from ..operators import funnel
+
+    e = load_events_raw(spark, sf_dir).select("user_id", "event_type", "ts")
+    return funnel.funnel_counts(
+        e, ["signup", "click", "purchase"]
+    ).orderBy("stage_idx")
