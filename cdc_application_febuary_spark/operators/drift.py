@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructType
 
 
@@ -43,3 +44,69 @@ def diff_schemas(baseline: StructType, observed: StructType) -> list[ColumnChang
 
 def has_drift(baseline: StructType, observed: StructType) -> bool:
     return bool(diff_schemas(baseline, observed))
+
+
+def value_drift(
+    baseline: DataFrame,
+    observed: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index per histogram bucket between a baseline
+    and an observed dataset — the standard drift alarm for a CDC target's
+    value distribution (schema drift is ``diff_schemas``; this is the data
+    twin).
+
+    Fixed, caller-supplied bucket edges (not quantiles) so the measure is
+    deterministic and the two sides can be scanned INDEPENDENTLY — each
+    side is one partial-aggregated bucket count (map-side combine, one
+    tiny shuffle of <= n_buckets+2 rows per side), then a broadcast-sized
+    join of the two histograms. Values outside [lo, hi) land in underflow
+    (bucket 0) / overflow (bucket n+1) like width_bucket defines.
+
+    psi_term = (p - q) * ln(p / q) with eps-smoothed shares; the total PSI
+    is SUM(psi_term) (>0.2 conventionally = action). Emitted per bucket so
+    the alarm can say WHERE the distribution moved.
+    """
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.width_bucket(F.col(col), F.lit(lo), F.lit(hi), F.lit(n_buckets)).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        )
+
+    a, b = hist(baseline, "base"), hist(observed, "obs")
+    joined = a.join(b, "bucket", "full").select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+    )
+    tot = joined.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_obs").alias("to")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_base",
+            "n_obs",
+            (F.col("n_base") / F.col("tb") + F.lit(eps)).alias("__p"),
+            (F.col("n_obs") / F.col("to") + F.lit(eps)).alias("__q"),
+        )
+        .select(
+            "bucket",
+            "n_base",
+            "n_obs",
+            F.round(
+                (F.col("__p") - F.col("__q")) * F.log(F.col("__p") / F.col("__q")),
+                round_to,
+            ).alias("psi_term"),
+        )
+    )

@@ -61,6 +61,7 @@ _ROUND_PRIORITY = [
     "hll_shard_distinct",
     "embedding_pca_variance",
     "conversion_funnel",
+    "value_drift_psi",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

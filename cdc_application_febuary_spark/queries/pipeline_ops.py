@@ -2245,3 +2245,56 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.funnel_counts(
         e, ["signup", "click", "purchase"]
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# Value-distribution drift (PSI) between two order populations
+# ---------------------------------------------------------------------------
+@_q(
+    "value_drift_psi",
+    """
+WITH bucketed AS (
+  SELECT CASE WHEN o_totalprice < 0 THEN 0
+              WHEN o_totalprice >= 500000 THEN 11
+              ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
+         o_orderstatus = 'F' AS is_base
+  FROM orders
+),
+a AS (SELECT bucket, COUNT(*) AS n_base FROM bucketed WHERE is_base GROUP BY 1),
+b AS (SELECT bucket, COUNT(*) AS n_obs FROM bucketed WHERE NOT is_base GROUP BY 1),
+j AS (
+  SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         COALESCE(n_base, 0) AS n_base, COALESCE(n_obs, 0) AS n_obs
+  FROM a FULL JOIN b ON a.bucket = b.bucket
+),
+t AS (SELECT SUM(n_base) AS tb, SUM(n_obs) AS tob FROM j)
+SELECT CAST(bucket AS INTEGER) AS bucket, n_base, n_obs,
+       ROUND((CAST(n_base AS DOUBLE) / tb + 0.000001
+              - (CAST(n_obs AS DOUBLE) / tob + 0.000001))
+             * ln((CAST(n_base AS DOUBLE) / tb + 0.000001)
+                  / (CAST(n_obs AS DOUBLE) / tob + 0.000001)), 4)
+         AS psi_term
+FROM j CROSS JOIN t
+ORDER BY bucket
+""",
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-distribution drift (`operators/drift.py:value_drift`): PSI of
+    o_totalprice between finished ('F') and in-flight orders over fixed
+    50k-wide buckets. Each side is one partial-aggregated histogram (tiny
+    shuffle), then a broadcast join of the two histograms — the pattern
+    that monitors a CDC target's value distribution against its baseline
+    snapshot at any scale. The oracle restates the same smoothed
+    (p - q) * ln(p / q) per bucket."""
+    from ..operators.drift import value_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    return value_drift(
+        orders.where(F.col("o_orderstatus") == "F"),
+        orders.where(F.col("o_orderstatus") != "F"),
+        "o_totalprice",
+        lo=0.0,
+        hi=500000.0,
+        n_buckets=10,
+        round_to=4,
+    ).orderBy("bucket")
