@@ -62,6 +62,7 @@ _ROUND_PRIORITY = [
     "embedding_pca_variance",
     "conversion_funnel",
     "value_drift_psi",
+    "event_rate_anomalies",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

@@ -2298,3 +2298,76 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=10,
         round_to=4,
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection: trailing z-score per hourly bucket
+# ---------------------------------------------------------------------------
+@_q(
+    "event_rate_anomalies",
+    """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT event_type, hour, cnt,
+         AVG(cnt) OVER w AS mu,
+         STDDEV_SAMP(cnt) OVER w AS sigma,
+         COUNT(*) OVER w AS n_hist
+  FROM h
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY epoch(hour) / 3600
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, cnt,
+       ROUND(mu, 4) AS trailing_mean,
+       ROUND((cnt - mu) / sigma, 4) AS zscore
+FROM z
+WHERE n_hist >= 12 AND sigma > 0 AND ABS((cnt - mu) / sigma) >= 2
+ORDER BY event_type, hour
+""",
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly alarm for a CDC feed: hourly per-type counts scored
+    against the trailing 24h window (mean/stddev, current hour excluded);
+    |z| >= 2 with at least 12 history buckets flags. One pre-aggregation
+    shrinks events to per-hour rows BEFORE the window, so the windowed
+    state is bounded by hours x types, never raw events — the shape that
+    survives any event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("hour") / 3600)
+        .rangeBetween(-24, -1)
+    )
+    z = h.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    return (
+        z.where(
+            (F.col("n_hist") >= 12)
+            & (F.col("sigma") > 0)
+            & (F.abs((F.col("cnt") - F.col("mu")) / F.col("sigma")) >= 2)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            F.round("mu", 4).alias("trailing_mean"),
+            F.round((F.col("cnt") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )
