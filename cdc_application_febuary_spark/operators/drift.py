@@ -88,11 +88,17 @@ def value_drift(
         F.coalesce("n_base", F.lit(0)).alias("n_base"),
         F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
     )
-    tot = joined.agg(
-        F.sum("n_base").alias("tb"), F.sum("n_obs").alias("to")
+    # Totals via an unpartitioned window: the input here is the joined
+    # HISTOGRAM (<= n_buckets+2 rows), so single-partition window state is
+    # trivially bounded — and the plan stays BroadcastNestedLoopJoin-free.
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    joined = joined.withColumn("tb", F.sum("n_base").over(whole)).withColumn(
+        "to", F.sum("n_obs").over(whole)
     )
     return (
-        joined.crossJoin(F.broadcast(tot))
+        joined
         .select(
             "bucket",
             "n_base",
