@@ -2371,3 +2371,25 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@_q("audio_decode")  # rows-only: WAV payloads are generated in-process
+def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: deterministic PCM WAV tones through
+    the stdlib-wave codec inside mapInPandas, aggregated by sample rate.
+    Signal stats (rms/peak/zero-cross) are reproducible; decode_errors
+    asserts zero quarantines."""
+    media = multimodal.synthetic_media_wav(spark, n=32)
+    feats = multimodal.audio_features(media)
+    return (
+        feats.groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.round(F.avg("zero_cross_rate"), 4).alias("avg_zcr"),
+            F.sum(
+                F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
+            ).alias("decode_errors"),
+        )
+        .orderBy("sample_rate")
+    )
