@@ -2046,10 +2046,17 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import manifest_table as mt
 
     t = tempfile.mkdtemp(prefix="manifest_cf_") + "/t"
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").cast("bigint").alias("k"),
-        "c_name",
-        F.col("c_nationkey").cast("bigint").alias("nation"),
+    # coalesce(4): at fixture scale 32 input partitions would stage 32
+    # one-row files per commit — per-file stats jobs dominate. Real tables
+    # size their files upstream; the operator is file-count-agnostic.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").cast("bigint").alias("k"),
+            "c_name",
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+        )
+        .coalesce(4)
     )
     mt.write_table(cust, t, ["k"])
 
