@@ -479,3 +479,104 @@ def vacuum(
         "manifests_removed": manifests_removed,
         "versions_kept": sorted(keep),
     }
+
+
+def lookup_keys(
+    spark: SparkSession,
+    table_path: str,
+    key_cols: list[str],
+    keys: list[dict],
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookups through file-stat pruning: read ONLY the files whose
+    key min/max envelope could contain one of ``keys``, then apply the
+    exact predicate. The OLTP-ish path a CDC reconciler uses to spot-check
+    rows — at 100 TB a handful of keys opens a handful of files, because
+    the same per-file stats that plan the MERGE prune the read."""
+    if version is None:
+        version = current_version(spark, table_path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    entries = _read_manifest(spark, table_path, version)
+    candidates = [
+        e
+        for e in entries
+        if any(_overlaps(e, k, k, key_cols) for k in keys)
+    ]
+    template = spark.read.parquet(*[e.path for e in entries]).limit(0)
+    if not candidates:
+        return template
+    pred = None
+    for k in keys:
+        clause = None
+        for c in key_cols:
+            cond = F.col(c) == F.lit(k[c])
+            clause = cond if clause is None else (clause & cond)
+        pred = clause if pred is None else (pred | clause)
+    return spark.read.parquet(*[e.path for e in candidates]).where(pred)
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_path: str,
+    key_cols: list[str],
+    target_files: int | None = None,
+    zorder_cols: list[str] | None = None,
+    small_file_rows: int | None = None,
+) -> dict:
+    """OPTIMIZE: bin-pack small files (and optionally Z-order the layout)
+    into a new snapshot. Rows are untouched — only the file layout changes,
+    so readers of prior versions are unaffected (snapshot isolation) and
+    the change feed across an optimize is empty by construction (carried
+    rows compare equal).
+
+    * ``small_file_rows``: only files at or below this row count are
+      rewritten; larger files carry over untouched (incremental OPTIMIZE,
+      the only form that scales — never rewrite the whole table).
+    * ``zorder_cols``: cluster the rewritten rows by Z-value
+      (`operators/zorder.py`) so multi-dimension range scans prune; else
+      range-partition by the merge keys so key lookups prune.
+    * ``target_files``: file count for the rewritten portion (default:
+      one file per ~max(rows of the rewritten set / 8, 1)).
+    """
+    base = current_version(spark, table_path)
+    if base is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    entries = _read_manifest(spark, table_path, base)
+    if small_file_rows is None:
+        rewrite = list(entries)
+        keep = []
+    else:
+        rewrite = [e for e in entries if e.rows <= small_file_rows]
+        keep = [e for e in entries if e.rows > small_file_rows]
+    if len(rewrite) <= 1:
+        return {
+            "version": base,
+            "files_before": len(entries),
+            "files_after": len(entries),
+            "files_rewritten": 0,
+        }
+
+    df = spark.read.parquet(*[e.path for e in rewrite])
+    n_rows = sum(e.rows for e in rewrite)
+    n_files = target_files or max(1, min(len(rewrite), (n_rows + 7) // 8))
+    if zorder_cols:
+        from ..operators.zorder import cluster_by_zorder
+
+        packed = cluster_by_zorder(df, zorder_cols, n_files)
+    else:
+        packed = df.repartitionByRange(n_files, *key_cols)
+    new_entries = keep + _stage_files(packed, table_path, key_cols)
+    _write_manifest_atomic(
+        spark,
+        table_path,
+        base + 1,
+        new_entries,
+        meta={"operation": "optimize", "files_rewritten": len(rewrite)},
+    )
+    return {
+        "version": base + 1,
+        "files_before": len(entries),
+        "files_after": len(new_entries),
+        "files_rewritten": len(rewrite),
+    }
