@@ -63,6 +63,9 @@ _ROUND_PRIORITY = [
     "conversion_funnel",
     "value_drift_psi",
     "event_rate_anomalies",
+    "bigram_merge_candidates",
+    "curriculum_quartiles",
+    "audio_decode",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

@@ -2400,3 +2400,113 @@ def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram merge statistics (the counting core of BPE-style vocab induction)
+# ---------------------------------------------------------------------------
+@_q(
+    "bigram_merge_candidates",
+    """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+big AS (
+  SELECT lower(w[i]) AS t1, lower(w[i+1]) AS t2
+  FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+)
+SELECT t1, t2, COUNT(*) AS cnt
+FROM big
+GROUP BY t1, t2
+ORDER BY cnt DESC, t1, t2
+LIMIT 20
+""",
+)
+def bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-token-pair counts over the corpus — the counting step a
+    BPE/WordPiece vocab induction iterates (most-frequent pair merges
+    first). Pure column algebra: zip each token array with its tail
+    (arrays_zip + slice), explode, count — no Python, one shuffle of
+    (pair, partial count) thanks to map-side combine. The oracle replays
+    the pairing with UNNEST over positions."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens(F.col("text"))
+    pairs = F.arrays_zip(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))).alias("t1"),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))).alias("t2"),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(
+            F.lower(F.col("p.t1")).alias("t1"),
+            F.lower(F.col("p.t2")).alias("t2"),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "t1", "t2")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum quartiles: quality-binned corpus composition
+# ---------------------------------------------------------------------------
+@_q(
+    "curriculum_quartiles",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> list_contains({{stops}}, t))) AS DOUBLE)
+           / len(string_split_regex(lower(trim(text)), '\\s+')) AS stop_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tok,
+         GREATEST(LEAST(LEAST(n_tok / 50.0, 1.0) - ABS(stop_ratio - 0.1)
+                        - punct_ratio, 1.0), 0.0) AS quality
+  FROM d
+),
+b AS (
+  SELECT doc_id, n_tok, quality,
+         NTILE(4) OVER (ORDER BY ROUND(quality, 6), doc_id) AS bin
+  FROM q
+)
+SELECT bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 6) AS mean_quality
+FROM b
+GROUP BY bin
+ORDER BY bin
+""".replace("{stops}", _STOPS_SQL),
+)
+def curriculum_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: bin the corpus into quality quartiles
+    (low -> high) and report each bin's doc/token mass — the allocation a
+    curriculum sampler feeds (e.g. later training epochs overweight the
+    top bin). Exact NTILE over (rounded quality, doc_id) is the
+    deterministic small-tier; at 100 TB the same binning uses
+    approx-quantile cutpoints as map-side filters (no global window) —
+    the approx tier of `value_percentiles_approx`."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tok"),
+        T.quality_score("text").alias("quality"),
+    )
+    w = Window.orderBy(F.round("quality", 6), "doc_id")
+    return (
+        q.withColumn("bin", F.ntile(4).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+        .orderBy("bin")
+    )
