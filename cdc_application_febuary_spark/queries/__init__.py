@@ -66,6 +66,7 @@ _ROUND_PRIORITY = [
     "bigram_merge_candidates",
     "curriculum_quartiles",
     "audio_decode",
+    "part_name_jw_pairs",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

@@ -2510,3 +2510,34 @@ def curriculum_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@_q(
+    "part_name_jw_pairs",
+    """
+WITH reps AS (
+  SELECT p_name, MIN(p_partkey) AS rid FROM part GROUP BY p_name
+)
+SELECT a.rid AS a, b.rid AS b,
+       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+FROM reps a JOIN reps b
+  ON a.rid < b.rid
+ AND regexp_extract(a.p_name, '(\\S+)$', 1) = regexp_extract(b.p_name, '(\\S+)$', 1)
+WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.94
+ORDER BY a, b
+""",
+)
+def part_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler entity resolution on part names — the prefix-weighted
+    companion to the levenshtein join (`operators/fuzzyjoin.py`), same
+    canonicalize-then-block-verify shape. The scorer's semantics are
+    pinned bit-for-bit against DuckDB's jaro_winkler_similarity
+    (tests/test_jaro_winkler.py), so the oracle IS the reference
+    implementation."""
+    from ..operators.fuzzyjoin import jaro_winkler_self_pairs, last_token
+
+    p = load_table(spark, sf_dir, "part")
+    reps = p.groupBy("p_name").agg(F.min("p_partkey").alias("rid"))
+    return jaro_winkler_self_pairs(
+        reps, "rid", "p_name", last_token("p_name"), min_sim=0.94
+    ).orderBy("a", "b")
