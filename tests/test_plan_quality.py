@@ -132,3 +132,44 @@ def test_corpus_prep_funnel_single_fingerprint_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- round-2 operators -----------------------------------------------------
+
+def _physical_ops(spark, sf_dir, name):
+    from cdc_application_febuary_spark.queries import pipeline_ops
+
+    df = pipeline_ops.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_no_nested_loop_and_partial_min(spark, sf_dir):
+    plan = _physical_ops(spark, sf_dir, "conversion_funnel")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # stage mins combine map-side
+
+
+def test_psi_no_nested_loop(spark, sf_dir):
+    plan = _physical_ops(spark, sf_dir, "value_drift_psi")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # histogram combines before the shuffle
+
+
+def test_packing_single_group_exchange(spark, sf_dir):
+    plan = _physical_ops(spark, sf_dir, "pack_documents")
+    # one hash exchange on the shard key feeds the Arrow group walk
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # group + final sort shuffle
+
+
+def test_bigram_counts_combine_map_side(spark, sf_dir):
+    plan = _physical_ops(spark, sf_dir, "bigram_merge_candidates")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    plan = _physical_ops(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
