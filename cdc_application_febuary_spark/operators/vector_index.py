@@ -1,0 +1,186 @@
+"""Persisted IVF vector index: the ANN index as a manifest-committed table.
+
+`similarity.ivf_topk` re-trains and re-assigns per query run; a production
+corpus builds the index ONCE and serves many searches. This module persists
+the inverted file as a transactional table and makes search an I/O-pruned
+read:
+
+* **build**: train spherical k-means centroids on a bounded sample
+  (`similarity._kmeans_sample` — driver holds MBs regardless of corpus
+  size), assign every vector its cluster Arrow-batched, then commit the
+  corpus **range-clustered by cluster id** as a manifest table whose
+  per-file key stats are cluster ranges. Centroids ride in the commit
+  metadata (n_centroids x dim floats — KBs), so the index is
+  self-describing and versioned with its data.
+* **search**: nearest `n_probe` centroids per query come from the stored
+  centroid matrix; the candidate read opens ONLY the files whose cluster
+  envelope overlaps a probed cluster (`manifest_table` file pruning — the
+  same stats that plan the MERGE prune the search), then scores exactly
+  within candidates. Search cost ~ n_probe/n_centroids of the corpus in
+  FILES OPENED, not just rows scanned.
+* index rebuilds are snapshot-isolated: searches against version N are
+  unaffected by a concurrent rebuild committing N+1, and `read_table(
+  version=N)` time-travels old indexes.
+
+``n_probe >= n_centroids`` degenerates to exact brute force — pinned by
+tests against `similarity.cosine_topk`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import manifest_table as mt
+from .similarity import (
+    _assign_cluster_udf,
+    _kmeans_sample,
+    cosine_pairs,
+)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    table_path: str,
+    n_centroids: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train: int = 4096,
+    files_per_cluster_group: int = 1,
+) -> dict:
+    """Build (or rebuild) the index at ``table_path``. Returns commit stats.
+
+    The corpus lands range-partitioned by cluster id so each file covers a
+    compact cluster range; raising ``files_per_cluster_group`` produces
+    more, smaller files and therefore finer search-time pruning (the usual
+    file-count vs pruning-granularity trade)."""
+    sample_rows = (
+        corpus.select(F.col(vec_col).alias("v")).limit(max_train).collect()
+    )
+    centers = np.asarray(
+        _kmeans_sample([r["v"] for r in sample_rows], n_centroids, iters, seed),
+        dtype="float64",
+    )
+    assign = _assign_cluster_udf(centers)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    n_files = max(1, n_centroids * files_per_cluster_group // 4)
+    packed = assigned.repartitionByRange(n_files, "cluster")
+    spark = corpus.sparkSession
+    base = mt.current_version(spark, table_path)
+    entries = mt._stage_files(packed, table_path, ["cluster"])
+    mt._write_manifest_atomic(
+        spark,
+        table_path,
+        0 if base is None else base + 1,
+        entries,
+        meta={
+            "index": "ivf",
+            "n_centroids": int(n_centroids),
+            "dim": int(centers.shape[1]),
+            "centroids": [[float(x) for x in row] for row in centers],
+        },
+    )
+    return {
+        "version": 0 if base is None else base + 1,
+        "n_files": len(entries),
+        "n_centroids": n_centroids,
+    }
+
+
+def _load_centroids(spark: SparkSession, table_path: str, version: int):
+    meta = mt.read_commit_meta(spark, table_path, version)
+    if meta.get("index") != "ivf":
+        raise ValueError(f"{table_path} v{version} is not an IVF index")
+    return np.asarray(meta["centroids"], dtype="float64")
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    table_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> dict:
+    """Stats-pruned IVF search. Returns {"result": DataFrame,
+    "files_total": N, "files_opened": M} so callers (and tests) can see the
+    I/O pruning, not just the answer.
+
+    The probed cluster set is the union over the query batch (queries are
+    bounded — the brute-force tier's assumption); candidate files are those
+    whose [cluster_min, cluster_max] envelope intersects it."""
+    if version is None:
+        version = mt.current_version(spark, table_path)
+    if version is None:
+        raise FileNotFoundError(f"no committed index at {table_path}")
+    centers = _load_centroids(spark, table_path, version)
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    Q = np.vstack([np.asarray(r["qvec"], dtype="float64") for r in q_rows])
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (Q / norms) @ centers.T
+    order = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+    probed_per_query = [
+        (r["query_id"], r["qvec"], [int(c) for c in row])
+        for r, row in zip(q_rows, order)
+    ]
+    probe_set = sorted({c for _, _, row in probed_per_query for c in row})
+
+    entries = mt._read_manifest(spark, table_path, version)
+    candidates = [
+        e
+        for e in entries
+        if any(
+            e.key_min.get("cluster") <= c <= e.key_max.get("cluster")
+            for c in probe_set
+        )
+    ]
+    qdf = spark.createDataFrame(
+        [(qid, list(map(float, qv)), row) for qid, qv, row in probed_per_query],
+        "query_id long, qvec array<double>, probed array<int>",
+    ).select("query_id", "qvec", F.explode("probed").alias("cluster"))
+
+    if not candidates:
+        empty = spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, sim double"
+        )
+        return {"result": empty, "files_total": len(entries), "files_opened": 0}
+
+    corpus = spark.read.parquet(*[e.path for e in candidates])
+    scored = corpus.join(
+        F.broadcast(qdf),
+        (corpus.cluster == qdf.cluster)
+        & (F.col("query_id") != F.col("vec_id")),
+    ).withColumn("sim", cosine_pairs(F.col("qvec"), F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    result = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )
+    return {
+        "result": result,
+        "files_total": len(entries),
+        "files_opened": len(candidates),
+    }

@@ -67,6 +67,7 @@ _ROUND_PRIORITY = [
     "curriculum_quartiles",
     "audio_decode",
     "part_name_jw_pairs",
+    "ann_topk_ivf_index",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

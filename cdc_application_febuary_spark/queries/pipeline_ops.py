@@ -2541,3 +2541,26 @@ def part_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaro_winkler_self_pairs(
         reps, "rid", "p_name", last_token("p_name"), min_sim=0.94
     ).orderBy("a", "b")
+
+
+@_q("ann_topk_ivf_index", _ANN_ORACLE)
+def ann_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF search (`operators/vector_index.py`): build the
+    manifest-committed inverted file (centroids in the commit metadata,
+    corpus range-clustered by cluster id), then search at full probe —
+    which must EXACTLY equal the brute-force oracle, proving the
+    stats-pruned read path loses nothing. The approximate tier (n_probe <
+    n_centroids, files actually pruned) is exercised by
+    tests/test_vector_index.py."""
+    import tempfile
+
+    from ..operators import vector_index as vi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t = tempfile.mkdtemp(prefix="ivf_idx_") + "/idx"
+    vi.build_ivf_index(emb, t, n_centroids=16, files_per_cluster_group=4)
+    out = vi.search_ivf_index(spark, t, queries, k=5, n_probe=16)
+    return out["result"].orderBy("query_id", "rank")
