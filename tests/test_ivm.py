@@ -163,3 +163,64 @@ def test_net_zero_groups_leave_no_row(spark, bad_cnt):
         rows.append(_ev("d", ("z", 1.0), None))
     state = _fold(spark, [rows])
     assert state.where("seg = 'z'").count() == 0
+
+
+def test_live_stream_maintains_view_across_restart(spark, tmp_path):
+    """readStream -> ivm_foreach_batch end-to-end: the maintained view must
+    equal a from-scratch recompute after each availableNow drain, including
+    a restart from the same checkpoint with new data."""
+    import json
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_feed(name, rows):
+        lines = [
+            json.dumps(
+                {
+                    "op": op,
+                    "before": None if b is None else {"seg": b[0], "value": b[1]},
+                    "after": None if a is None else {"seg": a[0], "value": a[1]},
+                }
+            )
+            for op, b, a in rows
+        ]
+        (feed / name).write_text("\n".join(lines) + "\n")
+
+    def drain():
+        q = (
+            spark.readStream.schema(CHANGELOG_SCHEMA)
+            .json(str(feed))
+            .writeStream.foreachBatch(
+                ivm_foreach_batch(state_path, ["seg"], ["value"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_feed("b1.json", BATCH1)
+    drain()
+    state, _ = load_state(spark, state_path, before_batch=10**9)
+    got1 = {r["seg"]: (r["cnt"], r["value_sum"]) for r in state.collect()}
+    assert got1 == {
+        r["seg"]: (r["cnt"], r["value_sum"])
+        for r in _fold(spark, [BATCH1]).collect()
+    }
+
+    # restart with the second batch arriving later
+    write_feed("b2.json", BATCH2)
+    drain()
+    state, _ = load_state(spark, state_path, before_batch=10**9)
+    got2 = {r["seg"]: (r["cnt"], r["value_sum"]) for r in state.collect()}
+    assert got2 == _final_state(spark)
+
+    # idle restart: no new data, view unchanged
+    drain()
+    state, _ = load_state(spark, state_path, before_batch=10**9)
+    assert {
+        r["seg"]: (r["cnt"], r["value_sum"]) for r in state.collect()
+    } == got2
