@@ -580,3 +580,83 @@ def optimize_table(
         "files_after": len(new_entries),
         "files_rewritten": len(rewrite),
     }
+
+
+def shallow_clone(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    version: int | None = None,
+) -> int:
+    """Zero-copy clone: commit a NEW table whose manifest references the
+    source's existing data files (Delta SHALLOW CLONE analog). Data files
+    are immutable, so the clone is safe-by-construction: writers on either
+    table stage fresh files and never touch shared ones. The clone is a
+    dev/test/branching primitive — at 100 TB it costs one manifest write.
+
+    Caveat (same as Delta's): ``vacuum`` on the SOURCE can delete files the
+    clone still references — retention policy must span clones."""
+    if version is None:
+        version = current_version(spark, source_path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {source_path}")
+    entries = _read_manifest(spark, source_path, version)
+    base = current_version(spark, target_path)
+    next_v = 0 if base is None else base + 1
+    _write_manifest_atomic(
+        spark,
+        target_path,
+        next_v,
+        entries,
+        meta={"operation": "clone", "source": source_path, "source_version": version},
+    )
+    return next_v
+
+
+class ExpectationViolation(Exception):
+    """A commit-time data expectation failed; nothing was committed."""
+
+
+def check_expectations(
+    df: DataFrame, expectations: dict[str, str]
+) -> dict[str, int]:
+    """Evaluate named boolean SQL expectations over ``df`` in ONE pass
+    (conditional-sum battery, no per-rule scans). Returns violation counts
+    per rule name. NULL predicate results count as violations — an
+    expectation must affirmatively hold."""
+    if not expectations:
+        return {}
+    aggs = [
+        F.sum(
+            F.when(F.expr(pred).eqNullSafe(True), 0).otherwise(1)
+        ).alias(name)
+        for name, pred in expectations.items()
+    ]
+    row = df.agg(*aggs).first()
+    return {name: int(row[name] or 0) for name in expectations}
+
+
+def write_table_with_expectations(
+    df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    expectations: dict[str, str],
+    mode: str = "overwrite",
+    meta: dict | None = None,
+) -> int:
+    """Commit gated on expectations (Delta CONSTRAINT / DLT expect-or-fail
+    analog): violations raise :class:`ExpectationViolation` BEFORE any
+    manifest is written, so a bad batch can never become a committed
+    version. The check is one aggregate over the batch — at CDC batch
+    sizes this is noise next to the write itself."""
+    violations = {
+        k: v for k, v in check_expectations(df, expectations).items() if v
+    }
+    if violations:
+        raise ExpectationViolation(
+            f"expectations failed for {table_path}: {violations}"
+        )
+    merged_meta = {"expectations": sorted(expectations)}
+    if meta:
+        merged_meta.update(meta)
+    return write_table(df, table_path, key_cols, mode=mode, meta=merged_meta)
