@@ -43,29 +43,27 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 # (CORRECTNESS_r01 covered exactly positions 1-50 in insertion order), so
 # ordering is evidence curation: round 2 front-loads (a) the three r1
 # hash-fails re-verified after the decimal->double fix, (b) the reworked
-# embedding dedup tiers, (c) every query r1 left unchecked (all tpch_*,
-# grouping sets, percentiles, the corpus funnel, ...), and (d) the new
-# partsupp-based TPC-H shapes. Queries already driver-green in r1 sit at
-# the back; over rounds 2-3 every entry accumulates a driver verdict.
+# embedding dedup tier, (c) every ORACLE-PAIRED query r1 left unchecked
+# (all tpch_*, grouping sets, percentiles, the corpus funnel, ...), and
+# (d) the new round-2 oracle-paired operators. Rows-only shapes sit after
+# the oracle-paired block — their verdict is weaker, so they are the
+# right entries to fall outside an ~50 cap; r1-green queries fill the
+# back. Over rounds 2-3 every entry accumulates a driver verdict.
 _ROUND_PRIORITY = [
     "q10",
     "profile_orders",
     "asof_attribution",
     "dedup_embedding",
-    "dedup_embedding_srp",
     "ivm_segment_totals",
     "zorder_layout_stats",
     "manifest_change_feed",
     "pack_documents",
     "contamination_check",
-    "hll_shard_distinct",
-    "embedding_pca_variance",
     "conversion_funnel",
     "value_drift_psi",
     "event_rate_anomalies",
     "bigram_merge_candidates",
     "curriculum_quartiles",
-    "audio_decode",
     "part_name_jw_pairs",
     "ann_topk_ivf_index",
     "tpch_q9_product_type_profit",
@@ -109,8 +107,13 @@ _ROUND_PRIORITY = [
     "daily_moving_avg",
     "tfidf_top_terms",
     "part_name_near_pairs",
-    # below here: rows-only shapes whose oracle-paired twin is already in
-    # the window — first to drop out if the driver caps at ~50 entries
+    # below here: rows-only shapes (weaker verdict by design) — the right
+    # entries to fall outside an ~50-query driver cap; each is covered by
+    # pytest and most have an oracle-paired twin above
+    "dedup_embedding_srp",
+    "hll_shard_distinct",
+    "embedding_pca_variance",
+    "audio_decode",
     "value_percentiles_approx",
     "multimodal_features",
     "multimodal_decode",
