@@ -110,6 +110,7 @@ _ROUND_PRIORITY = [
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by
     # pytest and most have an oracle-paired twin above
+    "bpe_token_stats",
     "dedup_embedding_srp",
     "hll_shard_distinct",
     "embedding_pca_variance",

@@ -2564,3 +2564,33 @@ def ann_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     vi.build_ivf_index(emb, t, n_centroids=16, files_per_cluster_group=4)
     out = vi.search_ivf_index(spark, t, queries, k=5, n_probe=16)
     return out["result"].orderBy("query_id", "rank")
+
+
+@_q("bpe_token_stats")  # rows-only: learned-merge tokenization isn't in SQL
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subword tokenization (`functions/bpe.py`): train 100 BPE
+    merges from the distributed word-frequency table (driver holds only
+    the Zipf head), then tokenize per-document with the learned ranks in
+    an Arrow batch. Reports per-source subword counts and the compression
+    vs whitespace tokens — the number a token-budget planner actually
+    uses. Deterministic (tie-break + ordered sample); merge-sequence
+    correctness is pinned against the published BPE example in
+    tests/test_bpe.py."""
+    from ..functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_on_corpus(docs, n_merges=100)
+    cnt = bpe.bpe_token_count_udf(merges)
+    return (
+        docs.select("source", cnt("text").alias("n_bpe"),
+                    T.token_count("text").alias("n_ws"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_bpe") / F.sum("n_ws"), 4
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("source")
+    )
