@@ -227,3 +227,37 @@ def test_vacuum_drops_unreferenced_files_keeps_current(spark, tmp_path):
     assert got == {(1, "A2"), (2, "B2")}
     with pytest.raises(FileNotFoundError):
         read_table(spark, t, version=0)
+
+
+def test_concurrent_commit_conflict_and_retry(spark, tmp_path):
+    """Two writers racing for the same version: the loser gets
+    CommitConflict with NO partial state published, and a retry on the
+    fresh snapshot succeeds with both changes present."""
+    import pytest as _pytest
+
+    from cdc_application_febuary_spark.sources import manifest_table as _mt
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    _mt.write_table(base, t, ["k"])
+
+    # writer A commits v1 first
+    _mt.merge_upsert(
+        spark, t, spark.createDataFrame([(1, "a2")], "k long, v string"), ["k"]
+    )
+    # writer B planned against v0 and tries to publish v1 directly
+    entries = _mt._read_manifest(spark, t, 0)
+    with _pytest.raises(_mt.CommitConflict):
+        _mt._write_manifest_atomic(spark, t, 1, entries)
+
+    # nothing about B leaked; A's commit intact
+    assert _mt.current_version(spark, t) == 1
+    assert _mt.read_table(spark, t).where("k = 1").first()["v"] == "a2"
+
+    # B retries on the fresh snapshot — the standard optimistic loop
+    stats = _mt.merge_upsert(
+        spark, t, spark.createDataFrame([(3, "c")], "k long, v string"), ["k"]
+    )
+    assert stats["version"] == 2
+    rows = {r["k"]: r["v"] for r in _mt.read_table(spark, t).collect()}
+    assert rows == {1: "a2", 2: "b", 3: "c"}
