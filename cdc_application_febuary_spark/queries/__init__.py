@@ -66,6 +66,7 @@ _ROUND_PRIORITY = [
     "curriculum_quartiles",
     "part_name_jw_pairs",
     "ann_topk_ivf_index",
+    "order_expectations",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
@@ -118,6 +119,7 @@ _ROUND_PRIORITY = [
     "value_percentiles_approx",
     "multimodal_features",
     "multimodal_decode",
+    "multimodal_thumbnails",
     "documents_mixture",
 ]
 

@@ -2594,3 +2594,76 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data expectations battery (commit-gate rules as a one-pass report)
+# ---------------------------------------------------------------------------
+@_q(
+    "order_expectations",
+    """
+SELECT
+  CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS key_not_null,
+  CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+    AS price_positive,
+  CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1 END)
+       AS BIGINT) AS status_in_domain,
+  CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01' THEN 0 ELSE 1 END)
+       AS BIGINT) AS date_in_range,
+  COUNT(*) AS n_rows
+FROM orders
+""",
+)
+def order_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit-gate expectation battery
+    (`sources/manifest_table.py:check_expectations`) run as a report: four
+    named rules over orders in ONE conditional-sum pass (NULL results
+    count as violations). The same dict gates
+    write_table_with_expectations; here the oracle re-states each rule."""
+    from ..sources.manifest_table import check_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = check_expectations(
+        orders,
+        {
+            "key_not_null": "o_orderkey IS NOT NULL",
+            "price_positive": "o_totalprice > 0",
+            "status_in_domain": "o_orderstatus IN ('F', 'O', 'P')",
+            "date_in_range": "o_orderdate >= TIMESTAMP '1992-01-01'",
+        },
+    )
+    n = orders.count()
+    return spark.createDataFrame(
+        [
+            (
+                counts["key_not_null"],
+                counts["price_positive"],
+                counts["status_in_domain"],
+                counts["date_in_range"],
+                n,
+            )
+        ],
+        "key_not_null bigint, price_positive bigint, status_in_domain bigint,"
+        " date_in_range bigint, n_rows bigint",
+    )
+
+
+@_q("multimodal_thumbnails")  # rows-only: PNG payloads generated in-process
+def multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> box-filter resize -> PNG re-encode
+    (`operators/multimodal.py:thumbnails`) aggregated by source geometry:
+    thumbnail luma tracks the source pattern, zero quarantines."""
+    media = multimodal.synthetic_media_png(spark, n=24)
+    th = multimodal.thumbnails(media, out_h=8, out_w=8)
+    return (
+        th.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("thumb_mean_luma"), 4).alias("avg_thumb_luma"),
+            F.sum(
+                F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
+            ).alias("decode_errors"),
+        )
+        .orderBy("width", "height")
+    )
