@@ -93,3 +93,44 @@ def mixture(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float] | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset splitting: assign every row to exactly one
+    named split by where its unit hash lands in the cumulative fraction
+    intervals. Properties that matter for training data:
+
+    * a row's split is a pure function of (id, seed) — stable across
+      runs, partitionings, engines, and INCREMENTAL ARRIVALS: new rows
+      join a split without reshuffling old ones (no global count, no
+      ntile), which is how a continuously-ingested corpus keeps its
+      held-out set honest;
+    * splits are disjoint and exhaustive by construction (half-open
+      interval cover of [0, 1));
+    * leakage control composes: split on a GROUP id (e.g. the dedup
+      cluster id) instead of the row id and near-duplicates can never
+      straddle train/test.
+    """
+    fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+    if not fractions:
+        raise ValueError("need at least one split")
+    total = sum(fractions.values())
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = _unit_hash(id_col, seed)
+    expr = None
+    edge = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        edge += fractions[name]
+        clause = F.when(u < F.lit(edge), F.lit(name))
+        expr = clause if expr is None else expr.when(u < F.lit(edge), F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -67,6 +67,7 @@ _ROUND_PRIORITY = [
     "part_name_jw_pairs",
     "ann_topk_ivf_index",
     "order_expectations",
+    "referential_integrity",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
@@ -112,6 +113,7 @@ _ROUND_PRIORITY = [
     # entries to fall outside an ~50-query driver cap; each is covered by
     # pytest and most have an oracle-paired twin above
     "bpe_token_stats",
+    "corpus_splits",
     "dedup_embedding_srp",
     "hll_shard_distinct",
     "embedding_pca_variance",

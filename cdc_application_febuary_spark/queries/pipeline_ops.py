@@ -2667,3 +2667,83 @@ def multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width", "height")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+@_q(
+    "referential_integrity",
+    """
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders->customer', COUNT(*),
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'customer->nation', COUNT(*),
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'lineitem->part', COUNT(*),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+)
+ORDER BY fk
+""",
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit across the star schema — the reconciliation a CDC
+    replica runs after backfills (a child replicated before its parent =
+    orphan). Each edge is one left join counted in a conditional sum; the
+    parent side is the dimension, so every join broadcasts and the fact
+    tables never shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+
+    def edge(name, child, parent, ck, pk):
+        return (
+            child.select(F.col(ck))
+            .join(F.broadcast(parent.select(F.col(pk))), child[ck] == parent[pk], "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col(pk).isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+        )
+
+    return (
+        edge("lineitem->orders", li, o, "l_orderkey", "o_orderkey")
+        .unionByName(edge("orders->customer", o, c, "o_custkey", "c_custkey"))
+        .unionByName(edge("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+        .unionByName(edge("lineitem->part", li, p, "l_partkey", "p_partkey"))
+        .orderBy("fk")
+    )
+
+
+@_q("corpus_splits")  # rows-only: xxhash64 unit interval has no SQL twin
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (`operators/sampling.py:train_val_test_split`): a pure function of
+    (doc_id, seed), so new arrivals join splits without moving old rows
+    and near-dups can be pinned together by splitting on the cluster id.
+    Reports per-(source, split) counts; disjoint-exhaustive and
+    stability invariants pinned in tests/test_split.py."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id", seed=7)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
