@@ -68,6 +68,7 @@ _ROUND_PRIORITY = [
     "ann_topk_ivf_index",
     "order_expectations",
     "referential_integrity",
+    "corpus_report",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

@@ -2747,3 +2747,78 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus report (dataset-card numbers in one row)
+# ---------------------------------------------------------------------------
+@_q(
+    "corpus_report",
+    """
+WITH tok AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> list_contains({stops}, t))) AS DOUBLE)
+           / len(string_split_regex(lower(trim(text)), '\\s+')) AS stop_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       UNNEST(generate_series(1, len(w)-4)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS icnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_pairs AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE CAST(i.icnt AS DOUBLE)/(sa.sz+sb.sz-i.icnt) >= 0.8
+)
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_docs,
+  (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+  (SELECT CAST(SUM(n_tok) AS BIGINT) FROM tok) AS total_tokens,
+  (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents) AS total_chars,
+  (SELECT ROUND(AVG(GREATEST(LEAST(LEAST(n_tok/50.0, 1.0)
+            - ABS(stop_ratio - 0.1) - punct_ratio, 1.0), 0.0)), 6)
+     FROM tok) AS avg_quality,
+  (SELECT COUNT(*) - COUNT(DISTINCT text) FROM documents)
+     AS exact_dup_docs,
+  (SELECT COUNT(*) FROM near_pairs) AS near_dup_pairs
+""".replace("{stops}", _STOPS_SQL),
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row: corpus size, token/char mass, mean
+    quality, exact-duplicate redundancy, and near-dup (jaccard >= 0.8)
+    pair count — each number produced by the same operator the pipeline
+    uses (`functions/text.py`, `operators/dedup.py`). Scalar aggregates
+    assembled driver-side; every component is an independent
+    distributed job, so the report costs a handful of scans, not a
+    monolithic plan."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.round(F.avg(T.quality_score("text")), 6).alias("avg_quality"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("exact_dup_docs"),
+    ).first()
+    near = D.jaccard_pairs(docs, threshold=0.8).count()
+    docs.unpersist()
+    return spark.createDataFrame(
+        [tuple(base) + (near,)],
+        "n_docs bigint, n_sources bigint, total_tokens bigint,"
+        " total_chars bigint, avg_quality double, exact_dup_docs bigint,"
+        " near_dup_pairs bigint",
+    )
