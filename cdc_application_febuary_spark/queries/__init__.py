@@ -69,6 +69,7 @@ _ROUND_PRIORITY = [
     "order_expectations",
     "referential_integrity",
     "corpus_report",
+    "value_outliers_mad",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

@@ -2822,3 +2822,55 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " total_chars bigint, avg_quality double, exact_dup_docs bigint,"
         " near_dup_pairs bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD z-scores per group
+# ---------------------------------------------------------------------------
+@_q(
+    "value_outliers_mad",
+    """
+WITH m AS (
+  SELECT event_type AS grp, median(value) AS med
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT e.event_type AS grp, e.event_id, e.value AS v, m.med
+  FROM events e JOIN m ON e.event_type = m.grp
+),
+s AS (SELECT grp, median(abs(v - med)) AS mad FROM d GROUP BY grp)
+SELECT d.grp, d.event_id, d.v,
+       ROUND(abs(d.v - d.med) / (1.4826 * s.mad), 4) AS robust_z
+FROM d JOIN s ON d.grp = s.grp
+WHERE abs(d.v - d.med) / (1.4826 * s.mad) >= 3.5
+ORDER BY d.grp, d.event_id
+""",
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers: median/MAD z-score (1.4826 scaling to
+    sigma-equivalents), immune to the outliers polluting their own
+    baseline the way mean/stddev z-scores are. Two grouped exact
+    percentiles + broadcast joins of the per-group scalars — the fact
+    table shuffles only for the two aggregations, never for scoring. At
+    100 TB the exact medians swap for approx_percentile; this exact tier
+    carries the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = ev.select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        F.col("value").alias("v"),
+    ).join(F.broadcast(med), "grp")
+    mad = d.groupBy("grp").agg(
+        F.expr("percentile(abs(v - med), 0.5)").alias("mad")
+    )
+    scored = d.join(F.broadcast(mad), "grp").withColumn(
+        "rz", F.abs(F.col("v") - F.col("med")) / (1.4826 * F.col("mad"))
+    )
+    return (
+        scored.where(F.col("rz") >= 3.5)
+        .select("grp", "event_id", "v", F.round("rz", 4).alias("robust_z"))
+        .orderBy("grp", "event_id")
+    )
