@@ -57,6 +57,7 @@ _ROUND_PRIORITY = [
     "ivm_segment_totals",
     "zorder_layout_stats",
     "manifest_change_feed",
+    "corpus_prep_funnel_v2",
     "pack_documents",
     "contamination_check",
     "conversion_funnel",

@@ -88,7 +88,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTERS_ORACLE = """
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        UNNEST(generate_series(1, len(w)-4)) AS t(i)
@@ -105,7 +105,7 @@ pairs AS (
   JOIN sizes sb ON i.b = sb.doc_id
   WHERE CAST(i.icnt AS DOUBLE)/(sa.sz+sb.sz-i.icnt) >= 0.8
 ),
-edges AS (SELECT a AS src, b AS dst FROM pairs
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
           UNION SELECT b, a FROM pairs),
 reach(src, dst) AS (
   SELECT src, dst FROM edges
@@ -2093,7 +2093,7 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "pack_documents",
     """
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
   SELECT doc_id, source AS shard,
          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
            AS n_tokens,
@@ -2873,4 +2873,218 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.where(F.col("rz") >= 3.5)
         .select("grp", "event_id", "v", F.round("rz", 4).alias("robust_z"))
         .orderBy("grp", "event_id")
+    )
+
+
+def _funnel_v2_oracle() -> str:
+    """corpus_prep_funnel_v2 oracle: the v1 staged CTEs restricted to the
+    corpus split, extended with near-dup transitive-closure keep-one,
+    benchmark decontamination, and recursive next-fit packing — every
+    fragment identical to an already-proven single-op oracle."""
+    score_exprs = ", ".join(
+        "len(list_intersect(words, ['"
+        + "','".join(T.LANG_MARKERS[code])
+        + f"'])) AS s_{code}"
+        for code in sorted(T.LANG_MARKERS)
+    )
+    greatest = "GREATEST(" + ", ".join(f"s_{c}" for c in sorted(T.LANG_MARKERS)) + ")"
+    lang_case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for code in sorted(T.LANG_MARKERS):
+        lang_case += f"WHEN s_{code} = {greatest} THEN '{code}' "
+    lang_case += "ELSE 'und' END"
+    return f"""
+WITH RECURSIVE raw0 AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         len(string_split_regex(trim(text), '\\s+')) AS tok,
+         GREATEST(LEAST(LEAST(len(string_split_regex(trim(text), '\\s+'))/50.0, 1.0)
+                        - ABS(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                       t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+                              / len(string_split_regex(lower(trim(text)), '\\s+')) - 0.1)
+                        - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', '', 'g')) AS DOUBLE)
+                          / length(text), 1.0), 0.0) AS q,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS words,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 17 <> 0
+),
+raw AS MATERIALIZED (SELECT doc_id, source, text, tok, q, fp, {lang_case} AS lp
+        FROM (SELECT *, {score_exprs} FROM raw0) t),
+q2 AS (SELECT * FROM raw WHERE q >= 0.3),
+q3 AS (SELECT * FROM q2 WHERE lp <> 'und'),
+q4 AS MATERIALIZED (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                      FROM q3) t WHERE rn = 1),
+sh AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM q4) t,
+       UNNEST(generate_series(1, len(w)-4)) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS icnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+np AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+  WHERE CAST(i.icnt AS DOUBLE)/(sa.sz+sb.sz-i.icnt) >= 0.8
+),
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM np UNION SELECT b, a FROM np),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+         FROM reach GROUP BY src),
+q5 AS MATERIALIZED (SELECT q4.* FROM q4 LEFT JOIN comp ON q4.doc_id = comp.doc_id
+       WHERE comp.doc_id IS NULL OR comp.cluster = q4.doc_id),
+bsh AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id AS bench_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % 17 = 0) t,
+       UNNEST(generate_series(1, len(w)-4)) AS u(i)
+),
+bsz AS (SELECT bench_id, COUNT(*) AS bn FROM bsh GROUP BY 1),
+qsh AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM q5) t,
+       UNNEST(generate_series(1, len(w)-4)) AS u(i)
+),
+contam AS (
+  SELECT DISTINCT h.doc_id
+  FROM (SELECT q.doc_id, b.bench_id, COUNT(*) AS ov
+        FROM qsh q JOIN bsh b USING (shingle) GROUP BY 1, 2) h
+  JOIN bsz USING (bench_id)
+  WHERE CAST(h.ov AS DOUBLE) / bsz.bn >= 0.5
+),
+q6 AS MATERIALIZED (SELECT q5.* FROM q5 LEFT JOIN contam ON q5.doc_id = contam.doc_id
+       WHERE contam.doc_id IS NULL),
+seq AS MATERIALIZED (SELECT doc_id, source, tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM q6),
+pk AS (
+  SELECT doc_id, source, tok, rn, CAST(0 AS BIGINT) AS bin_id, tok AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.source, s.tok, s.rn,
+         CASE WHEN p.fill > 0 AND p.fill + s.tok > 256
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill > 0 AND p.fill + s.tok > 256
+              THEN s.tok ELSE p.fill + s.tok END
+  FROM pk p JOIN seq s ON s.source = p.source AND s.rn = p.rn + 1
+),
+bins AS (SELECT source, MAX(bin_id) + 1 AS nb FROM pk GROUP BY source)
+SELECT * FROM (
+  SELECT 1 AS stage, 'raw' AS name, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         CAST(0 AS BIGINT) AS n_bins FROM raw
+  UNION ALL
+  SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT),
+         0 FROM q2
+  UNION ALL
+  SELECT 3, 'language', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT),
+         0 FROM q3
+  UNION ALL
+  SELECT 4, 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT),
+         0 FROM q4
+  UNION ALL
+  SELECT 5, 'near_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT),
+         0 FROM q5
+  UNION ALL
+  SELECT 6, 'decontaminated', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT),
+         0 FROM q6
+  UNION ALL
+  SELECT 7, 'packed', CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT),
+         (SELECT CAST(SUM(nb) AS BIGINT) FROM bins) FROM pk
+) f
+ORDER BY stage
+"""
+
+
+@_q("corpus_prep_funnel_v2", _funnel_v2_oracle())
+def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data pipeline as one checkable funnel:
+    quality -> language -> exact dedup -> near-dup cluster keep-one
+    (5-gram jaccard >= 0.8 through connected components) ->
+    benchmark decontamination (drop docs quoting >= 50% of any held-out
+    item) -> token-budget packing (next-fit, 256/shard). Every stage is
+    the production operator (`functions/text.py`, `operators/dedup.py`,
+    `operators/contamination.py`, `operators/packing.py`); the oracle
+    restates each from already-proven single-op fragments, so the
+    composition itself is what this query certifies."""
+    from pyspark.sql import Window
+
+    from ..operators import contamination as C
+    from ..operators import dedup as D
+    from ..operators import packing as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    base = corpus.select(
+        "doc_id",
+        "source",
+        "text",
+        T.token_count("text").alias("tok"),
+        T.quality_score("text").alias("q"),
+        T.lang_id("text").alias("lp"),
+        T.fingerprint("text").alias("fp"),
+    ).persist()
+    q2 = base.where(F.col("q") >= 0.3)
+    q3 = q2.where(F.col("lp") != "und")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    q4 = (
+        q3.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    pairs = D.jaccard_pairs(q4.select("doc_id", "text"), threshold=0.8)
+    losers = D.dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
+    q5 = q4.join(losers, "doc_id", "left_anti").persist()
+    contam = (
+        C.ngram_overlap(q5.select("doc_id", "text"), bench, n=5)
+        .where(F.col("overlap_frac") >= 0.5)
+        .select("doc_id")
+        .distinct()
+    )
+    q6 = q5.join(contam, "doc_id", "left_anti")
+    packed = P.pack_documents(q6.select("doc_id", "source", "text"), budget=256)
+
+    def stage(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.lit(0).cast("bigint").alias("n_bins"),
+        ).select("stage", "name", "n_docs", "total_tokens", "n_bins")
+
+    final = (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_tokens").alias("nt"),
+            (F.max("bin_id") + 1).alias("nb"),
+        )
+        .agg(
+            F.lit(7).alias("stage"),
+            F.lit("packed").alias("name"),
+            F.sum("nd").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.sum("nb").cast("bigint").alias("n_bins"),
+        )
+        .select("stage", "name", "n_docs", "total_tokens", "n_bins")
+    )
+    return (
+        stage(base, 1, "raw")
+        .unionByName(stage(q2, 2, "quality"))
+        .unionByName(stage(q3, 3, "language"))
+        .unionByName(stage(q4, 4, "exact_dedup"))
+        .unionByName(stage(q5, 5, "near_dedup"))
+        .unionByName(stage(q6, 6, "decontaminated"))
+        .unionByName(final)
+        .orderBy("stage")
     )
