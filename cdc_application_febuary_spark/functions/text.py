@@ -128,3 +128,44 @@ def normalized_text(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 of normalized text (hex string)."""
     return F.md5(normalized_text(text))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex-tier redaction for training-data hygiene.
+# Conservative character-class patterns (no lookarounds) so the same
+# pattern strings run identically on Java regex (Spark) and RE2-ish
+# engines; each category replaces with a stable placeholder token so
+# downstream tokenization sees a constant, not a hole.
+# ---------------------------------------------------------------------------
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+# Order matters: SSN before phone (a 3-2-4 digit group would otherwise be
+# eaten by the looser phone pattern).
+_PII_ORDER = ("email", "ipv4", "ssn", "phone")
+
+
+def redact_pii(text: Column | str) -> Column:
+    """All PII categories replaced by their placeholder tokens, applied in
+    a fixed order so overlapping patterns resolve deterministically."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name in _PII_ORDER:
+        pat, repl = PII_PATTERNS[name]
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_count(text: Column | str, category: str) -> Column:
+    """Occurrences of one PII category (post-precedence: counted on the
+    text with higher-precedence categories already redacted, matching
+    what redact_pii would actually replace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name in _PII_ORDER:
+        if name == category:
+            return F.regexp_count(c, F.lit(PII_PATTERNS[name][0]))
+        c = F.regexp_replace(c, *PII_PATTERNS[name])
+    raise KeyError(category)

@@ -71,6 +71,7 @@ _ROUND_PRIORITY = [
     "referential_integrity",
     "corpus_report",
     "value_outliers_mad",
+    "repetition_filters",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
@@ -117,6 +118,7 @@ _ROUND_PRIORITY = [
     # pytest and most have an oracle-paired twin above
     "bpe_token_stats",
     "corpus_splits",
+    "pii_scan",
     "dedup_embedding_srp",
     "hll_shard_distinct",
     "embedding_pca_variance",

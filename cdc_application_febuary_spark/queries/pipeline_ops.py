@@ -3088,3 +3088,123 @@ def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(final)
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filters (Gopher-style intra-document repetition)
+# ---------------------------------------------------------------------------
+@_q(
+    "repetition_filters",
+    """
+WITH w AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, source, MAX(n) * 1.0 / SUM(n) AS top_word_frac
+  FROM (SELECT doc_id, source, word, COUNT(*) AS n
+        FROM w GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+tok AS (SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents),
+big AS (
+  SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS bg
+  FROM tok, UNNEST(generate_series(1, len(ws) - 1)) AS s(i)
+),
+bi AS (
+  SELECT doc_id, source, MAX(n) * 1.0 / SUM(n) AS top_bigram_frac
+  FROM (SELECT doc_id, source, bg, COUNT(*) AS n
+        FROM big GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+)
+SELECT uni.source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(uni.top_word_frac), 6) AS avg_top_word_frac,
+       ROUND(AVG(bi.top_bigram_frac), 6) AS avg_top_bigram_frac,
+       CAST(SUM(CASE WHEN uni.top_word_frac > 0.2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetition_fail
+FROM uni JOIN bi USING (doc_id, source)
+GROUP BY uni.source
+ORDER BY uni.source
+""",
+)
+def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: the fraction of a document
+    occupied by its most frequent word / word-bigram, aggregated per
+    source with a >0.2 top-word fail count. Explode -> two-level
+    aggregation, both map-side combinable; per-doc state never exceeds
+    (distinct terms), and no Python touches the tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens(F.lower(F.col("text")))
+    uni = (
+        docs.select("doc_id", "source", F.explode(w).alias("word"))
+        .groupBy("doc_id", "source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id", "source")
+        .agg((F.max("n") / F.sum("n")).alias("top_word_frac"))
+    )
+    pairs = F.arrays_zip(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))).alias("a"),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))).alias("b"),
+    )
+    bi = (
+        docs.select("doc_id", "source", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("bg"),
+        )
+        .groupBy("doc_id", "source", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id", "source")
+        .agg((F.max("n") / F.sum("n")).alias("top_bigram_frac"))
+    )
+    return (
+        uni.join(bi, ["doc_id", "source"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("top_word_frac"), 6).alias("avg_top_word_frac"),
+            F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+            F.sum(
+                F.when(F.col("top_word_frac") > 0.2, 1).otherwise(0)
+            ).cast("bigint").alias("n_repetition_fail"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q("pii_scan")  # rows-only: planted-PII corpus is generated in-process
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report (`functions/text.py:redact_pii`): a deterministic
+    corpus with planted emails/IPs/phones/SSNs is scanned and redacted;
+    per-category occurrence counts plus chars-removed prove the scrubber
+    actually fired. Precedence/idempotence pinned in tests/test_pii.py."""
+    from ..functions.text import pii_count, redact_pii
+
+    rows = []
+    for i in range(60):
+        parts = [f"doc {i} body"]
+        if i % 3 == 0:
+            parts.append(f"user{i}@example.com")
+        if i % 4 == 0:
+            parts.append(f"10.0.{i % 256}.{(i * 7) % 256}")
+        if i % 5 == 0:
+            parts.append(f"555-12{i % 10}-4567")
+        if i % 7 == 0:
+            parts.append(f"{100 + i}-45-6789")
+        rows.append((i, " ".join(parts)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pii_count("text", "email")).cast("bigint").alias("emails"),
+        F.sum(pii_count("text", "ipv4")).cast("bigint").alias("ips"),
+        F.sum(pii_count("text", "phone")).cast("bigint").alias("phones"),
+        F.sum(pii_count("text", "ssn")).cast("bigint").alias("ssns"),
+        F.sum(
+            F.length("text") - F.length(redact_pii("text"))
+        ).cast("bigint").alias("chars_removed"),
+    )
