@@ -34,7 +34,7 @@ class MetricsListener(StreamingQueryListener):
 
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
-        pass
+        pass  # start/stop carry no metrics; progress is the only signal used
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
@@ -51,10 +51,10 @@ class MetricsListener(StreamingQueryListener):
             )
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
-        pass
+        pass  # intentional no-op: terminal state is read from the query handle
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
-        pass
+        pass  # intentional no-op: idle ticks add no rows to the metrics table
 
     # -- consumption --------------------------------------------------------
     def snapshot(self, spark: SparkSession) -> DataFrame:
