@@ -1,0 +1,91 @@
+"""Incremental corpus deduplication: continuous ingestion with persistent
+dedup state — the CDC x training-data crossover.
+
+A pretraining corpus is not built once; it accretes. Re-running global
+dedup per batch is O(corpus) every time, so the shape that survives is a
+persistent FINGERPRINT STORE (a manifest table keyed by the document
+fingerprint) probed by each incoming batch:
+
+* batch -> fingerprint (normalized-text hash, `functions/text.py`) ->
+  LEFT ANTI join against the store = novel documents only;
+* in-batch duplicates collapse first (min-id survivor) so a batch that
+  repeats itself admits one copy;
+* the store append rides the exactly-once manifest commit keyed by the
+  streaming batch id (`streaming/manifest_sink` semantics) — a replayed
+  batch neither re-admits documents nor bloats the store.
+
+Probe cost is one equi-join keyed on the fingerprint against a
+range-clustered store, so file stats prune the probe to the overlapping
+key ranges; the corpus itself is never rescanned. The same pattern
+extends to MinHash bands (store (band, bucket) keys instead) for
+incremental NEAR-dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.text import fingerprint
+from ..sources import manifest_table as mt
+from ..streaming.manifest_sink import last_committed_batch
+
+
+def _fingerprinted(
+    batch: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    return batch.withColumn("__fp", fingerprint(F.col(text_col)))
+
+
+def dedup_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame | None:
+    """Admit the novel documents of one batch; persist their fingerprints.
+
+    Returns the admitted rows (original columns), or None when
+    ``batch_id`` was already committed to the store (crash replay — the
+    admitted set of that batch is already reflected, so the caller must
+    not re-emit it)."""
+    spark = batch.sparkSession
+    seen_batch = last_committed_batch(spark, store_path)
+    if seen_batch is not None and batch_id <= seen_batch:
+        return None
+
+    fp = _fingerprinted(batch, id_col, text_col)
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    in_batch = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if mt.current_version(spark, store_path) is not None:
+        store = mt.read_table(spark, store_path).select(
+            F.col("fp").alias("__fp")
+        )
+        novel = in_batch.join(store, "__fp", "left_anti")
+    else:
+        novel = in_batch
+    novel = novel.persist()
+    mt.write_table(
+        novel.select(F.col("__fp").alias("fp")),
+        store_path,
+        ["fp"],
+        mode="append",
+        meta={"batch_id": int(batch_id)},
+    )
+    return novel.drop("__fp")
+
+
+def store_stats(spark: SparkSession, store_path: str) -> dict:
+    """Fingerprint-store health: distinct fingerprints admitted and commit
+    count — one manifest read plus one count over the (tiny) store."""
+    v = mt.current_version(spark, store_path)
+    if v is None:
+        return {"versions": 0, "fingerprints": 0}
+    return {
+        "versions": v + 1,
+        "fingerprints": mt.read_table(spark, store_path).count(),
+    }

@@ -72,6 +72,7 @@ _ROUND_PRIORITY = [
     "corpus_report",
     "value_outliers_mad",
     "repetition_filters",
+    "incremental_dedup_fold",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

@@ -3208,3 +3208,51 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text") - F.length(redact_pii("text"))
         ).cast("bigint").alias("chars_removed"),
     )
+
+
+@_q(
+    "incremental_dedup_fold",
+    """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS b,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+firsts AS (SELECT fp, MIN(b) AS first_batch FROM d GROUP BY fp)
+SELECT
+  CAST(SUM(CASE WHEN first_batch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS admitted_b0,
+  CAST(SUM(CASE WHEN first_batch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS admitted_b1,
+  CAST(SUM(CASE WHEN first_batch = 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS admitted_b2,
+  COUNT(*) AS total_admitted
+FROM firsts
+""",
+)
+def incremental_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (`operators/incremental_dedup.py`): fold
+    the corpus through the persistent fingerprint store in three batches
+    (doc_id % 3). The oracle states the invariant directly — each batch
+    admits exactly the fingerprints whose FIRST occurrence is that batch,
+    and the store ends at the global distinct count — so the incremental
+    path is value-checked against a one-shot dedup."""
+    import tempfile
+
+    from ..operators import incremental_dedup as idd
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="fp_store_") + "/fp"
+    admitted = []
+    for b in range(3):
+        out = idd.dedup_batch(
+            docs.where(F.col("doc_id") % 3 == b), store, b
+        )
+        admitted.append(out.count())
+        out.unpersist()
+    total = idd.store_stats(spark, store)["fingerprints"]
+    return spark.createDataFrame(
+        [(admitted[0], admitted[1], admitted[2], total)],
+        "admitted_b0 bigint, admitted_b1 bigint, admitted_b2 bigint,"
+        " total_admitted bigint",
+    )

@@ -1,0 +1,50 @@
+"""Incremental dedup: cross-batch novelty, in-batch collapse, replay safety."""
+
+from pyspark.sql import functions as F
+
+from cdc_application_febuary_spark.operators import incremental_dedup as idd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_batch_novelty(spark, tmp_path):
+    store = str(tmp_path / "fp")
+    b0 = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+    out0 = idd.dedup_batch(b0, store, 0)
+    assert sorted(r["doc_id"] for r in out0.collect()) == [1, 2]
+
+    # batch 1 repeats doc 1's text (new id) and adds one novel doc
+    b1 = _docs(spark, [(10, "alpha beta"), (11, "epsilon zeta")])
+    out1 = idd.dedup_batch(b1, store, 1)
+    assert sorted(r["doc_id"] for r in out1.collect()) == [11]
+    assert idd.store_stats(spark, store) == {"versions": 2, "fingerprints": 3}
+
+
+def test_in_batch_duplicates_collapse_to_min_id(spark, tmp_path):
+    store = str(tmp_path / "fp")
+    b = _docs(spark, [(5, "same text"), (3, "same text"), (9, "other")])
+    out = idd.dedup_batch(b, store, 0)
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 9]
+
+
+def test_fingerprint_ignores_whitespace_and_case(spark, tmp_path):
+    store = str(tmp_path / "fp")
+    idd.dedup_batch(_docs(spark, [(1, "Hello  World")]), store, 0)
+    out = idd.dedup_batch(_docs(spark, [(2, "hello world")]), store, 1)
+    assert out.count() == 0  # normalized-text fingerprint collapses them
+
+
+def test_replay_is_dropped_whole(spark, tmp_path):
+    store = str(tmp_path / "fp")
+    b0 = _docs(spark, [(1, "a b c")])
+    assert idd.dedup_batch(b0, store, 0).count() == 1
+    # crash replay of batch 0: no re-admission, no store bloat
+    assert idd.dedup_batch(b0, store, 0) is None
+    assert idd.store_stats(spark, store) == {"versions": 1, "fingerprints": 1}
+
+    # next batch proceeds normally
+    out = idd.dedup_batch(_docs(spark, [(2, "d e f")]), store, 1)
+    assert out.count() == 1
+    assert idd.store_stats(spark, store)["fingerprints"] == 2
