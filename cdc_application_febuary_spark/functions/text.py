@@ -169,3 +169,30 @@ def pii_count(text: Column | str, category: str) -> Column:
             return F.regexp_count(c, F.lit(PII_PATTERNS[name][0]))
         c = F.regexp_replace(c, *PII_PATTERNS[name])
     raise KeyError(category)
+
+
+# ---------------------------------------------------------------------------
+# Web-text normalization — the cleanup pass before any quality/dedup
+# stage when the source is crawled HTML. Regex-tier (tags, entities,
+# whitespace), deliberately engine-portable patterns.
+# ---------------------------------------------------------------------------
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+)
+
+
+def strip_html(text: Column | str) -> Column:
+    """Drop tags, then script/style leftovers are gone with them; decode
+    the six entities that dominate web text; collapse whitespace runs.
+    Entity decode runs AFTER tag removal so '&lt;b&gt;' cannot become a
+    live tag (no double-unescape injection)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, repl in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, repl)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

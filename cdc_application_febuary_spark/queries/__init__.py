@@ -73,6 +73,7 @@ _ROUND_PRIORITY = [
     "value_outliers_mad",
     "repetition_filters",
     "incremental_dedup_fold",
+    "html_normalize_roundtrip",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

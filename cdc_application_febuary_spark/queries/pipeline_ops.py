@@ -3256,3 +3256,63 @@ def incremental_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "admitted_b0 bigint, admitted_b1 bigint, admitted_b2 bigint,"
         " total_admitted bigint",
     )
+
+
+@_q(
+    "html_normalize_roundtrip",
+    """
+WITH wrapped AS (
+  SELECT source,
+         '<div class="w"><p>' || text || '</p>&nbsp;<br/></div>' AS html,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS want
+  FROM documents
+),
+cleaned AS (
+  SELECT source, want,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(html, '<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''),
+           '\\s+', ' ', 'g')) AS got
+  FROM wrapped
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN got = want THEN 1 ELSE 0 END) AS BIGINT)
+         AS roundtrip_ok,
+       CAST(SUM(length(got)) AS BIGINT) AS clean_chars
+FROM cleaned
+GROUP BY source
+ORDER BY source
+""",
+)
+def html_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-text normalization (`functions/text.py:strip_html`) proven by
+    roundtrip: every document is wrapped in deterministic HTML (tags +
+    entities) on BOTH engines, stripped, and compared against its
+    whitespace-normalized original — tag removal, entity decode order,
+    and whitespace collapse must all agree for roundtrip_ok == n_docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit('<div class="w"><p>'),
+        F.col("text"),
+        F.lit("</p>&nbsp;<br/></div>"),
+    )
+    want = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    got = T.strip_html(wrapped)
+    return (
+        docs.select(
+            "source",
+            got.alias("got"),
+            want.alias("want"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("got") == F.col("want"), 1).otherwise(0)
+            ).cast("bigint").alias("roundtrip_ok"),
+            F.sum(F.length("got")).cast("bigint").alias("clean_chars"),
+        )
+        .orderBy("source")
+    )

@@ -51,3 +51,21 @@ def test_counts_match_redactions(spark):
         T.pii_count("text", "ssn").alias("s"),
     ).first()
     assert (row["e"], row["i"], row["p"], row["s"]) == (2, 1, 2, 0)
+
+
+# --- web-text normalization (same regex-tier family as PII) ---------------
+
+def test_strip_html_tags_and_entities(spark):
+    s = "<div class='x'>Hello &amp; welcome<br/>to   <b>Spark</b>&nbsp;!</div>"
+    assert _one(spark, s, T.strip_html("text")) == "Hello & welcome to Spark !"
+
+
+def test_strip_html_no_double_unescape(spark):
+    # '&lt;b&gt;' must surface as literal '<b>', not be re-stripped
+    s = "code: &lt;b&gt;bold&lt;/b&gt;"
+    assert _one(spark, s, T.strip_html("text")) == "code: <b>bold</b>"
+
+
+def test_strip_html_plain_text_untouched(spark):
+    s = "already clean text"
+    assert _one(spark, s, T.strip_html("text")) == s
