@@ -25,10 +25,16 @@ def funnel_times(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap=None,
 ) -> DataFrame:
     """One row per user who completed stage 1, with the earliest completion
     time of every stage reached in order (NULL once the chain breaks):
-    (user, t1, t2, ..., tk)."""
+    (user, t1, t2, ..., tk).
+
+    ``max_gap`` (same unit as ``ts_col``) time-boxes each transition: stage
+    i must land within ``max_gap`` of stage i-1 — the attribution-window
+    form ("purchased within 48h of the click"). The window bounds each
+    stage's candidate scan as a pure predicate; no extra state."""
     if not stages:
         raise ValueError("funnel needs at least one stage")
     cur = (
@@ -37,11 +43,14 @@ def funnel_times(
         .agg(F.min(ts_col).alias("t1"))
     )
     for i, stage in enumerate(stages[1:], start=2):
+        cond = F.col("__ts") > F.col("__prev")
+        if max_gap is not None:
+            cond = cond & (F.col("__ts") <= F.col("__prev") + F.lit(max_gap))
         nxt = (
             events.where(F.col(type_col) == stage)
             .select(F.col(user_col).alias("user"), F.col(ts_col).alias("__ts"))
             .join(cur.select("user", F.col(f"t{i - 1}").alias("__prev")), "user")
-            .where(F.col("__ts") > F.col("__prev"))
+            .where(cond)
             .groupBy("user")
             .agg(F.min("__ts").alias(f"t{i}"))
         )
@@ -55,12 +64,13 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap=None,
 ) -> DataFrame:
     """(stage_idx, stage, users, conversion_from_first) — users surviving
     each prefix of the ordered sequence. One funnel_times pass, one
     single-row aggregate unpivoted in-plan (no driver round-trip)."""
     k = len(stages)
-    times = funnel_times(events, stages, user_col, type_col, ts_col)
+    times = funnel_times(events, stages, user_col, type_col, ts_col, max_gap)
     wide = times.agg(
         *[F.count(F.col(f"t{i}")).alias(f"n{i}") for i in range(1, k + 1)]
     )

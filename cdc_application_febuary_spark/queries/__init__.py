@@ -61,6 +61,7 @@ _ROUND_PRIORITY = [
     "pack_documents",
     "contamination_check",
     "conversion_funnel",
+    "conversion_funnel_windowed",
     "value_drift_psi",
     "event_rate_anomalies",
     "bigram_merge_candidates",

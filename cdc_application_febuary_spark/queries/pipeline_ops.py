@@ -3316,3 +3316,42 @@ def html_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "conversion_funnel_windowed",
+    """
+WITH e AS (SELECT user_id AS u, event_type, epoch_ns(ts) AS tsn FROM events),
+s1 AS (SELECT u, MIN(tsn) AS t1 FROM e WHERE event_type = 'signup' GROUP BY u),
+s2 AS (SELECT e.u, MIN(e.tsn) AS t2 FROM e JOIN s1 ON e.u = s1.u
+       WHERE e.event_type = 'click' AND e.tsn > s1.t1
+         AND e.tsn <= s1.t1 + 172800000000000 GROUP BY e.u),
+s3 AS (SELECT e.u, MIN(e.tsn) AS t3 FROM e JOIN s2 ON e.u = s2.u
+       WHERE e.event_type = 'purchase' AND e.tsn > s2.t2
+         AND e.tsn <= s2.t2 + 172800000000000 GROUP BY e.u),
+cnt AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'signup' AS stage, n1 AS users,
+         ROUND(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM cnt
+  UNION ALL
+  SELECT 2, 'click', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM cnt
+  UNION ALL
+  SELECT 3, 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / n1, 6) FROM cnt
+)
+ORDER BY stage_idx
+""",
+)
+def conversion_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window funnel: each transition must land within 48h of
+    the previous stage (the 'purchased within 48h of the click' form).
+    Same staged min-aggregate plan as the unbounded funnel — the window
+    is a pure predicate, zero extra state."""
+    from ..catalog import load_events_raw
+    from ..operators import funnel
+
+    e = load_events_raw(spark, sf_dir).select("user_id", "event_type", "ts")
+    return funnel.funnel_counts(
+        e, ["signup", "click", "purchase"], max_gap=172_800_000_000_000
+    ).orderBy("stage_idx")

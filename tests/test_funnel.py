@@ -72,3 +72,28 @@ def test_requires_stages(spark):
     ev = _events(spark, [(1, "a", 1)])
     with pytest.raises(ValueError):
         funnel.funnel_times(ev, [])
+
+
+def test_max_gap_time_boxes_transitions(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "a", 10), (1, "b", 15),           # within gap 10
+            (2, "a", 10), (2, "b", 50),           # too late
+            (3, "a", 10), (3, "b", 40), (3, "b", 15),  # earliest within gap
+        ],
+    )
+    t = {
+        r["user"]: r["t2"]
+        for r in funnel.funnel_times(ev, ["a", "b"], max_gap=10).collect()
+    }
+    assert t[1] == 15
+    assert t[2] is None   # b exists but outside the window
+    assert t[3] == 15
+
+
+def test_gap_applies_per_transition_not_total(spark):
+    # a->b within gap, b->c within gap, but a->c total exceeds it: still converts
+    ev = _events(spark, [(1, "a", 0), (1, "b", 9), (1, "c", 18)])
+    row = funnel.funnel_times(ev, ["a", "b", "c"], max_gap=10).first()
+    assert (row["t1"], row["t2"], row["t3"]) == (0, 9, 18)
