@@ -75,6 +75,7 @@ _ROUND_PRIORITY = [
     "repetition_filters",
     "incremental_dedup_fold",
     "html_normalize_roundtrip",
+    "chi_square_type_band",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

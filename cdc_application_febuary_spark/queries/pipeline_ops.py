@@ -3355,3 +3355,69 @@ def conversion_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.funnel_counts(
         e, ["signup", "click", "purchase"], max_gap=172_800_000_000_000
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence: event type vs value band
+# ---------------------------------------------------------------------------
+@_q(
+    "chi_square_type_band",
+    """
+WITH c AS (
+  SELECT event_type AS t,
+         CASE WHEN value < 100 THEN 'low'
+              WHEN value < 300 THEN 'mid' ELSE 'high' END AS band,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(o) AS n FROM c),
+rows_ AS (SELECT t, SUM(o) AS rt FROM c GROUP BY t),
+cols_ AS (SELECT band, SUM(o) AS ct FROM c GROUP BY band)
+SELECT CAST((SELECT COUNT(*) FROM rows_) AS BIGINT) AS n_types,
+       CAST((SELECT COUNT(*) FROM cols_) AS BIGINT) AS n_bands,
+       CAST(((SELECT COUNT(*) FROM rows_) - 1)
+            * ((SELECT COUNT(*) FROM cols_) - 1) AS BIGINT) AS dof,
+       ROUND(SUM(POW(c.o - rows_.rt * cols_.ct / tot.n, 2)
+                 / (rows_.rt * cols_.ct / tot.n)), 4) AS chi2
+FROM c JOIN rows_ USING (t) JOIN cols_ USING (band) CROSS JOIN tot
+""",
+)
+def chi_square_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and value band:
+    contingency counts in one aggregation, expected frequencies from the
+    broadcast-sized marginals — the monitoring question 'did the value
+    distribution shift differently per event type'. Everything after the
+    single groupBy operates on (types x bands) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 100, "low")
+        .when(F.col("value") < 300, "mid")
+        .otherwise("high")
+    )
+    c = (
+        ev.select(F.col("event_type").alias("t"), band.alias("band"))
+        .groupBy("t", "band")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
+    )
+    rows_ = c.groupBy("t").agg(F.sum("o").alias("rt"))
+    cols_ = c.groupBy("band").agg(F.sum("o").alias("ct"))
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    joined = (
+        c.join(F.broadcast(rows_), "t")
+        .join(F.broadcast(cols_), "band")
+        .withColumn("n", F.sum("o").over(whole))
+        .withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
+    )
+    return joined.agg(
+        F.countDistinct("t").alias("n_types"),
+        F.countDistinct("band").alias("n_bands"),
+        ((F.countDistinct("t") - 1) * (F.countDistinct("band") - 1)).alias(
+            "dof"
+        ),
+        F.round(
+            F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e")), 4
+        ).alias("chi2"),
+    )
