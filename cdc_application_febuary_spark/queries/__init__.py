@@ -76,6 +76,7 @@ _ROUND_PRIORITY = [
     "incremental_dedup_fold",
     "html_normalize_roundtrip",
     "chi_square_type_band",
+    "benford_price_audit",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",

@@ -3421,3 +3421,51 @@ def chi_square_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e")), 4
         ).alias("chi2"),
     )
+
+
+@_q(
+    "benford_price_audit",
+    """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS tot FROM c)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / tot, 6) AS observed_frac,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_frac
+FROM c CROSS JOIN t
+ORDER BY digit
+""",
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals — the
+    fabricated-data screen: synthetic or tampered numeric columns diverge
+    from log10(1+1/d). Digit extraction is pure math (no string
+    formatting, so both engines agree exactly); one groupBy over 9 keys,
+    totals via a window over those 9 rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    whole = Window.partitionBy()
+    return (
+        c.withColumn("tot", F.sum("n").over(whole))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("observed_frac"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+                "benford_frac"
+            ),
+        )
+        .orderBy("digit")
+    )
