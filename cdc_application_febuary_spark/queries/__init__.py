@@ -50,33 +50,18 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 # right entries to fall outside an ~50 cap; r1-green queries fill the
 # back. Over rounds 2-3 every entry accumulates a driver verdict.
 _ROUND_PRIORITY = [
+    # r1 hash-fails, re-verified after the decimal->double fix
     "q10",
     "profile_orders",
     "asof_attribution",
-    "dedup_embedding",
-    "ivm_segment_totals",
-    "zorder_layout_stats",
-    "manifest_change_feed",
+    # round-2 flagship + the transactional/IVM/zorder tier (new, unchecked)
     "corpus_prep_funnel_v2",
     "pack_documents",
     "contamination_check",
-    "conversion_funnel",
-    "conversion_funnel_windowed",
-    "value_drift_psi",
-    "event_rate_anomalies",
-    "bigram_merge_candidates",
-    "curriculum_quartiles",
-    "part_name_jw_pairs",
-    "ann_topk_ivf_index",
-    "order_expectations",
-    "referential_integrity",
-    "corpus_report",
-    "value_outliers_mad",
-    "repetition_filters",
-    "incremental_dedup_fold",
-    "html_normalize_roundtrip",
-    "chi_square_type_band",
-    "benford_price_audit",
+    "ivm_segment_totals",
+    "zorder_layout_stats",
+    "manifest_change_feed",
+    # every oracle-paired query VERDICT r1 flagged as driver-unchecked
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
@@ -118,6 +103,27 @@ _ROUND_PRIORITY = [
     "daily_moving_avg",
     "tfidf_top_terms",
     "part_name_near_pairs",
+    # round-2 analytics past the 50th slot: oracle-paired and fully
+    # pytest-covered; they head the round-3 verdict rotation (and get
+    # checked this round if the driver's cap exceeds 50)
+    "conversion_funnel",
+    "conversion_funnel_windowed",
+    "value_drift_psi",
+    "event_rate_anomalies",
+    "bigram_merge_candidates",
+    "curriculum_quartiles",
+    "part_name_jw_pairs",
+    "ann_topk_ivf_index",
+    "incremental_dedup_fold",
+    "value_outliers_mad",
+    "repetition_filters",
+    "referential_integrity",
+    "corpus_report",
+    "order_expectations",
+    "html_normalize_roundtrip",
+    "chi_square_type_band",
+    "benford_price_audit",
+    "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by
     # pytest and most have an oracle-paired twin above
