@@ -123,6 +123,8 @@ _ROUND_PRIORITY = [
     "html_normalize_roundtrip",
     "chi_square_type_band",
     "benford_price_audit",
+    "ks_price_distance",
+    "attribution_models",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -3469,3 +3469,147 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample distance (exact tier)
+# ---------------------------------------------------------------------------
+@_q(
+    "ks_price_distance",
+    """
+WITH v AS (
+  SELECT o_totalprice AS x, o_orderstatus = 'F' AS is_b FROM orders
+),
+s AS (
+  SELECT x,
+         SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER w AS cb,
+         SUM(CASE WHEN is_b THEN 0 ELSE 1 END) OVER w AS co,
+         SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER () AS nb,
+         SUM(CASE WHEN is_b THEN 0 ELSE 1 END) OVER () AS no
+  FROM v
+  WINDOW w AS (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT ROUND(MAX(ABS(CAST(cb AS DOUBLE) / nb - CAST(co AS DOUBLE) / no)), 6)
+         AS ks_d,
+       CAST(MAX(nb) AS BIGINT) AS n_base,
+       CAST(MAX(no) AS BIGINT) AS n_obs
+FROM s
+""",
+)
+def ks_price_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between finished and
+    in-flight order totals — the nonparametric companion to the PSI
+    alarm (PSI localizes WHERE mass moved; KS bounds the worst CDF gap
+    with a distribution-free test). Exact tier: one global RANGE window
+    (ties share a CDF step on both engines); the 100 TB tier evaluates
+    the same max at approx-quantile grid points so no global sort is
+    needed."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderstatus") == "F").alias("is_b"),
+    )
+    w = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, 0)
+    whole = Window.partitionBy()
+    s = o.select(
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).over(w).alias("cb"),
+        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).over(w).alias("co"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).over(whole).alias("nb"),
+        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).over(whole).alias("no"),
+    )
+    return s.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cb").cast("double") / F.col("nb")
+                    - F.col("co").cast("double") / F.col("no")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        F.max("nb").cast("bigint").alias("n_base"),
+        F.max("no").cast("bigint").alias("n_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: first / last / linear credit per click
+# ---------------------------------------------------------------------------
+@_q(
+    "attribution_models",
+    """
+WITH e AS (SELECT user_id AS u, event_type, epoch_ns(ts) AS tsn, value
+           FROM events),
+p AS (SELECT u, tsn AS pt, value AS pv FROM e WHERE event_type = 'purchase'),
+c AS (SELECT u, tsn AS ct FROM e WHERE event_type = 'click'),
+touch AS (
+  SELECT p.u, p.pt, p.pv, c.ct,
+         ROW_NUMBER() OVER (PARTITION BY p.u, p.pt ORDER BY c.ct ASC)
+           AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY p.u, p.pt ORDER BY c.ct DESC)
+           AS rn_last,
+         COUNT(*) OVER (PARTITION BY p.u, p.pt) AS n_touch
+  FROM p JOIN c ON p.u = c.u AND c.ct < p.pt
+)
+SELECT COUNT(DISTINCT (u, pt)) AS attributed_purchases,
+       CAST(SUM(CASE WHEN rn_first = 1 THEN CAST(pv AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS first_touch_value,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN CAST(pv AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS last_touch_value,
+       CAST(SUM(CAST(pv / n_touch AS DECIMAL(18,6))) AS DOUBLE)
+         AS linear_touch_value
+FROM touch
+""",
+)
+def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution three ways over the same touch table: each
+    purchase's value credited to its FIRST preceding click, its LAST, and
+    spread LINEARLY over all of them. One join builds the (purchase,
+    click) touches; window ranks + a per-purchase count derive every
+    model without re-joining — first/last totals must equal each other
+    and the linear total (conservation), which the oracle checks by
+    value. Sums route through DECIMAL(18,2) (exact) then cast DOUBLE;
+    the linear shares are fixed to DECIMAL(18,6) before summing, so
+    all three totals are order-independent."""
+    from pyspark.sql import Window
+
+    from ..catalog import load_events_raw
+
+    e = load_events_raw(spark, sf_dir)
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pt"),
+        F.col("value").alias("pv"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("ct")
+    )
+    touch = p.join(c, (p.u == c.u) & (c.ct < p.pt)).select(
+        p.u, "pt", "pv", "ct"
+    )
+    wp = Window.partitionBy("u", "pt")
+    touch = touch.select(
+        "u",
+        "pt",
+        "pv",
+        F.row_number().over(wp.orderBy(F.col("ct").asc())).alias("rn_first"),
+        F.row_number().over(wp.orderBy(F.col("ct").desc())).alias("rn_last"),
+        F.count(F.lit(1)).over(wp).alias("n_touch"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(18,2)")
+    return touch.agg(
+        F.countDistinct("u", "pt").alias("attributed_purchases"),
+        F.sum(F.when(F.col("rn_first") == 1, dec("pv")).otherwise(zero))
+        .cast("double")
+        .alias("first_touch_value"),
+        F.sum(F.when(F.col("rn_last") == 1, dec("pv")).otherwise(zero))
+        .cast("double")
+        .alias("last_touch_value"),
+        F.sum((F.col("pv") / F.col("n_touch")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("linear_touch_value"),
+    )
