@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StructField, StructType
 
 from ..functions.text import fingerprint, word_shingles
 
@@ -156,14 +157,17 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(
+def band_table(
     sigs: DataFrame, bands: int = 16, rows_per_band: int = 2
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidate pairs
-    (a < b, distinct). The band key is a hash of the band's signature slice,
-    so the join key is a single long — a plain shuffle join, no cross join."""
+    """(id, band, bucket) — each signature exploded into its banded LSH
+    keys. The bucket is a hash of the band's signature slice, so every
+    downstream join keys on a single long. Shared by the batch self-join
+    (`lsh_candidates`) and the incremental store probe
+    (`incremental_dedup.near_dedup_batch`), which therefore agree on
+    candidate semantics by construction."""
     assert bands * rows_per_band <= 64, "signature too short for banding"
-    band_rows = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -185,6 +189,14 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs
+    (a < b, distinct). Plain shuffle join on the band key, no cross join."""
+    band_rows = band_table(sigs, bands, rows_per_band)
     # both self-join sides read band_rows — persist or the minhash
     # aggregation upstream runs twice
     band_rows = band_rows.persist()
@@ -558,7 +570,11 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = sorted((n, find(n)) for n in parent)
-        return spark.createDataFrame(rows, ["node", "component"])
+        node_t = pairs.schema[a_col].dataType
+        schema = StructType(
+            [StructField("node", node_t), StructField("component", node_t)]
+        )
+        return spark.createDataFrame(rows, schema)
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (

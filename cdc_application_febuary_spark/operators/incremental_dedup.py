@@ -89,3 +89,73 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
         "versions": v + 1,
         "fingerprints": mt.read_table(spark, store_path).count(),
     }
+
+
+def near_dedup_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame | None:
+    """Incremental NEAR-dedup: the MinHash band store (closing the gap the
+    exact-fingerprint store left).
+
+    Each admitted document's banded LSH keys (band, bucket) persist in a
+    manifest table; an incoming document sharing ANY band bucket with the
+    store is a near-duplicate candidate and is rejected — the same
+    OR-amplified candidate rule as the batch LSH join (`dedup.band_table`
+    is shared, so batch and incremental semantics cannot drift). In-batch
+    near-dups collapse first through candidate pairs -> connected
+    components keep-one. Store probes are an equi-join on the bucket long
+    against a bucket-clustered store (file-stat pruned); replay of a
+    committed batch id is dropped whole, exactly like ``dedup_batch``.
+
+    LSH-candidate rejection is deliberately verification-free (recall
+    over precision — the usual corpus-hygiene choice); callers wanting
+    exact-Jaccard confirmation join rejected ids back through
+    ``dedup.minhash_dedup_pairs`` on a bounded candidate set."""
+    from .dedup import band_table, dedup_clusters, lsh_candidates, minhash_signatures
+
+    spark = batch.sparkSession
+    seen_batch = last_committed_batch(spark, store_path)
+    if seen_batch is not None and batch_id <= seen_batch:
+        return None
+
+    sigs = minhash_signatures(
+        batch, id_col=id_col, text_col=text_col, num_hashes=num_hashes
+    ).persist()
+    bt = band_table(sigs, bands=bands).persist()
+
+    in_batch_losers = (
+        dedup_clusters(lsh_candidates(sigs, bands=bands))
+        .where(~F.col("keep"))
+        .select(F.col("doc_id").alias("id"))
+    )
+    survivors = bt.join(in_batch_losers, "id", "left_anti")
+    if mt.current_version(spark, store_path) is not None:
+        store = mt.read_table(spark, store_path).select("band", "bucket")
+        hit_ids = (
+            survivors.join(store, ["band", "bucket"], "left_semi")
+            .select("id")
+            .distinct()
+        )
+    else:
+        hit_ids = survivors.limit(0).select("id")
+    novel_ids = (
+        survivors.select("id").distinct()
+        .join(hit_ids, "id", "left_anti")
+        .persist()
+    )
+    mt.write_table(
+        bt.join(novel_ids, "id", "left_semi").select("band", "bucket"),
+        store_path,
+        ["bucket"],
+        mode="append",
+        meta={"batch_id": int(batch_id)},
+    )
+    return batch.join(
+        novel_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )

@@ -48,3 +48,56 @@ def test_replay_is_dropped_whole(spark, tmp_path):
     out = idd.dedup_batch(_docs(spark, [(2, "d e f")]), store, 1)
     assert out.count() == 1
     assert idd.store_stats(spark, store)["fingerprints"] == 2
+
+
+# --- near-dedup (MinHash band store) ---------------------------------------
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest tonight")
+NEAR = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest today")
+OTHER = ("completely different words about spark shuffles partitions "
+         "joins aggregates windows and parquet row groups everywhere")
+
+
+def test_near_dup_rejected_across_batches(spark, tmp_path):
+    from cdc_application_febuary_spark.operators.incremental_dedup import (
+        near_dedup_batch,
+    )
+
+    store = str(tmp_path / "bands")
+    out0 = near_dedup_batch(_docs(spark, [(1, BASE)]), store, 0)
+    assert [r["doc_id"] for r in out0.collect()] == [1]
+
+    # batch 1: a near-duplicate (one word changed) and a novel doc
+    out1 = near_dedup_batch(
+        _docs(spark, [(10, NEAR), (11, OTHER)]), store, 1
+    )
+    assert sorted(r["doc_id"] for r in out1.collect()) == [11]
+
+
+def test_in_batch_near_dups_collapse(spark, tmp_path):
+    from cdc_application_febuary_spark.operators.incremental_dedup import (
+        near_dedup_batch,
+    )
+
+    store = str(tmp_path / "bands")
+    out = near_dedup_batch(
+        _docs(spark, [(5, BASE), (3, NEAR), (9, OTHER)]), store, 0
+    )
+    # near-dup pair collapses to min id 3; 9 is unrelated
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 9]
+
+
+def test_near_replay_dropped(spark, tmp_path):
+    from cdc_application_febuary_spark.operators.incremental_dedup import (
+        near_dedup_batch,
+    )
+
+    store = str(tmp_path / "bands")
+    assert near_dedup_batch(_docs(spark, [(1, BASE)]), store, 0).count() == 1
+    assert near_dedup_batch(_docs(spark, [(1, BASE)]), store, 0) is None
+    # and the store did not grow a second version
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    assert mt.current_version(spark, store) == 0
