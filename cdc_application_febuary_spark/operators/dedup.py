@@ -213,6 +213,54 @@ def lsh_candidates(
     )
 
 
+def sig_pair_similarity(
+    pairs: DataFrame,
+    left_sigs: DataFrame,
+    right_sigs: DataFrame,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(a, b, est_jaccard): candidate pairs scored by the fraction of
+    agreeing MinHash positions — the unbiased signature estimate of
+    Jaccard (stderr ~ 1/sqrt(num_hashes), ~0.09 at 32 hashes).
+
+    This is the confirm tier that works when the ORIGINAL TEXT IS GONE:
+    the incremental band store (`incremental_dedup.near_dedup_batch`)
+    retains 256-byte signatures, not documents, so exact shingle Jaccard
+    (`minhash_dedup_pairs`) is unavailable against historical corpus
+    members. Two equi-joins on the pair ids + one Arrow-free JVM fold
+    per pair; no shuffle beyond the id joins.
+
+    `left_sigs`/`right_sigs` are (id, sig array<long>) as produced by
+    :func:`minhash_signatures`; duplicate sig rows (a replayed store
+    append) collapse through the max() — scoring is idempotent."""
+    scored = (
+        pairs.join(
+            left_sigs.select(F.col("id").alias("a"), F.col("sig").alias("__sa")),
+            "a",
+        )
+        .join(
+            right_sigs.select(F.col("id").alias("b"), F.col("sig").alias("__sb")),
+            "b",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with(
+                    "__sa",
+                    "__sb",
+                    lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.lit(float(num_hashes)),
+        )
+    )
+    return scored.groupBy("a", "b").agg(
+        F.max("est_jaccard").alias("est_jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -91,6 +91,10 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
     }
 
 
+def _sig_store_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "__sigs"
+
+
 def near_dedup_batch(
     batch: DataFrame,
     store_path: str,
@@ -99,49 +103,98 @@ def near_dedup_batch(
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 16,
+    confirm_threshold: float | None = None,
 ) -> DataFrame | None:
     """Incremental NEAR-dedup: the MinHash band store (closing the gap the
     exact-fingerprint store left).
 
-    Each admitted document's banded LSH keys (band, bucket) persist in a
-    manifest table; an incoming document sharing ANY band bucket with the
-    store is a near-duplicate candidate and is rejected — the same
-    OR-amplified candidate rule as the batch LSH join (`dedup.band_table`
-    is shared, so batch and incremental semantics cannot drift). In-batch
-    near-dups collapse first through candidate pairs -> connected
-    components keep-one. Store probes are an equi-join on the bucket long
-    against a bucket-clustered store (file-stat pruned); replay of a
-    committed batch id is dropped whole, exactly like ``dedup_batch``.
+    Each admitted document's banded LSH keys (id, band, bucket) persist in
+    a manifest table; an incoming document sharing ANY band bucket with the
+    store is a near-duplicate candidate — the same OR-amplified candidate
+    rule as the batch LSH join (`dedup.band_table` is shared, so batch and
+    incremental semantics cannot drift). In-batch near-dups collapse first
+    through candidate pairs -> connected components keep-one. Store probes
+    are an equi-join on the bucket long against a bucket-clustered store
+    (file-stat pruned); replay of a committed batch id is dropped whole,
+    exactly like ``dedup_batch``.
 
-    LSH-candidate rejection is deliberately verification-free (recall
-    over precision — the usual corpus-hygiene choice); callers wanting
-    exact-Jaccard confirmation join rejected ids back through
-    ``dedup.minhash_dedup_pairs`` on a bounded candidate set."""
-    from .dedup import band_table, dedup_clusters, lsh_candidates, minhash_signatures
+    Two rejection tiers:
+
+    * ``confirm_threshold=None`` (default): candidate = rejected.
+      Verification-free, recall over precision — the usual corpus-hygiene
+      choice.
+    * ``confirm_threshold=t``: a candidate is rejected only when its
+      signature-estimated Jaccard (`dedup.sig_pair_similarity`) against a
+      colliding store member is >= t. Exact shingle Jaccard is impossible
+      here — the store keeps 256-byte signatures, not historical text —
+      so the signature estimate (stderr ~1/sqrt(num_hashes)) is the
+      confirm metric; the same tier verifies in-batch candidate pairs so
+      both paths apply one rule.
+
+    A companion signature store (``<store_path>__sigs``) is always
+    written, so any store can be probed in confirm mode later. Sigs
+    commit BEFORE the band store: the band store's batch_id meta is the
+    admission marker, so a crash between the two writes leaves only
+    harmless duplicate sig rows on replay (collapsed by
+    ``sig_pair_similarity``'s max-aggregate), never a phantom admission."""
+    from .dedup import (
+        band_table,
+        dedup_clusters,
+        lsh_candidates,
+        minhash_signatures,
+        sig_pair_similarity,
+    )
 
     spark = batch.sparkSession
     seen_batch = last_committed_batch(spark, store_path)
     if seen_batch is not None and batch_id <= seen_batch:
         return None
 
+    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         batch, id_col=id_col, text_col=text_col, num_hashes=num_hashes
     ).persist()
-    bt = band_table(sigs, bands=bands).persist()
+    bt = band_table(sigs, bands=bands, rows_per_band=rows_per_band).persist()
 
+    cand = lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
+    if confirm_threshold is not None:
+        cand = sig_pair_similarity(cand, sigs, sigs, num_hashes).where(
+            F.col("est_jaccard") >= confirm_threshold
+        ).select("a", "b")
     in_batch_losers = (
-        dedup_clusters(lsh_candidates(sigs, bands=bands))
+        dedup_clusters(cand)
         .where(~F.col("keep"))
         .select(F.col("doc_id").alias("id"))
     )
     survivors = bt.join(in_batch_losers, "id", "left_anti")
     if mt.current_version(spark, store_path) is not None:
-        store = mt.read_table(spark, store_path).select("band", "bucket")
-        hit_ids = (
-            survivors.join(store, ["band", "bucket"], "left_semi")
-            .select("id")
-            .distinct()
-        )
+        store = mt.read_table(spark, store_path)
+        if confirm_threshold is not None:
+            pairs = (
+                survivors.alias("n")
+                .join(
+                    store.alias("s"),
+                    (F.col("n.band") == F.col("s.band"))
+                    & (F.col("n.bucket") == F.col("s.bucket")),
+                )
+                .select(F.col("n.id").alias("a"), F.col("s.id").alias("b"))
+                .distinct()
+            )
+            store_sigs = mt.read_table(spark, _sig_store_path(store_path))
+            hit_ids = (
+                sig_pair_similarity(pairs, sigs, store_sigs, num_hashes)
+                .where(F.col("est_jaccard") >= confirm_threshold)
+                .select(F.col("a").alias("id"))
+                .distinct()
+            )
+        else:
+            hit_ids = (
+                survivors.join(
+                    store.select("band", "bucket"), ["band", "bucket"], "left_semi"
+                )
+                .select("id")
+                .distinct()
+            )
     else:
         hit_ids = survivors.limit(0).select("id")
     novel_ids = (
@@ -150,7 +203,14 @@ def near_dedup_batch(
         .persist()
     )
     mt.write_table(
-        bt.join(novel_ids, "id", "left_semi").select("band", "bucket"),
+        sigs.join(novel_ids, "id", "left_semi").select("id", "sig"),
+        _sig_store_path(store_path),
+        ["id"],
+        mode="append",
+        meta={"batch_id": int(batch_id)},
+    )
+    mt.write_table(
+        bt.join(novel_ids, "id", "left_semi").select("id", "band", "bucket"),
         store_path,
         ["bucket"],
         mode="append",

@@ -89,6 +89,75 @@ def test_in_batch_near_dups_collapse(spark, tmp_path):
     assert sorted(r["doc_id"] for r in out.collect()) == [3, 9]
 
 
+def test_confirm_tier_rejects_true_near_dup(spark, tmp_path):
+    """Low confirm threshold: the genuine near-dup is still rejected, and
+    the companion signature store exists for future confirm probes."""
+    from cdc_application_febuary_spark.operators.incremental_dedup import (
+        _sig_store_path,
+        near_dedup_batch,
+    )
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    store = str(tmp_path / "bands")
+    near_dedup_batch(_docs(spark, [(1, BASE)]), store, 0)
+    out = near_dedup_batch(
+        _docs(spark, [(10, NEAR), (11, OTHER)]), store, 1,
+        confirm_threshold=0.2,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [11]
+    assert mt.current_version(spark, _sig_store_path(store)) == 1
+
+
+def test_confirm_tier_admits_low_similarity_candidate(spark, tmp_path):
+    """High confirm threshold: a bucket collision alone no longer rejects —
+    the signature-estimated Jaccard must clear the bar. BASE vs NEAR differ
+    in one word (est jaccard ~0.5), so at 0.95 the candidate is admitted,
+    across batches AND within a batch."""
+    from cdc_application_febuary_spark.operators.incremental_dedup import (
+        near_dedup_batch,
+    )
+
+    store = str(tmp_path / "bands")
+    near_dedup_batch(_docs(spark, [(1, BASE)]), store, 0)
+    out = near_dedup_batch(
+        _docs(spark, [(10, NEAR)]), store, 1, confirm_threshold=0.95
+    )
+    assert [r["doc_id"] for r in out.collect()] == [10]
+
+    store2 = str(tmp_path / "bands2")
+    out2 = near_dedup_batch(
+        _docs(spark, [(5, BASE), (3, NEAR)]), store2, 0,
+        confirm_threshold=0.95,
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [3, 5]
+
+    # exact replica is rejected even at the strict threshold
+    out3 = near_dedup_batch(
+        _docs(spark, [(7, BASE)]), store2, 1, confirm_threshold=0.95
+    )
+    assert out3.count() == 0
+
+
+def test_sig_pair_similarity_bounds(spark):
+    from cdc_application_febuary_spark.operators.dedup import (
+        minhash_signatures,
+        sig_pair_similarity,
+    )
+
+    docs = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)])
+    sigs = minhash_signatures(docs, num_hashes=32)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in sig_pair_similarity(pairs, sigs, sigs, 32).collect()
+    }
+    assert got[(1, 4)] == 1.0          # identical text -> identical sigs
+    assert 0.2 < got[(1, 2)] < 0.9     # near-dup: mid-range estimate
+    assert got[(1, 3)] < 0.2           # unrelated: near zero
+
+
 def test_near_replay_dropped(spark, tmp_path):
     from cdc_application_febuary_spark.operators.incremental_dedup import (
         near_dedup_batch,
