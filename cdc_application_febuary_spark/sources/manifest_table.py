@@ -61,19 +61,24 @@ def _manifest_dir(table_path: str) -> str:
     return f"{table_path.rstrip('/')}/_manifest"
 
 
-def current_version(spark: SparkSession, table_path: str) -> int | None:
-    """Highest committed manifest version, or None for an empty table."""
+def _list_versions(spark: SparkSession, table_path: str) -> list[int]:
     import re
 
     fs, mdir = _fs(spark, _manifest_dir(table_path))
     if not fs.exists(mdir):
-        return None
+        return []
     versions = []
     for st in fs.listStatus(mdir):
         m = re.fullmatch(r"v(\d+)\.json", st.getPath().getName())
         if m:
             versions.append(int(m.group(1)))
-    return max(versions) if versions else None
+    return sorted(versions)
+
+
+def current_version(spark: SparkSession, table_path: str) -> int | None:
+    """Highest committed manifest version, or None for an empty table."""
+    versions = _list_versions(spark, table_path)
+    return versions[-1] if versions else None
 
 
 def _read_manifest(spark: SparkSession, table_path: str, version: int) -> list[FileEntry]:
@@ -425,29 +430,50 @@ def vacuum(
     references. Time travel older than the kept window stops working —
     that is the retention trade, same as any lake format's VACUUM.
 
+    Cross-table refcounting closes the Delta-parity hole: every
+    ``shallow_clone`` registers itself with its source, and vacuum pins
+    any file that a LIVE clone's manifests (any version, transitively —
+    clones of clones included) still reference. Registrations whose
+    target table no longer exists are pruned on the way through, so a
+    dropped clone releases its pins at the source's next vacuum.
+
     Driver-side metadata work only: path sets come from the manifests; the
     listing walks the table's staging dirs, never opens data files.
     """
-    import re
     from urllib.parse import urlparse
 
     def _norm(p: str) -> str:
         return urlparse(p).path or p
 
-    versions = []
-    fs, mdir = _fs(spark, _manifest_dir(table_path))
-    if fs.exists(mdir):
-        for st in fs.listStatus(mdir):
-            m = re.fullmatch(r"v(\d+)\.json", st.getPath().getName())
-            if m:
-                versions.append(int(m.group(1)))
-    versions.sort()
+    versions = _list_versions(spark, table_path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     referenced = {
         _norm(e.path)
         for v in keep
         for e in _read_manifest(spark, table_path, v)
     }
+
+    # Pin files referenced by live shallow clones (transitive, cycle-safe).
+    clones_protecting = 0
+    stack = [table_path.rstrip("/")]
+    seen_tables = {_norm(table_path.rstrip("/"))}
+    while stack:
+        t = stack.pop()
+        for target in registered_clones(spark, t):
+            if _norm(target) in seen_tables:
+                continue
+            seen_tables.add(_norm(target))
+            clone_versions = _list_versions(spark, target)
+            if not clone_versions:
+                _deregister_clone(spark, t, target)  # clone was dropped
+                continue
+            clones_protecting += 1
+            stack.append(target)
+            referenced |= {
+                _norm(e.path)
+                for v in clone_versions
+                for e in _read_manifest(spark, target, v)
+            }
 
     data_removed = 0
     fs, tdir = _fs(spark, table_path.rstrip("/"))
@@ -478,6 +504,7 @@ def vacuum(
         "data_files_removed": data_removed,
         "manifests_removed": manifests_removed,
         "versions_kept": sorted(keep),
+        "clones_protecting": clones_protecting,
     }
 
 
@@ -582,6 +609,63 @@ def optimize_table(
     }
 
 
+def _clones_dir(table_path: str) -> str:
+    return f"{_manifest_dir(table_path)}/clones"
+
+
+def _clone_marker(spark: SparkSession, source_path: str, target_path: str):
+    import hashlib
+
+    name = hashlib.sha256(
+        target_path.rstrip("/").encode("utf-8")
+    ).hexdigest()[:20]
+    return _fs(spark, f"{_clones_dir(source_path)}/{name}.json")
+
+
+def _register_clone(
+    spark: SparkSession, source_path: str, target_path: str
+) -> None:
+    fs, cdir = _fs(spark, _clones_dir(source_path))
+    if not fs.exists(cdir):
+        fs.mkdirs(cdir)
+    _, marker = _clone_marker(spark, source_path, target_path)
+    if fs.exists(marker):
+        return
+    out = fs.create(marker, True)
+    try:
+        out.write(
+            json.dumps({"target": target_path.rstrip("/")}).encode("utf-8")
+        )
+    finally:
+        out.close()
+
+
+def _deregister_clone(
+    spark: SparkSession, source_path: str, target_path: str
+) -> None:
+    fs, marker = _clone_marker(spark, source_path, target_path)
+    if fs.exists(marker):
+        fs.delete(marker, False)
+
+
+def registered_clones(spark: SparkSession, table_path: str) -> list[str]:
+    """Target paths of every shallow clone registered against this table
+    (live-ness is NOT checked here — vacuum prunes dead registrations)."""
+    fs, cdir = _fs(spark, _clones_dir(table_path))
+    if not fs.exists(cdir):
+        return []
+    targets = []
+    for st in fs.listStatus(cdir):
+        if not st.getPath().getName().endswith(".json"):
+            continue
+        text = "\n".join(
+            r["value"]
+            for r in spark.read.text(st.getPath().toString()).collect()
+        )
+        targets.append(json.loads(text)["target"])
+    return sorted(targets)
+
+
 def shallow_clone(
     spark: SparkSession,
     source_path: str,
@@ -594,8 +678,13 @@ def shallow_clone(
     table stage fresh files and never touch shared ones. The clone is a
     dev/test/branching primitive — at 100 TB it costs one manifest write.
 
-    Caveat (same as Delta's): ``vacuum`` on the SOURCE can delete files the
-    clone still references — retention policy must span clones."""
+    The clone registers itself with the source (marker under the source's
+    ``_manifest/clones/``), and the source's ``vacuum`` pins every file a
+    live clone still references — closing the Delta caveat where a source
+    VACUUM could strand its clones. Registration is written BEFORE the
+    clone's manifest commit: a crash between the two leaves only a dead
+    registration, which the next source vacuum prunes; the opposite order
+    could leave an unprotected live clone."""
     if version is None:
         version = current_version(spark, source_path)
     if version is None:
@@ -603,6 +692,7 @@ def shallow_clone(
     entries = _read_manifest(spark, source_path, version)
     base = current_version(spark, target_path)
     next_v = 0 if base is None else base + 1
+    _register_clone(spark, source_path, target_path)
     _write_manifest_atomic(
         spark,
         target_path,

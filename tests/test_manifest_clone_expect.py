@@ -43,6 +43,61 @@ def test_clone_pins_a_version(spark, tmp_path):
     assert mt.read_table(spark, dst).count() == 10
 
 
+def test_vacuum_pins_files_a_live_clone_references(spark, tmp_path):
+    """Source VACUUM must not strand a shallow clone: the clone's
+    registration pins the shared files even after the source has moved on
+    and dropped the cloned version from its own retention window."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mt.write_table(_df(spark, 0, 100), src, ["k"])
+    mt.shallow_clone(spark, src, dst)
+    assert mt.registered_clones(spark, src) == [dst]
+
+    # source rewrites twice; keep_last=1 would normally free v0's files
+    mt.write_table(_df(spark, 200, 250), src, ["k"], mode="overwrite")
+    mt.write_table(_df(spark, 300, 350), src, ["k"], mode="overwrite")
+    stats = mt.vacuum(spark, src, keep_last=1)
+    assert stats["clones_protecting"] == 1
+
+    # the clone still reads the full original snapshot
+    assert mt.read_table(spark, dst).count() == 100
+    assert mt.read_table(spark, src).count() == 50
+
+
+def test_vacuum_prunes_dead_clone_and_frees_files(spark, tmp_path):
+    import shutil
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mt.write_table(_df(spark, 0, 100), src, ["k"])
+    mt.shallow_clone(spark, src, dst)
+    mt.write_table(_df(spark, 200, 250), src, ["k"], mode="overwrite")
+
+    shutil.rmtree(dst)  # drop the clone table entirely
+    stats = mt.vacuum(spark, src, keep_last=1)
+    assert stats["clones_protecting"] == 0
+    assert mt.registered_clones(spark, src) == []  # registration pruned
+    assert stats["data_files_removed"] > 0
+    assert mt.read_table(spark, src).count() == 50
+
+
+def test_vacuum_protects_clone_of_clone_transitively(spark, tmp_path):
+    """B = clone(A), A = clone(src). After A is overwritten AND vacuumed,
+    A's manifests no longer mention src's files — only the recursive walk
+    src -> A -> B still finds B's pins on src's original data."""
+    src = str(tmp_path / "src")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    mt.write_table(_df(spark, 0, 100), src, ["k"])
+    mt.shallow_clone(spark, src, a)
+    mt.shallow_clone(spark, a, b)
+
+    mt.write_table(_df(spark, 500, 510), a, ["k"], mode="overwrite")
+    mt.vacuum(spark, a, keep_last=1)  # drops A's v0 manifest
+
+    mt.write_table(_df(spark, 600, 610), src, ["k"], mode="overwrite")
+    stats = mt.vacuum(spark, src, keep_last=1)
+    assert stats["clones_protecting"] == 2  # A (live) and B (via A)
+    assert mt.read_table(spark, b).count() == 100  # B intact
+
+
 def test_expectations_gate_the_commit(spark, tmp_path):
     t = str(tmp_path / "t")
     bad = spark.createDataFrame(
