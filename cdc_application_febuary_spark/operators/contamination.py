@@ -19,10 +19,15 @@ dropped or decontaminated. The shape that survives 100 TB:
   direction (a 10k-token doc quoting an entire 40-token benchmark answer
   is contamination; 3 generic 5-grams are not).
 
-At larger-than-broadcast benchmark sizes, swap the broadcast for an
-equi-join on ``xxhash64(ngram)`` — same plan shape, one shuffle keyed by
-hash. This module keeps the literal-string join so the DuckDB oracle can
-replay it verbatim.
+At larger-than-broadcast benchmark sizes, ``join_mode="hash"`` swaps the
+broadcast for an equi-join on ``xxhash64(ngram)``: both sides project the
+n-gram to a 64-bit key before the join, so the shuffle moves 8-byte longs
+instead of repeated n-gram strings and no single executor must hold the
+benchmark set. (64-bit collisions add ~n_bench_ngrams/2^64 false-hit
+probability per corpus n-gram — negligible against the 0.5 overlap
+threshold.) The driver query keeps the literal-string broadcast mode so
+the DuckDB oracle can replay it verbatim; both modes are asserted equal
+in tests.
 """
 
 from __future__ import annotations
@@ -40,9 +45,17 @@ def ngram_overlap(
     text_col: str = "text",
     bench_id_col: str = "bench_id",
     bench_text_col: str = "text",
+    join_mode: str = "broadcast",
 ) -> DataFrame:
     """(doc_id, bench_id, overlap_ngrams, bench_ngrams, overlap_frac) for
-    every document/benchmark pair sharing at least one word n-gram."""
+    every document/benchmark pair sharing at least one word n-gram.
+
+    ``join_mode``: "broadcast" (benchmark n-grams broadcast, corpus never
+    shuffled — the MB-scale eval-suite case) or "hash" (shuffle equi-join
+    on xxhash64(ngram) — the beyond-broadcast case; see module docstring).
+    """
+    if join_mode not in ("broadcast", "hash"):
+        raise ValueError(f"unknown join_mode {join_mode!r}")
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.word_shingles(text_col, n)).alias("g"),
@@ -54,10 +67,14 @@ def ngram_overlap(
     bench_sizes = b.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("bench_ngrams")
     )
-    hits = (
-        d.join(F.broadcast(b), "g")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    if join_mode == "hash":
+        dh = d.select("doc_id", F.xxhash64("g").alias("gh"))
+        bh = b.select("bench_id", F.xxhash64("g").alias("gh"))
+        joined = dh.join(bh, "gh")
+    else:
+        joined = d.join(F.broadcast(b), "g")
+    hits = joined.groupBy("doc_id", "bench_id").agg(
+        F.count(F.lit(1)).alias("overlap_ngrams")
     )
     return hits.join(F.broadcast(bench_sizes), "bench_id").select(
         "doc_id",

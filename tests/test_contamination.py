@@ -57,6 +57,46 @@ def test_contaminated_docs_threshold(spark):
     assert hits[0]["max_overlap_frac"] == pytest.approx(1.0)
 
 
+def test_hash_join_mode_matches_broadcast_mode(spark):
+    """The beyond-broadcast path (shuffle join on xxhash64(ngram)) must
+    produce exactly the broadcast path's answer on real overlapping and
+    non-overlapping docs."""
+    bench = _df(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        ],
+        "bench_id",
+    )
+    docs = _df(
+        spark,
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog today suffix"),
+            (2, "w1 w2 w3 w4 w5 unrelated tail of words here"),
+            (3, "nothing in common with any benchmark item at all folks"),
+        ],
+    )
+    key = ["doc_id", "bench_id"]
+    bc = sorted(
+        contamination.ngram_overlap(docs, bench, n=5).collect(),
+        key=lambda r: (r["doc_id"], r["bench_id"]),
+    )
+    hj = sorted(
+        contamination.ngram_overlap(docs, bench, n=5, join_mode="hash").collect(),
+        key=lambda r: (r["doc_id"], r["bench_id"]),
+    )
+    assert [r.asDict() for r in bc] == [r.asDict() for r in hj]
+    # the hash variant joins on the 64-bit key, not the literal string
+    plan = contamination.ngram_overlap(
+        docs, bench, n=5, join_mode="hash"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
+
+    with pytest.raises(ValueError):
+        contamination.ngram_overlap(docs, bench, join_mode="nope")
+
+
 def test_plan_broadcasts_benchmark(spark):
     bench = _df(spark, [(100, "a b c d e f")], "bench_id")
     docs = _df(spark, [(1, "a b c d e f g")])
