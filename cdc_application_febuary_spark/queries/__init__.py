@@ -125,6 +125,9 @@ _ROUND_PRIORITY = [
     "benford_price_audit",
     "ks_price_distance",
     "attribution_models",
+    "heavy_hitter_users",
+    "retention_cohorts",
+    "rfm_segments",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -3613,3 +3613,102 @@ def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("linear_touch_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters, cohort retention, RFM segmentation (round-2 additions)
+# ---------------------------------------------------------------------------
+@_q(
+    "heavy_hitter_users",
+    """
+WITH src AS (SELECT user_id AS value FROM events WHERE user_id IS NOT NULL),
+     c AS (SELECT value, COUNT(*) AS cnt FROM src GROUP BY 1),
+     t AS (SELECT COUNT(*) AS n FROM src)
+SELECT value, cnt, ROUND(CAST(cnt AS DOUBLE) / n, 6) AS frac
+FROM c, t
+WHERE cnt * 140 > n
+ORDER BY cnt DESC, value
+""",
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the event stream's user key: every user
+    holding > 1/140 of all events. Candidate generation is batch-local
+    (vectorized value_counts, superset by pigeonhole), then a broadcast
+    semi-join confirms with exact counts — the full-key-space shuffle of
+    a naive groupBy never happens (`operators/frequent.py`)."""
+    from ..operators import frequent
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequent.heavy_hitters(ev, "user_id", 140)
+
+
+@_q(
+    "retention_cohorts",
+    """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS week FROM events
+),
+m AS (
+  SELECT u, week, MIN(week) OVER (PARTITION BY u) AS cohort_week FROM uw
+),
+g AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+         COUNT(*) AS active_users
+  FROM m GROUP BY 1, 2
+),
+s AS (SELECT cohort_week, active_users AS cohort_size FROM g WHERE week_offset = 0)
+SELECT CAST(g.cohort_week AS TIMESTAMP) AS cohort_week,
+       g.week_offset, g.active_users, s.cohort_size,
+       ROUND(CAST(g.active_users AS DOUBLE) / s.cohort_size, 6) AS retention_rate
+FROM g JOIN s USING (cohort_week)
+ORDER BY 1, 2
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over events: users bucketed by
+    first-active week, re-activity counted per later week. Events collapse
+    to distinct (user, week) in the first shuffle; everything after is
+    entity-bounded (`operators/retention.py`)."""
+    from ..operators import retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention.cohort_retention(ev)
+
+
+@_q(
+    "rfm_segments",
+    """
+WITH pc AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+a AS (SELECT MAX(last_order) AS max_date FROM pc),
+s AS (
+  SELECT custkey, frequency, monetary,
+         NTILE(5) OVER (ORDER BY date_diff('day', last_order, max_date) ASC,
+                        custkey ASC) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, custkey ASC) AS m_score
+  FROM pc, a
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS customers,
+       CAST(SUM(monetary) AS DOUBLE) AS sum_monetary
+FROM s GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of customers by their order history,
+    scored with `operators/ranking.scalable_ntile` (exact ANSI NTILE
+    semantics, no single-partition window) — the DuckDB oracle uses plain
+    NTILE, so the hash match doubles as a distributed-ranking proof.
+    Segment value is the exact decimal sum cast to double (an average
+    rounded to cents can straddle engines' double-rounding ties)."""
+    from ..operators import retention
+
+    orders = load_table(spark, sf_dir, "orders")
+    return retention.rfm_segments(orders, quantiles=5)
