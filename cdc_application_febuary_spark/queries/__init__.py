@@ -128,6 +128,9 @@ _ROUND_PRIORITY = [
     "heavy_hitter_users",
     "retention_cohorts",
     "rfm_segments",
+    "user_value_gap_fill",
+    "event_interarrival_stats",
+    "event_transitions",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

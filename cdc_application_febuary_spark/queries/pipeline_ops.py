@@ -3712,3 +3712,108 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return retention.rfm_segments(orders, quantiles=5)
+
+
+# ---------------------------------------------------------------------------
+# Time-series: gap-filled rollup, inter-arrival stats, Markov transitions
+# ---------------------------------------------------------------------------
+@_q(
+    "user_value_gap_fill",
+    """
+WITH s AS (
+  SELECT user_id AS key, date_trunc('day', ts) AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM s GROUP BY 1),
+grid AS (
+  SELECT key, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket_ts
+  FROM spans
+),
+j AS (
+  SELECT g.key, g.bucket_ts, s.value,
+         epoch(g.bucket_ts) AS t,
+         LAST_VALUE(s.value IGNORE NULLS) OVER w_before AS pv,
+         LAST_VALUE(CASE WHEN s.value IS NOT NULL THEN epoch(g.bucket_ts) END IGNORE NULLS) OVER w_before AS pt,
+         FIRST_VALUE(s.value IGNORE NULLS) OVER w_after AS nv,
+         FIRST_VALUE(CASE WHEN s.value IS NOT NULL THEN epoch(g.bucket_ts) END IGNORE NULLS) OVER w_after AS nt
+  FROM grid g LEFT JOIN s USING (key, bucket_ts)
+  WINDOW w_before AS (PARTITION BY key ORDER BY g.bucket_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_after AS (PARTITION BY key ORDER BY g.bucket_ts
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT key, bucket_ts,
+       COALESCE(value, pv + (nv - pv) * ((t - pt) / (nt - pt))) AS value,
+       value IS NULL AS filled
+FROM j
+ORDER BY key, bucket_ts
+""",
+)
+def user_value_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: per-user daily value sums on a dense daily
+    grid, interior gaps linearly interpolated (`operators/timeseries.py`).
+    The grid is generated per key from its own span (no global calendar
+    cross join); fills are IGNORE-NULLS window lookups, not per-gap
+    self-joins."""
+    from ..operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    s = timeseries.bucket_series(ev, "user_id", "ts", "value", "day")
+    return timeseries.gap_fill_interpolate(s, 86400)
+
+
+@_q(
+    "event_interarrival_stats",
+    """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                 ORDER BY ts, event_id)) / 1e6 AS gap_s
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(AVG(gap_s), 4) AS mean_gap_s,
+       ROUND(MAX(gap_s), 4) AS max_gap_s,
+       ROUND(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1 ORDER BY event_type
+""",
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap profile per event type — the feed-health signal a
+    CDC monitor watches (a growing p95 gap means the source stalled).
+    Exact percentiles, computed per key partition."""
+    from ..operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.interarrival_stats(ev, "event_type", "ts", "event_id")
+
+
+@_q(
+    "event_transitions",
+    """
+WITH seq AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+  FROM events
+),
+pairs AS (
+  SELECT from_state, to_state, COUNT(*) AS cnt
+  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_state, SUM(cnt) AS out_cnt FROM pairs GROUP BY 1)
+SELECT p.from_state, p.to_state, p.cnt,
+       ROUND(CAST(p.cnt AS DOUBLE) / t.out_cnt, 6) AS prob
+FROM pairs p JOIN tot t USING (from_state)
+ORDER BY from_state, to_state
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    which event types follow which. Per-user lead() then a |states|^2
+    aggregation — the classic product-analytics path matrix."""
+    from ..operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
