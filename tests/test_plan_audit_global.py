@@ -43,6 +43,10 @@ SCALAR_BROADCAST_OK = {
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
     "tfidf_top_terms",
+    # 1-row total-count broadcast for the > N/k threshold (frequent.py)
+    "heavy_hitter_users",
+    # 1-row max-order-date anchor for recency scoring (retention.py)
+    "rfm_segments",
 }
 
 
