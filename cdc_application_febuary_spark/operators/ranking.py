@@ -68,6 +68,62 @@ def with_global_rank(df: DataFrame, order_by, rank_col: str = "rank") -> DataFra
     return out
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order_by,
+    value_col: str,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Exact running total of ``value_col`` over a global total order,
+    without a single-partition window — the same partition-offset plan as
+    :func:`with_global_rank`, with per-partition VALUE sums as the
+    offsets. ``value_col`` must be exact-typed (decimal/integral): the
+    offsets are collected to the driver and re-injected as literals, which
+    is only sound when partition-sum + offset-add are exact arithmetic
+    (double offsets would make the result partitioning-dependent)."""
+    from decimal import Decimal
+
+    dtype = dict(df.dtypes)[value_col]
+    if dtype.startswith(("double", "float")):
+        raise ValueError(
+            "with_global_cumsum needs an exact value type (decimal/int), "
+            f"got {dtype}: cast first"
+        )
+    cols = _as_sort_cols(order_by)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, Decimal(0)
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += Decimal(str(sums[pid] if sums[pid] is not None else 0))
+    wide = "decimal(38,6)" if dtype.startswith("decimal") else "bigint"
+    omap = F.create_map(
+        *[
+            x
+            for pid, off in offsets.items()
+            for x in (F.lit(pid), F.lit(str(off)).cast(wide))
+        ]
+    ) if offsets else F.create_map()
+    local = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranged.withColumn(
+        out_col,
+        (F.sum(value_col).over(local).cast(wide) + omap[F.col("__pid")]).cast(
+            wide
+        ),
+    ).drop("__pid")
+
+
 def scalable_ntile(
     df: DataFrame, n: int, order_by, out_col: str = "ntile"
 ) -> DataFrame:

@@ -131,6 +131,9 @@ _ROUND_PRIORITY = [
     "user_value_gap_fill",
     "event_interarrival_stats",
     "event_transitions",
+    "yoy_revenue_growth",
+    "pareto_abc_parts",
+    "triangle_copurchase",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

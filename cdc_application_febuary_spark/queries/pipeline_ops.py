@@ -3817,3 +3817,153 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return timeseries.transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Revenue analytics (YoY, Pareto/ABC) and co-purchase graph
+# ---------------------------------------------------------------------------
+@_q(
+    "yoy_revenue_growth",
+    """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT c.month,
+       CAST(c.rev AS DOUBLE) AS revenue,
+       CAST(p.rev AS DOUBLE) AS prev_year_revenue,
+       ROUND((CAST(c.rev AS DOUBLE) - CAST(p.rev AS DOUBLE))
+             / CAST(p.rev AS DOUBLE) * 100, 4) AS yoy_pct
+FROM m c JOIN m p ON c.month = p.month + INTERVAL 1 YEAR
+ORDER BY c.month
+""",
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth: exact-decimal monthly
+    sums, then a self-equi-join of the (tiny) month table against itself
+    shifted 12 months — no window over raw orders, no global sort of
+    anything bigger than months."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    c, p = m.alias("c"), m.alias("p")
+    rev_c = F.col("c.rev").cast("double")
+    rev_p = F.col("p.rev").cast("double")
+    return (
+        c.join(p, F.col("c.month") == F.add_months(F.col("p.month"), 12))
+        .select(
+            F.col("c.month").alias("month"),
+            rev_c.alias("revenue"),
+            rev_p.alias("prev_year_revenue"),
+            F.round((rev_c - rev_p) / rev_p * 100, 4).alias("yoy_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+@_q(
+    "pareto_abc_parts",
+    """
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(rev) OVER () AS total
+  FROM pr
+),
+cls AS (
+  SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev, total
+  FROM c
+)
+SELECT abc_class, COUNT(*) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6) AS revenue_share
+FROM cls GROUP BY 1 ORDER BY abc_class
+""",
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification: parts ranked by revenue, the
+    cumulative-share curve cut at 80%/95%. The running total uses
+    `ranking.with_global_cumsum` (partition-offset exact cumsum over
+    DECIMAL — no single-partition window), so the classification step
+    parallelizes over any part count; the oracle's plain window cumsum
+    proves it exact."""
+    from ..operators.ranking import with_global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))")
+        ).alias("rev")
+    )
+    total = pr.agg(F.sum("rev").alias("total"))
+    c = with_global_cumsum(
+        pr, [F.desc("rev"), F.asc("l_partkey")], "rev", "cum"
+    ).crossJoin(F.broadcast(total))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    cls = c.select(
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "rev",
+        "total",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@_q(
+    "triangle_copurchase",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+  ) GROUP BY 1
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT COUNT(*) FROM e) AS n_edges,
+         (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT COUNT(*) FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       ROUND(3.0 * n_triangles / n_wedges, 6) AS transitivity
+FROM agg
+""",
+)
+def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph triangle census: parts bought together in one
+    order form edges; triangles measure assortment clustering. Spark
+    counts on DEGREE-ORIENTED edges (O(m^1.5) bound, hub-proof —
+    `operators/graph.py`); the oracle's naive u<v join proves the count
+    on fixture scale, where naive is still feasible."""
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.triangle_stats(edges)

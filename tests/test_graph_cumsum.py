@@ -1,0 +1,97 @@
+"""Triangle counting (degree-oriented) and scalable exact cumsum."""
+
+from decimal import Decimal
+
+import pytest
+
+from pyspark.sql import Window, functions as F
+
+from cdc_application_febuary_spark.operators import graph, ranking
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_triangle_stats_known_graph(spark):
+    # K4 on {1,2,3,4}: 6 edges, 4 triangles, 12 wedges, transitivity 1.0
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    r = graph.triangle_stats(_edges(spark, k4)).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        4, 6, 12, 4,
+    )
+    assert r["transitivity"] == 1.0
+
+
+def test_triangle_stats_hub_star_has_no_triangles(spark):
+    # star: hub 0 to 50 leaves — wedges but zero triangles
+    star = [(0, i) for i in range(1, 51)]
+    r = graph.triangle_stats(_edges(spark, star)).first()
+    assert r["n_triangles"] == 0
+    assert r["n_wedges"] == 50 * 49 // 2
+    assert r["transitivity"] == 0.0
+
+
+def test_triangle_stats_matches_naive_on_random_graph(spark):
+    import random
+
+    rng = random.Random(3)
+    pairs = {
+        (a, b)
+        for _ in range(300)
+        for a, b in [sorted(rng.sample(range(30), 2))]
+    }
+    e = _edges(spark, sorted(pairs))
+    got = graph.triangle_stats(e).first()["n_triangles"]
+    es = set(pairs)
+    naive = sum(
+        1
+        for (a, b) in es
+        for c in range(30)
+        if b < c and (b, c) in es and (a, c) in es
+    )
+    assert got == naive > 0
+
+
+def test_cooccurrence_edges_dedup_across_groups(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30)], "g long, i long"
+    )
+    got = {
+        (r["u"], r["v"])
+        for r in graph.cooccurrence_edges(df, "g", "i").collect()
+    }
+    assert got == {(10, 20), (10, 30), (20, 30)}
+
+
+def test_global_cumsum_matches_window_reference(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, Decimal(rng.randint(0, 10_000)) / 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v decimal(18,2)")
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["cum"]
+        for r in ranking.with_global_cumsum(df, order, "v", "cum").collect()
+    }
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum",
+            F.sum("v")
+            .over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("decimal(38,6)"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_rejects_double(spark):
+    df = spark.createDataFrame([(1, 1.5)], "id long, v double")
+    with pytest.raises(ValueError):
+        ranking.with_global_cumsum(df, ["id"], "v")

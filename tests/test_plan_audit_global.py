@@ -47,6 +47,10 @@ SCALAR_BROADCAST_OK = {
     "heavy_hitter_users",
     # 1-row max-order-date anchor for recency scoring (retention.py)
     "rfm_segments",
+    # 1-row graph-census aggregates crossed together (graph.py)
+    "triangle_copurchase",
+    # 1-row corpus-revenue total for the share denominator (pareto)
+    "pareto_abc_parts",
 }
 
 
