@@ -241,12 +241,14 @@ def _decode_bmp(content: bytes) -> "np.ndarray":
 
 
 def decode_image(content: bytes) -> "np.ndarray":
-    """Decode PNG/PPM/BMP bytes to an (H, W, C) uint8 numpy array.
+    """Decode PNG/PPM/BMP/JPEG bytes to an (H, W, C) uint8 numpy array.
 
     Uses PIL when importable; otherwise the pure-Python decoders above
-    (stdlib zlib + numpy — nothing beyond the baked-in deps). Raises
-    NotImplementedError for formats needing codecs this container lacks
-    (JPEG DCT, video/audio)."""
+    (stdlib zlib + numpy — nothing beyond the baked-in deps). JPEG runs
+    through the engine's own baseline codec (`functions/jpeg.py` —
+    baseline sequential 4:4:4/grayscale; progressive or subsampled files
+    raise with a precise message). Video stays NotImplementedError —
+    container formats genuinely need ffmpeg."""
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -262,9 +264,16 @@ def decode_image(content: bytes) -> "np.ndarray":
         return _decode_ppm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[:2] == b"\xff\xd8":
+        import numpy as np
+
+        from ..functions.jpeg import decode_jpeg
+
+        arr = decode_jpeg(content)
+        return arr if arr.ndim == 3 else np.stack([arr] * 3, axis=-1)
     raise NotImplementedError(
-        "only PNG/PPM/BMP decodable without external codecs (JPEG/video "
-        "need libjpeg/ffmpeg, absent in this container)"
+        "only PNG/PPM/BMP/baseline-JPEG decodable without external codecs "
+        "(video needs ffmpeg, absent in this container)"
     )
 
 

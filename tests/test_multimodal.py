@@ -38,7 +38,11 @@ def test_extract_features_schema(spark):
 
 def test_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 not decodable here")  # JPEG magic
+        decode_image(b"GIF89a not decodable here")  # no GIF codec
+    # JPEG now decodes via functions/jpeg.py; malformed bytes raise
+    # ValueError from the codec, not NotImplementedError
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 not a real scan")
 
 
 def test_metadata_stats_prunes_content(spark, tmp_path):
