@@ -345,6 +345,39 @@ def synthetic_media_png(spark, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
+def synthetic_media_mixed(spark, n: int = 48) -> DataFrame:
+    """Image table mixing REAL in-process encodings across formats —
+    JPEG (the engine's own baseline codec), PNG, and binary PPM — so the
+    decode path exercises every dispatch branch in one corpus. Patterns
+    are smooth gradients (JPEG-friendly: the lossy roundtrip stays within
+    a few gray levels, keeping luma statistics meaningful)."""
+    import numpy as np
+
+    from ..functions.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)),
+                (yy * 255 // max(h - 1, 1)),
+                np.full_like(xx, i * 5 % 256),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        if i % 3 == 0:
+            fmt, payload = "jpeg", encode_jpeg(arr, quality=90)
+        elif i % 3 == 1:
+            fmt, payload = "png", encode_png(arr)
+        else:
+            fmt = "ppm"
+            payload = b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+        rows.append((i, "image", fmt, bytearray(payload), w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """Real per-image decode over mapInPandas: width/height/channels and
     mean luminance from the actual pixels. Decode failures land in

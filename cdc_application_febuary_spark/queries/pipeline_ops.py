@@ -1339,12 +1339,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("multimodal_decode")  # rows-only: PNG payloads are generated in-process
+@_q("multimodal_decode")  # rows-only: payloads are generated in-process
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end: deterministic PNGs through the pure
-    numpy/zlib codec inside mapInPandas, aggregated by decoded geometry.
-    Every row decodes (decode_error count asserts zero quarantines)."""
-    media = multimodal.synthetic_media_png(spark, n=48)
+    """REAL image decode end-to-end: a JPEG/PNG/PPM format mix through the
+    pure numpy codecs (incl. the engine's own baseline JPEG) inside
+    mapInPandas, aggregated by decoded geometry. Every row decodes
+    (decode_error count asserts zero quarantines)."""
+    media = multimodal.synthetic_media_mixed(spark, n=48)
     feats = multimodal.decode_features(media)
     return (
         feats.groupBy("width", "height", "channels")

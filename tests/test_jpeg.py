@@ -67,3 +67,23 @@ def test_decode_image_dispatches_jpeg():
     arr = decode_image(jpeg.encode_jpeg(g, quality=95))
     assert arr.shape == (8, 8, 3)
     assert int(arr.mean()) == 77
+
+
+def test_mixed_corpus_decodes_every_format(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media_mixed(spark, n=12)
+    assert {r["format"] for r in media.select("format").distinct().collect()} == {
+        "jpeg", "png", "ppm",
+    }
+    feats = mm.decode_features(media).collect()
+    assert len(feats) == 12
+    assert all(r["decode_error"] is None for r in feats)
+    meta = {r["media_id"]: r for r in media.collect()}
+    for r in feats:
+        assert (r["width"], r["height"]) == (
+            meta[r["media_id"]]["width"], meta[r["media_id"]]["height"],
+        )
+        assert r["channels"] == 3
