@@ -134,6 +134,7 @@ _ROUND_PRIORITY = [
     "yoy_revenue_growth",
     "pareto_abc_parts",
     "triangle_copurchase",
+    "value_equidepth_hist",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -3968,3 +3968,41 @@ def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return graph.triangle_stats(edges)
+
+
+@_q(
+    "value_equidepth_hist",
+    """
+WITH b AS (
+  SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM b GROUP BY 1 ORDER BY bucket
+""",
+)
+def value_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of the event value distribution:
+    10 exact NTILE buckets via `ranking.scalable_ntile` (partition-offset
+    plan — the global sort parallelizes via range partitioning instead of
+    funneling through one window task), each with its exact bounds and
+    decimal-exact mass."""
+    from ..operators.ranking import scalable_ntile
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select("event_id", "value")
+    b = scalable_ntile(ev, 10, [F.asc("value"), F.asc("event_id")], "bucket")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )
