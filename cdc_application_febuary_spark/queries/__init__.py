@@ -147,6 +147,7 @@ _ROUND_PRIORITY = [
     "embedding_pca_variance",
     "audio_decode",
     "value_percentiles_approx",
+    "value_quantile_sketch",
     "multimodal_features",
     "multimodal_decode",
     "multimodal_thumbnails",

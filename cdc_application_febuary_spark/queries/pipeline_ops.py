@@ -4006,3 +4006,17 @@ def value_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_q("value_quantile_sketch")  # rows-only: sketch estimates are approximate
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (`operators/qsketch.py`): per-user
+    K-centroid summaries of event values, merged into global quantile
+    estimates — the sketch-once/merge-forever pattern; raw values sort
+    only inside their own shard. The oracle-paired exact twin is
+    `value_percentiles`."""
+    from ..operators import qsketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = qsketch.shard_quantile_sketches(ev, "value", "user_id", k=64)
+    return qsketch.merge_quantiles(sk, [0.25, 0.5, 0.75, 0.95])
