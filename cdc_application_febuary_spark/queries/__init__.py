@@ -135,6 +135,7 @@ _ROUND_PRIORITY = [
     "pareto_abc_parts",
     "triangle_copurchase",
     "value_equidepth_hist",
+    "bloom_filtered_revenue",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

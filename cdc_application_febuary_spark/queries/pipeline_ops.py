@@ -4020,3 +4020,48 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sk = qsketch.shard_quantile_sketches(ev, "value", "user_id", k=64)
     return qsketch.merge_quantiles(sk, [0.25, 0.5, 0.75, 0.95])
+
+
+@_q(
+    "bloom_filtered_revenue",
+    """
+SELECT l.l_linestatus,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def bloom_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue through a bloom-prefiltered join
+    (`operators/bloomjoin.py`): the urgent orderkeys' bloom bitset filters
+    lineitem map-side BEFORE the join — the runtime-filter pattern for
+    dimensions too big to broadcast as rows. Bloom false positives die in
+    the exact equi-join, so the oracle is the plain SQL join."""
+    from ..operators import bloomjoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    joined = bloomjoin.bloom_prefilter_join(
+        li, urgent, "l_orderkey", m_bits=1 << 17
+    )
+    return (
+        joined.groupBy("l_linestatus")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
