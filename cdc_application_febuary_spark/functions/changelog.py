@@ -121,3 +121,62 @@ def stamp_full_load(df: DataFrame, ts_ms: Column | None = None) -> DataFrame:
         .withColumn("__source_ts_ms", ts.cast("long"))
         .withColumn("__deleted", F.lit(None).cast("string"))
     )
+
+
+def net_changes(
+    changelog: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "__op",
+) -> DataFrame:
+    """Collapse a changelog batch to its NET effect per key — the minimal
+    diff a downstream consumer must apply (what log-compacted topics and
+    MERGE batching do; the reference replays every event row-by-row,
+    `cdc_event_logger.py` consumer loop).
+
+    Per key, ordered by ``order_cols`` (must be a total order within the
+    batch — include a sequence/LSN tiebreaker):
+
+    * first op create + last op delete  -> ``none`` (key flickered into
+      and out of existence inside the batch; downstream never sees it)
+    * first op create, last op not d    -> ``insert`` (emit final image)
+    * first op not create, last op d    -> ``delete``
+    * otherwise                          -> ``update`` (emit final image)
+
+    One window pass over the batch (row_number ascending + descending on
+    the same sort), then a self-join-free filter — the batch shuffles once
+    on the key. Ops are normalized through ``normalize_op`` first, so
+    Debezium codes and full-load 'r' rows both work ('r' counts as
+    create: replaying a snapshot row then deleting it nets to nothing
+    downstream)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    wd = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() if isinstance(c, str) else c.desc() for c in order_cols]
+    )
+    op = normalize_op(F.col(op_col))
+    marked = changelog.withColumn("__rn_a", F.row_number().over(w)).withColumn(
+        "__rn_d", F.row_number().over(wd)
+    ).withColumn("__norm_op", op)
+    firsts = marked.where(F.col("__rn_a") == 1).select(
+        *key_cols, F.col("__norm_op").alias("__first_op")
+    )
+    lasts = marked.where(F.col("__rn_d") == 1).drop("__rn_a", "__rn_d")
+    joined = lasts.join(firsts, key_cols)
+    # normalize_op folds c AND r into "insert": a snapshot read ('r')
+    # followed by an in-batch delete nets to nothing downstream, same as
+    # a create would
+    is_create_first = F.col("__first_op") == "insert"
+    is_delete_last = F.col("__norm_op") == "delete"
+    net = (
+        F.when(is_create_first & is_delete_last, "none")
+        .when(is_create_first, "insert")
+        .when(is_delete_last, "delete")
+        .otherwise("update")
+    )
+    return (
+        joined.withColumn("__net", net)
+        .withColumn("__last_op", F.col("__norm_op"))
+        .drop("__norm_op")
+    )

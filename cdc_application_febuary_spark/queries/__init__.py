@@ -136,6 +136,7 @@ _ROUND_PRIORITY = [
     "triangle_copurchase",
     "value_equidepth_hist",
     "bloom_filtered_revenue",
+    "changelog_net_effect",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -4065,3 +4065,58 @@ def bloom_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@_q(
+    "changelog_net_effect",
+    """
+WITH cl AS (
+  SELECT user_id,
+         CASE event_type WHEN 'signup' THEN 'c'
+                         WHEN 'error' THEN 'd'
+                         ELSE 'u' END AS op,
+         ts, event_id
+  FROM events
+),
+m AS (
+  SELECT user_id, op,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM cl
+),
+f AS (SELECT user_id, op AS first_op FROM m WHERE rn_a = 1),
+l AS (SELECT user_id, op AS last_op FROM m WHERE rn_d = 1),
+net AS (
+  SELECT CASE WHEN f.first_op = 'c' AND l.last_op = 'd' THEN 'none'
+              WHEN f.first_op = 'c' THEN 'insert'
+              WHEN l.last_op = 'd' THEN 'delete'
+              ELSE 'update' END AS net
+  FROM f JOIN l USING (user_id)
+)
+SELECT net, COUNT(*) AS n_keys FROM net GROUP BY 1 ORDER BY net
+""",
+)
+def changelog_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch compaction: a synthetic changelog (events mapped to
+    c/u/d by type) collapsed to the minimal per-key net effect via
+    `functions/changelog.net_changes` — what a MERGE-batching sink or a
+    log-compacted topic forwards downstream instead of replaying every
+    event."""
+    from ..functions.changelog import net_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    cl = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("__op"),
+        "ts",
+        "event_id",
+    )
+    net = net_changes(cl, ["user_id"], ["ts", "event_id"])
+    return (
+        net.groupBy(F.col("__net").alias("net"))
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("net")
+    )

@@ -95,3 +95,43 @@ def test_stamp_full_load(spark):
     assert out["__op"] == "r"
     assert out["__source_ts_ms"] == 1700000000123
     assert out["__deleted"] is None
+
+
+# --- net-effect batch compaction -------------------------------------------
+
+def _cl(spark, rows):
+    return spark.createDataFrame(rows, "k long, __op string, seq long")
+
+
+def test_net_changes_classification(spark):
+    from cdc_application_febuary_spark.functions.changelog import net_changes
+
+    rows = [
+        (1, "c", 0), (1, "u", 1),             # insert (create then update)
+        (2, "c", 0), (2, "u", 1), (2, "d", 2),  # none (flicker)
+        (3, "u", 0), (3, "u", 1),             # update
+        (4, "u", 0), (4, "d", 1),             # delete
+        (5, "r", 0), (5, "d", 1),             # none ('r' counts as create)
+        (6, "c", 0),                          # insert (single create)
+    ]
+    out = {
+        r["k"]: r["__net"]
+        for r in net_changes(_cl(spark, rows), ["k"], ["seq"]).collect()
+    }
+    assert out == {
+        1: "insert", 2: "none", 3: "update", 4: "delete", 5: "none",
+        6: "insert",
+    }
+
+
+def test_net_changes_carries_final_image(spark):
+    from cdc_application_febuary_spark.functions.changelog import net_changes
+
+    df = spark.createDataFrame(
+        [(1, "c", 0, "v0"), (1, "u", 1, "v1"), (1, "u", 2, "v2")],
+        "k long, __op string, seq long, payload string",
+    )
+    r = net_changes(df, ["k"], ["seq"]).first()
+    assert r["payload"] == "v2"       # the LAST image, not the first
+    assert r["__first_op"] == "insert"
+    assert r["__net"] == "insert"
