@@ -112,6 +112,60 @@ def read_commit_meta(
     return doc.get("meta", {}) if isinstance(doc, dict) else {}
 
 
+def _pinned_schema(spark: SparkSession, table_path: str, version: int):
+    """The schema recorded in a commit's metadata (None on pre-evolution
+    commits). Schema lives in the LOG, not in data-file footers — the
+    Delta/Iceberg design: reads don't sniff footers, and files written
+    before a column existed read back with NULLs for it."""
+    from pyspark.sql.types import StructType
+
+    try:
+        meta = read_commit_meta(spark, table_path, version)
+    except FileNotFoundError:
+        return None
+    sj = meta.get("schema")
+    return StructType.fromJson(json.loads(sj)) if sj else None
+
+
+def _read_entries(
+    spark: SparkSession, table_path: str, version: int, entries: list
+) -> DataFrame:
+    schema = _pinned_schema(spark, table_path, version)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*[e.path for e in entries])
+
+
+def _evolved_schema(
+    spark: SparkSession,
+    table_path: str,
+    base: int | None,
+    df: DataFrame,
+    mode: str,
+):
+    """Commit-time schema: overwrite takes the batch's schema; append
+    widens the recorded schema with the batch's NEW columns (same-name
+    type conflicts raise — silent coercion corrupts downstream)."""
+    from pyspark.sql.types import StructType
+
+    if mode != "append" or base is None:
+        return df.schema
+    prev = _pinned_schema(spark, table_path, base)
+    if prev is None:
+        return df.schema
+    by_name = {f.name: f for f in prev.fields}
+    for f in df.schema.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            by_name[f.name] = f
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"schema conflict on column {f.name!r}: table has "
+                f"{have.dataType.simpleString()}, batch has "
+                f"{f.dataType.simpleString()}"
+            )
+    return StructType(list(by_name.values()))
+
+
 def _write_manifest_atomic(
     spark: SparkSession,
     table_path: str,
@@ -195,7 +249,7 @@ def read_table(
     entries = _read_manifest(spark, table_path, version)
     if not entries:
         raise FileNotFoundError(f"version {version} of {table_path} is empty")
-    return spark.read.parquet(*[e.path for e in entries])
+    return _read_entries(spark, table_path, version, entries)
 
 
 def version_as_of(
@@ -256,11 +310,14 @@ def write_table(
     time-travel/GC, unreferenced)."""
     spark = df.sparkSession
     base = current_version(spark, table_path)
+    schema = _evolved_schema(spark, table_path, base, df, mode)
     entries = _stage_files(df, table_path, key_cols)
     if mode == "append" and base is not None:
         entries = _read_manifest(spark, table_path, base) + entries
     next_v = 0 if base is None else base + 1
-    _write_manifest_atomic(spark, table_path, next_v, entries, meta=meta)
+    full_meta = dict(meta or {})
+    full_meta["schema"] = schema.json()
+    _write_manifest_atomic(spark, table_path, next_v, entries, meta=full_meta)
     return next_v
 
 
@@ -324,19 +381,27 @@ def merge_upsert(
     new_entries = list(untouched)
     rewritten = 0
     if touched:
-        old = spark.read.parquet(*[e.path for e in touched])
+        old = _read_entries(spark, table_path, base, touched)
         survivors = old.join(
             F.broadcast(changes.select(*key_cols).distinct()),
             key_cols,
             "left_anti",
         )
-        merged = survivors.unionByName(live_changes)
+        # allowMissingColumns: an evolving batch may add columns the old
+        # files lack (they read back NULL under the widened log schema)
+        merged = survivors.unionByName(live_changes, allowMissingColumns=True)
         new_entries += _stage_files(merged, table_path, key_cols)
         rewritten = len(touched)
     else:
         new_entries += _stage_files(live_changes, table_path, key_cols)
 
-    _write_manifest_atomic(spark, table_path, base + 1, new_entries, meta=meta)
+    full_meta = dict(meta or {})
+    full_meta["schema"] = _evolved_schema(
+        spark, table_path, base, live_changes, "append"
+    ).json()
+    _write_manifest_atomic(
+        spark, table_path, base + 1, new_entries, meta=full_meta
+    )
     return {
         "version": base + 1,
         "files_total": len(entries),
@@ -530,7 +595,7 @@ def lookup_keys(
         for e in entries
         if any(_overlaps(e, k, k, key_cols) for k in keys)
     ]
-    template = spark.read.parquet(*[e.path for e in entries]).limit(0)
+    template = _read_entries(spark, table_path, version, entries).limit(0)
     if not candidates:
         return template
     pred = None
@@ -540,7 +605,7 @@ def lookup_keys(
             cond = F.col(c) == F.lit(k[c])
             clause = cond if clause is None else (clause & cond)
         pred = clause if pred is None else (pred | clause)
-    return spark.read.parquet(*[e.path for e in candidates]).where(pred)
+    return _read_entries(spark, table_path, version, candidates).where(pred)
 
 
 def optimize_table(
@@ -584,7 +649,7 @@ def optimize_table(
             "files_rewritten": 0,
         }
 
-    df = spark.read.parquet(*[e.path for e in rewrite])
+    df = _read_entries(spark, table_path, base, rewrite)
     n_rows = sum(e.rows for e in rewrite)
     n_files = target_files or max(1, min(len(rewrite), (n_rows + 7) // 8))
     if zorder_cols:
@@ -594,12 +659,16 @@ def optimize_table(
     else:
         packed = df.repartitionByRange(n_files, *key_cols)
     new_entries = keep + _stage_files(packed, table_path, key_cols)
+    opt_meta = {"operation": "optimize", "files_rewritten": len(rewrite)}
+    prev_schema = _pinned_schema(spark, table_path, base)
+    if prev_schema is not None:
+        opt_meta["schema"] = prev_schema.json()
     _write_manifest_atomic(
         spark,
         table_path,
         base + 1,
         new_entries,
-        meta={"operation": "optimize", "files_rewritten": len(rewrite)},
+        meta=opt_meta,
     )
     return {
         "version": base + 1,
@@ -692,14 +761,16 @@ def shallow_clone(
     entries = _read_manifest(spark, source_path, version)
     base = current_version(spark, target_path)
     next_v = 0 if base is None else base + 1
+    clone_meta = {
+        "operation": "clone",
+        "source": source_path,
+        "source_version": version,
+    }
+    src_schema = _pinned_schema(spark, source_path, version)
+    if src_schema is not None:
+        clone_meta["schema"] = src_schema.json()
     _register_clone(spark, source_path, target_path)
-    _write_manifest_atomic(
-        spark,
-        target_path,
-        next_v,
-        entries,
-        meta={"operation": "clone", "source": source_path, "source_version": version},
-    )
+    _write_manifest_atomic(spark, target_path, next_v, entries, meta=clone_meta)
     return next_v
 
 

@@ -29,11 +29,14 @@ def test_append_then_replay_is_dropped(spark, tmp_path):
 def test_marker_rides_the_atomic_commit(spark, tmp_path):
     t = str(tmp_path / "t")
     ms.append_batch(_batch(spark, [1], "b0"), 7, t, ["k"])
-    assert mt.read_commit_meta(spark, t, 0) == {"batch_id": 7}
-    # metadata-less commits (plain batch writers) still read back fine
+    meta0 = mt.read_commit_meta(spark, t, 0)
+    assert meta0["batch_id"] == 7
+    assert "schema" in meta0  # every commit records its schema in the log
+    # marker-less commits (plain batch writers) still read back fine
     mt.write_table(_batch(spark, [9], "x"), t, ["k"], mode="append")
-    assert mt.read_commit_meta(spark, t, 1) == {}
-    # batch watermark survives interleaved metadata-less commits
+    meta1 = mt.read_commit_meta(spark, t, 1)
+    assert "batch_id" not in meta1 and "schema" in meta1
+    # batch watermark survives interleaved marker-less commits
     assert ms.last_committed_batch(spark, t) == 7
 
 

@@ -1,0 +1,88 @@
+"""Schema evolution on manifest tables: log-tracked schemas, widening
+appends, NULL-backfilled reads of pre-evolution files, evolving MERGE."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_application_febuary_spark.sources import manifest_table as mt
+
+
+def _v1(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+
+
+def _v2(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("a"),
+        F.concat(F.lit("x"), F.col("id")).alias("b"),
+    )
+
+
+def test_append_widens_schema_and_backfills_nulls(spark, tmp_path):
+    t = str(tmp_path / "t")
+    mt.write_table(_v1(spark, 0, 10), t, ["k"])
+    mt.write_table(_v2(spark, 10, 15), t, ["k"], mode="append")
+
+    df = mt.read_table(spark, t)
+    assert df.columns == ["k", "a", "b"]
+    assert df.count() == 15
+    # pre-evolution rows read back with NULL b; new rows carry values
+    assert df.where(F.col("k") < 10).where(F.col("b").isNotNull()).count() == 0
+    assert df.where(F.col("k") >= 10).where(F.col("b").isNull()).count() == 0
+
+    # time travel to v0 sees the ORIGINAL two-column schema
+    v0 = mt.read_table(spark, t, version=0)
+    assert v0.columns == ["k", "a"]
+
+
+def test_append_type_conflict_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    mt.write_table(_v1(spark, 0, 5), t, ["k"])
+    bad = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("a")
+    )
+    with pytest.raises(ValueError, match="schema conflict"):
+        mt.write_table(bad, t, ["k"], mode="append")
+
+
+def test_overwrite_resets_schema(spark, tmp_path):
+    t = str(tmp_path / "t")
+    mt.write_table(_v2(spark, 0, 5), t, ["k"])
+    mt.write_table(_v1(spark, 0, 5), t, ["k"], mode="overwrite")
+    assert mt.read_table(spark, t).columns == ["k", "a"]
+
+
+def test_merge_upsert_evolves_schema(spark, tmp_path):
+    t = str(tmp_path / "t")
+    mt.write_table(_v1(spark, 0, 10), t, ["k"])
+    changes = _v2(spark, 5, 12)  # overlaps keys 5-9, adds column b
+    mt.merge_upsert(spark, t, changes, ["k"])
+
+    df = mt.read_table(spark, t)
+    assert set(df.columns) == {"k", "a", "b"}
+    assert df.count() == 12
+    got = {r["k"]: r["b"] for r in df.collect()}
+    assert got[7] == "x7" and got[11] == "x11"
+    assert all(got[k] is None for k in range(0, 5))
+
+
+def test_clone_carries_schema(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mt.write_table(_v1(spark, 0, 10), src, ["k"])
+    mt.write_table(_v2(spark, 10, 12), src, ["k"], mode="append")
+    mt.shallow_clone(spark, src, dst)
+    assert mt.read_table(spark, dst).columns == ["k", "a", "b"]
+
+
+def test_optimize_preserves_evolved_schema(spark, tmp_path):
+    t = str(tmp_path / "t")
+    mt.write_table(_v1(spark, 0, 10), t, ["k"])
+    mt.write_table(_v2(spark, 10, 15), t, ["k"], mode="append")
+    mt.optimize_table(spark, t, ["k"])
+    df = mt.read_table(spark, t)
+    assert df.columns == ["k", "a", "b"]
+    assert df.count() == 15
+    # rows that predate the column survived the rewrite with NULLs intact
+    assert df.where((F.col("k") < 10) & F.col("b").isNotNull()).count() == 0
