@@ -86,3 +86,31 @@ def test_optimize_preserves_evolved_schema(spark, tmp_path):
     assert df.count() == 15
     # rows that predate the column survived the rewrite with NULLs intact
     assert df.where((F.col("k") < 10) & F.col("b").isNotNull()).count() == 0
+
+
+def test_streaming_restart_with_drifted_source_widens_target(spark, tmp_path):
+    """The CDC schema-drift story end-to-end: a source adds a column, the
+    stream restarts (Debezium semantics — schema changes arrive across
+    restarts), and the exactly-once sink WIDENS the target instead of
+    failing or forking a new table. Pre-drift rows read back with NULLs;
+    replayed batch ids are still dropped whole."""
+    from cdc_application_febuary_spark.streaming import manifest_sink as ms
+
+    t = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "a")], "k long, payload string")
+    assert ms.append_batch(b0, 0, t, ["k"]) == 0
+
+    # restart: source schema drifted — a new `region` column appears
+    b1 = spark.createDataFrame(
+        [(2, "b", "eu")], "k long, payload string, region string"
+    )
+    assert ms.append_batch(b1, 1, t, ["k"]) == 1
+
+    df = mt.read_table(spark, t)
+    assert df.columns == ["k", "payload", "region"]
+    got = {r["k"]: r["region"] for r in df.collect()}
+    assert got == {1: None, 2: "eu"}
+
+    # crash replay of the drifted batch: dropped whole, schema unchanged
+    assert ms.append_batch(b1, 1, t, ["k"]) is None
+    assert mt.read_table(spark, t).count() == 2
