@@ -134,3 +134,36 @@ def train_val_test_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of exactly ``k`` rows
+    (or all rows when fewer), via the Efraimidis-Spirakis A-ES key:
+    ``key = u^(1/w)`` with ``u = unit_hash(id, seed)`` — the top-k rows by
+    key are a weighted sample. P(row in sample) increases with its weight,
+    and the draw is a pure function of (id set, weights, seed):
+    reproducible across runs and partitionings, like every sampler here.
+
+    Plan shape: one key expression + a distributed top-k
+    (TakeOrderedAndProject via orderBy/limit) — no shuffle of the
+    un-sampled rows, no per-source counts. Rows with weight <= 0 or NULL
+    never qualify. Computed in log space (``ln(u)/w``, maximizing) for
+    numerical stability at tiny weights."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    # ln(u) in (-inf, 0); dividing by w makes larger weights -> closer to 0
+    key = F.log(_unit_hash(id_col, seed)) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__aes_key", key)
+        .orderBy(F.desc("__aes_key"))
+        .limit(k)
+        .drop("__aes_key")
+    )

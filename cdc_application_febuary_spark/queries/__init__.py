@@ -154,6 +154,7 @@ _ROUND_PRIORITY = [
     "multimodal_decode",
     "multimodal_thumbnails",
     "documents_mixture",
+    "documents_weighted_sample",
 ]
 
 

@@ -4120,3 +4120,24 @@ def changelog_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy("net")
     )
+
+
+@_q("documents_weighted_sample")  # rows-only: hash-seeded draw
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (`sampling.weighted_sample`,
+    Efraimidis-Spirakis keys): documents drawn proportionally to their
+    text length — the 'sample more of what's substantial' mixture step.
+    Deterministic for a fixed seed; plan is key-expression + distributed
+    top-k, no shuffle of the unsampled corpus."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    picked = weighted_sample(docs, "w", 200, "doc_id", seed=7)
+    return picked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("w").cast("decimal(18,2)")).cast("double").alias("sampled_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

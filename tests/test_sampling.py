@@ -85,3 +85,49 @@ def test_mixture_rejects_empty_source(spark, ids):
             {"a": 0.5, "b": 0.5},
             id_col="doc_id",
         )
+
+
+# --- weighted sampling (A-ES) ----------------------------------------------
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    from cdc_application_febuary_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 + (i % 5)) for i in range(500)], "id long, w double"
+    )
+    s1 = sorted(r["id"] for r in weighted_sample(df, "w", 50, "id", seed=3).collect())
+    s2 = sorted(r["id"] for r in weighted_sample(df, "w", 50, "id", seed=3).collect())
+    assert s1 == s2 and len(s1) == 50
+    # partitioning-invariant: same draw from a different layout
+    s3 = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(17), "w", 50, "id", seed=3).collect()
+    )
+    assert s1 == s3
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.operators.sampling import weighted_sample
+
+    # 100 heavy rows (w=50) among 1900 light rows (w=1): heavies should
+    # dominate a k=100 sample across seeds
+    df = spark.createDataFrame(
+        [(i, 50.0 if i < 100 else 1.0) for i in range(2000)], "id long, w double"
+    )
+    heavy_counts = []
+    for seed in range(5):
+        got = weighted_sample(df, "w", 100, "id", seed=seed)
+        heavy_counts.append(got.where(F.col("id") < 100).count())
+    assert min(heavy_counts) > 50  # ~72% expected; uniform would give ~5
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from cdc_application_febuary_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "id long, w double"
+    )
+    got = [r["id"] for r in weighted_sample(df, "w", 10, "id").collect()]
+    assert got == [4]
