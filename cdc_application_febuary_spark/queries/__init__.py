@@ -137,6 +137,7 @@ _ROUND_PRIORITY = [
     "value_equidepth_hist",
     "bloom_filtered_revenue",
     "changelog_net_effect",
+    "document_chunks",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

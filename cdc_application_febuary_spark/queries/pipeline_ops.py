@@ -4141,3 +4141,55 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@_q(
+    "document_chunks",
+    """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, words,
+         UNNEST(generate_series(0, len(words) - 1, 24)) AS start_word
+  FROM w WHERE len(words) > 0
+),
+c AS (
+  SELECT doc_id, start_word,
+         words[start_word + 1 : start_word + 32] AS chunk
+  FROM s
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(len(chunk)) AS BIGINT) AS total_chunk_words,
+       md5(string_agg(array_to_string(chunk, ' '), '|' ORDER BY start_word))
+         AS chunks_md5
+FROM c GROUP BY 1 ORDER BY doc_id
+""",
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (`operators/chunking.py`): 32-word
+    windows with 8-word overlap, verified to the byte — the oracle md5's
+    every chunk's text in offset order, so a single word placed in the
+    wrong window would hash-fail."""
+    from ..operators.chunking import chunk_by_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_by_words(docs, chunk_size=32, overlap=8)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("start_word", "chunk_text"))
+    )
+    return (
+        ch.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_words").cast("bigint").alias("total_chunk_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(ordered, lambda x: x["chunk_text"]), "|"
+                )
+            ).alias("chunks_md5"),
+        )
+        .orderBy("doc_id")
+    )
