@@ -35,9 +35,11 @@ def chunk_by_words(
         raise ValueError("need 0 <= overlap < chunk_size")
     step = chunk_size - overlap
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = docs.select(
-        F.col(id_col).alias("id"), words.alias("__w")
-    ).where(F.size(words) > 0)
+    # blank text splits to [""] (size 1) in Spark AND DuckDB — the trim
+    # guard, not the size guard, is what drops empty documents
+    base = docs.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("id"), words.alias("__w"))
     exploded = base.select(
         "id",
         "__w",

@@ -4149,11 +4149,12 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
   FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
 ),
 s AS (
   SELECT doc_id, words,
          UNNEST(generate_series(0, len(words) - 1, 24)) AS start_word
-  FROM w WHERE len(words) > 0
+  FROM w
 ),
 c AS (
   SELECT doc_id, start_word,
