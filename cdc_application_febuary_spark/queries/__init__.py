@@ -138,6 +138,7 @@ _ROUND_PRIORITY = [
     "bloom_filtered_revenue",
     "changelog_net_effect",
     "document_chunks",
+    "event_trend_slopes",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

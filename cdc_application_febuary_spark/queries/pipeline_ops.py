@@ -4194,3 +4194,60 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "event_trend_slopes",
+    """
+WITH d AS (
+  SELECT event_type,
+         date_diff('day', TIMESTAMP '2024-01-01',
+                   CAST(date_trunc('day', ts) AS TIMESTAMP)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM d GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+       ROUND((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6) AS intercept
+FROM s ORDER BY event_type
+""",
+)
+def event_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event-volume trend: least-squares slope of daily counts
+    over day index. All regression moments are EXACT integer sums
+    (day-index x count), so the closed-form slope/intercept divisions are
+    bit-identical across engines — no floating accumulation anywhere.
+    Growth/decay alarms for a CDC feed reduce to `slope_per_day`."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp")
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    ).orderBy("event_type")
