@@ -139,6 +139,7 @@ _ROUND_PRIORITY = [
     "changelog_net_effect",
     "document_chunks",
     "event_trend_slopes",
+    "change_feed_attribution",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

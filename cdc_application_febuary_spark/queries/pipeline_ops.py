@@ -4251,3 +4251,73 @@ def event_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("intercept"),
     ).orderBy("event_type")
+
+
+@_q(
+    "change_feed_attribution",
+    """
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+         CAST(c_nationkey AS BIGINT) AS nation
+  FROM customer
+),
+upd AS (SELECT * FROM c WHERE k % 7 = 0 AND k % 13 <> 0),
+del AS (SELECT * FROM c WHERE k % 13 = 0),
+ins AS (SELECT * FROM c WHERE k % 11 = 0)
+SELECT * FROM (
+  SELECT 'deleted' AS metric, COUNT(*) AS cnt FROM del
+  UNION ALL SELECT 'inserted', COUNT(*) FROM ins
+  UNION ALL SELECT 'updated', COUNT(*) FROM upd
+  UNION ALL SELECT 'updated:c_name',
+    (SELECT COUNT(*) FROM upd WHERE k % 2 = 0 AND upper(c_name) <> c_name)
+  UNION ALL SELECT 'updated:nation', COUNT(*) FROM upd
+)
+ORDER BY metric
+""",
+)
+def change_feed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level drift attribution through a real table lifecycle:
+    commit customers, MERGE a batch that bumps `nation` for every updated
+    key but rewrites `c_name` only for the even ones, then ask the change
+    feed WHICH columns changed how often
+    (`manifest_table.change_feed_column_stats`). The oracle states the
+    expected attribution directly from the update rule."""
+    import tempfile
+
+    from ..sources import manifest_table as mt
+
+    t = tempfile.mkdtemp(prefix="manifest_cfa_") + "/t"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").cast("bigint").alias("k"),
+            "c_name",
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+        )
+        .coalesce(4)
+    )
+    mt.write_table(cust, t, ["k"])
+
+    upd = (
+        cust.where((F.col("k") % 7 == 0) & (F.col("k") % 13 != 0))
+        .withColumn("nation", F.col("nation") + 100)
+        .withColumn(
+            "c_name",
+            F.when(F.col("k") % 2 == 0, F.upper("c_name")).otherwise(
+                F.col("c_name")
+            ),
+        )
+    )
+    dele = cust.where(F.col("k") % 13 == 0)
+    ins = cust.where(F.col("k") % 11 == 0).select(
+        (-F.col("k") - 1).alias("k"),
+        F.lit("new").alias("c_name"),
+        F.lit(0).cast("bigint").alias("nation"),
+    )
+    changes = (
+        upd.withColumn("is_del", F.lit(False))
+        .unionByName(dele.withColumn("is_del", F.lit(True)))
+        .unionByName(ins.withColumn("is_del", F.lit(False)))
+    )
+    mt.merge_upsert(spark, t, changes, ["k"], delete_col="is_del")
+    return mt.change_feed_column_stats(spark, t, 0, 1, ["k"])

@@ -114,3 +114,27 @@ def test_streaming_restart_with_drifted_source_widens_target(spark, tmp_path):
     # crash replay of the drifted batch: dropped whole, schema unchanged
     assert ms.append_batch(b1, 1, t, ["k"]) is None
     assert mt.read_table(spark, t).count() == 2
+
+
+def test_change_feed_column_stats_attribution(spark, tmp_path):
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    mt.write_table(base, t, ["k"])
+    chg = spark.createDataFrame(
+        [(1, "a", 11, False),   # v changed, s unchanged
+         (2, "B", 20, False),   # s changed, v unchanged
+         (3, None, None, True), # delete
+         (9, "new", 90, False)],  # insert
+        "k long, s string, v long, is_del boolean",
+    )
+    mt.merge_upsert(spark, t, chg, ["k"], delete_col="is_del")
+    got = {
+        r["metric"]: r["cnt"]
+        for r in mt.change_feed_column_stats(spark, t, 0, 1, ["k"]).collect()
+    }
+    assert got == {
+        "deleted": 1, "inserted": 1, "updated": 2,
+        "updated:s": 1, "updated:v": 1,
+    }
