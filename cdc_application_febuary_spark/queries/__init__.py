@@ -140,6 +140,7 @@ _ROUND_PRIORITY = [
     "document_chunks",
     "event_trend_slopes",
     "change_feed_attribution",
+    "pit_dimension_join",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -4321,3 +4321,76 @@ def change_feed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mt.merge_upsert(spark, t, changes, ["k"], delete_col="is_del")
     return mt.change_feed_column_stats(spark, t, 0, 1, ["k"])
+
+
+@_q(
+    "pit_dimension_join",
+    """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+dim AS (
+  SELECT c_custkey,
+         CAST(c_nationkey AS BIGINT) AS nation_v1,
+         CAST(c_nationkey AS BIGINT)
+           + CASE WHEN c_custkey % 3 = 0 THEN 50 ELSE 0 END AS nation_v2
+  FROM customer
+),
+j AS (
+  SELECT CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+              THEN d.nation_v1 ELSE d.nation_v2 END AS nation,
+         o.price
+  FROM o JOIN dim d ON o.o_custkey = d.c_custkey
+)
+SELECT nation, COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS revenue
+FROM j GROUP BY 1 ORDER BY nation
+""",
+)
+def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimensional join — SCD2 temporal correctness end to
+    end: a customer changelog (full load at 1995, nation reassignment for
+    k%3=0 at 1998) becomes validity spans via
+    `scd2.history_with_validity`, and every order joins the dimension
+    version VALID AT ITS ORDER DATE (no time machine leaks: pre-1998
+    orders must see the old nation). Spans per key are few, so the join
+    is a plain key equi-join with a residual time predicate — no interval
+    blowup. The oracle states the epoch rule directly."""
+    from ..operators import scd2
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )
+    t0 = F.unix_millis(F.lit("1995-01-01").cast("timestamp"))
+    t1 = F.unix_millis(F.lit("1998-01-01").cast("timestamp"))
+    base = cust.select(
+        "k", "nation", F.lit("r").alias("op"), t0.alias("source_ts_ms")
+    )
+    upd = (
+        cust.where(F.col("k") % 3 == 0)
+        .withColumn("nation", F.col("nation") + 50)
+        .select("k", "nation", F.lit("u").alias("op"), t1.alias("source_ts_ms"))
+    )
+    log = scd2.to_scd2_rows(base.unionByName(upd), ["k", "nation"])
+    spans = scd2.history_with_validity(log, ["k"])
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_millis("o_orderdate").alias("ots"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    j = orders.join(spans, "k").where(
+        (F.col("ots") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ots") < F.col("valid_to")))
+    )
+    return (
+        j.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("nation")
+    )
