@@ -45,8 +45,21 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
     Wedges (paths of length 2) come from degrees alone — no join. The
     triangle join runs on DEGREE-ORIENTED edges (see module docstring),
-    bounding per-vertex fan-out at O(sqrt(m)) regardless of hubs."""
-    edges = edges.persist()
+    bounding per-vertex fan-out at O(sqrt(m)) regardless of hubs.
+
+    Memory posture: the wedge intermediate is the big object (up to
+    O(m^1.5) rows), so both joins get EXPLICIT fine partitioning on their
+    keys rather than inheriting `spark.sql.shuffle.partitions` — a
+    monitoring-sized setting (e.g. 8) would give per-task sorts too large
+    to spill cleanly in a small driver JVM. Persists are DISK_ONLY: the
+    cached edge/orientation tables must not compete with the wedge sort
+    for unified memory."""
+    from pyspark import StorageLevel
+
+    n_parts = max(
+        edges.sparkSession.sparkContext.defaultParallelism * 8, 64
+    )
+    edges = edges.persist(StorageLevel.DISK_ONLY)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -77,13 +90,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.t")
-    ).persist()
-    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    w2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    ).persist(StorageLevel.DISK_ONLY)
+    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b")).repartition(
+        n_parts, "b"
+    )
+    w2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c")).repartition(
+        n_parts, "b"
+    )
     closing = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    wedges = w1.join(w2, "b").repartition(n_parts, "a", "c")
     tri = (
-        w1.join(w2, "b")
-        .join(closing, ["a", "c"], "left_semi")
+        wedges.join(closing.repartition(n_parts, "a", "c"), ["a", "c"], "left_semi")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return counts.crossJoin(tri).select(
