@@ -141,6 +141,7 @@ _ROUND_PRIORITY = [
     "event_trend_slopes",
     "change_feed_attribution",
     "pit_dimension_join",
+    "sql_interface_segments",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -4394,3 +4394,39 @@ def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_SQL_DEMO = """
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment,
+         o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+         o.o_orderdate
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT segment, o_orderkey, price,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY price DESC, o_orderkey) AS rn
+  FROM seg
+)
+SELECT segment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS revenue,
+       CAST(MAX(CASE WHEN rn = 1 THEN price END) AS DOUBLE) AS top_order_price
+FROM ranked
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@_q("sql_interface_segments", _SQL_DEMO)
+def sql_interface_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface end-to-end: fixture tables registered as temp
+    views, the query text handed to `spark.sql` VERBATIM — the exact
+    string the DuckDB oracle runs (one dialect, two engines). Proves a
+    reference user can bring plain ANSI SQL (CTEs, windows, joins,
+    aggregates) without touching the DataFrame API."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_DEMO)
