@@ -142,6 +142,7 @@ _ROUND_PRIORITY = [
     "change_feed_attribution",
     "pit_dimension_join",
     "sql_interface_segments",
+    "cross_source_overlap",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -4430,3 +4430,71 @@ def sql_interface_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_DEMO)
+
+
+@_q(
+    "cross_source_overlap",
+    """
+WITH sh AS (
+  SELECT DISTINCT source, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(generate_series(1, len(w)-4)) AS t(i)
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, shared,
+       ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6)
+         AS shingle_jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+""",
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: distinct word-5-gram overlap (and
+    Jaccard) between every source pair — the corpus-provenance audit that
+    spots one crawl ingested twice under different names. Shingles dedup
+    to per-source sets FIRST, so the self-join fan-out is bounded by
+    sources-per-shingle (<= n_sources^2), independent of corpus size."""
+    from ..functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles("text", 5)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("sza") + F.col("szb") - F.col("shared")),
+                6,
+            ).alias("shingle_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
