@@ -857,20 +857,64 @@ def write_table_with_expectations(
     expectations: dict[str, str],
     mode: str = "overwrite",
     meta: dict | None = None,
+    unique_keys: bool = False,
 ) -> int:
     """Commit gated on expectations (Delta CONSTRAINT / DLT expect-or-fail
     analog): violations raise :class:`ExpectationViolation` BEFORE any
     manifest is written, so a bad batch can never become a committed
     version. The check is one aggregate over the batch — at CDC batch
-    sizes this is noise next to the write itself."""
+    sizes this is noise next to the write itself.
+
+    ``unique_keys=True`` additionally enforces PRIMARY-KEY uniqueness of
+    ``key_cols`` (a grouped count, not expressible as a row-level rule):
+    for overwrite, within the batch; for append, across batch + current
+    table — the invariant a CDC target must hold for MERGE and the change
+    feed to stay well-defined."""
     violations = {
         k: v for k, v in check_expectations(df, expectations).items() if v
     }
+    if unique_keys:
+        scope = df.select(*key_cols)
+        if mode == "append" and current_version(spark := df.sparkSession, table_path) is not None:
+            scope = scope.unionByName(
+                read_table(spark, table_path).select(*key_cols)
+            )
+        dup = (
+            scope.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .count()
+        )
+        if dup:
+            violations["__unique_keys"] = int(dup)
     if violations:
         raise ExpectationViolation(
             f"expectations failed for {table_path}: {violations}"
         )
     merged_meta = {"expectations": sorted(expectations)}
+    if unique_keys:
+        merged_meta["expectations"] = sorted(
+            [*expectations, "__unique_keys"]
+        )
     if meta:
         merged_meta.update(meta)
     return write_table(df, table_path, key_cols, mode=mode, meta=merged_meta)
+
+
+def restore_table(
+    spark: SparkSession, table_path: str, version: int
+) -> int:
+    """RESTORE: roll the table back to a prior version by committing a
+    NEW version that references the old version's files (Delta RESTORE
+    analog). History is preserved — the bad commits stay readable for
+    forensics until vacuumed; data files never move. Fails if ``version``
+    was already vacuumed away."""
+    entries = _read_manifest(spark, table_path, version)
+    base = current_version(spark, table_path)
+    next_v = 0 if base is None else base + 1
+    meta = {"operation": "restore", "restored_version": version}
+    schema = _pinned_schema(spark, table_path, version)
+    if schema is not None:
+        meta["schema"] = schema.json()
+    _write_manifest_atomic(spark, table_path, next_v, entries, meta=meta)
+    return next_v

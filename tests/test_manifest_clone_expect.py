@@ -131,3 +131,43 @@ def test_check_expectations_single_pass_counts(spark):
     )
     # NULL predicate results count as violations (v IS NULL row fails both)
     assert counts == {"not_null": 1, "nonneg": 2, "key": 0}
+
+
+def test_unique_keys_gate(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    mt.write_table_with_expectations(ok, t, ["k"], {}, unique_keys=True)
+
+    dup_batch = spark.createDataFrame([(2, "dup")], "k long, v string")
+    with pytest.raises(mt.ExpectationViolation, match="__unique_keys"):
+        mt.write_table_with_expectations(
+            dup_batch, t, ["k"], {}, mode="append", unique_keys=True
+        )
+    # nothing was committed by the failed append
+    assert mt.current_version(spark, t) == 0
+
+    fresh = spark.createDataFrame([(3, "c")], "k long, v string")
+    assert mt.write_table_with_expectations(
+        fresh, t, ["k"], {}, mode="append", unique_keys=True
+    ) == 1
+    assert mt.read_table(spark, t).count() == 3
+
+    # in-batch duplicates are caught on overwrite too
+    bad = spark.createDataFrame([(9, "x"), (9, "y")], "k long, v string")
+    with pytest.raises(mt.ExpectationViolation):
+        mt.write_table_with_expectations(bad, t, ["k"], {}, unique_keys=True)
+
+
+def test_restore_rolls_back_with_history_preserved(spark, tmp_path):
+    t = str(tmp_path / "t")
+    mt.write_table(_df(spark, 0, 10), t, ["k"])        # v0
+    mt.write_table(_df(spark, 100, 103), t, ["k"])     # v1 (the bad commit)
+    v = mt.restore_table(spark, t, 0)                  # v2 = v0's files
+    assert v == 2
+    assert mt.read_table(spark, t).count() == 10
+    # forensics: the bad version is still readable
+    assert mt.read_table(spark, t, version=1).count() == 3
+    meta = mt.read_commit_meta(spark, t, 2)
+    assert meta["operation"] == "restore" and meta["restored_version"] == 0
+    # restore carries v0's schema pin
+    assert "schema" in meta
