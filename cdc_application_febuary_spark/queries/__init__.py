@@ -143,6 +143,8 @@ _ROUND_PRIORITY = [
     "pit_dimension_join",
     "sql_interface_segments",
     "cross_source_overlap",
+    "lang_source_mixture",
+    "doc_length_percentile_by_lang",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

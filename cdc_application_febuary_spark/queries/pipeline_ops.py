@@ -4498,3 +4498,93 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@_q(
+    "lang_source_mixture",
+    """
+WITH ls AS (
+  SELECT lang, source, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT lang, SUM(n) AS n_docs, COUNT(*) AS n_sources FROM ls GROUP BY 1),
+top AS (
+  SELECT lang, source AS top_source, n AS top_n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rn
+  FROM ls
+)
+SELECT t.lang, CAST(t.n_docs AS BIGINT) AS n_docs, t.n_sources,
+       p.top_source,
+       ROUND(CAST(p.top_n AS DOUBLE) / t.n_docs, 6) AS top_share
+FROM tot t JOIN top p ON t.lang = p.lang AND p.rn = 1
+ORDER BY t.lang
+""",
+)
+def lang_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture provenance: per language, how many sources
+    contribute and how concentrated the top source is — the dataset-card
+    row that catches a language dominated by a single crawl. Counts only;
+    one grouped aggregation plus a |langs x sources| rollup."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ls = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = ls.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+    top = (
+        ls.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "lang", F.col("source").alias("top_source"), F.col("n").alias("top_n")
+        )
+    )
+    return (
+        tot.join(top, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            "top_source",
+            F.round(F.col("top_n") / F.col("n_docs"), 6).alias("top_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "doc_length_percentile_by_lang",
+    """
+WITH r AS (
+  SELECT lang,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(pr), 6) AS avg_within_source_pctile
+FROM r GROUP BY 1 ORDER BY lang
+""",
+)
+def doc_length_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source length normalization: each document's percent-rank
+    of length inside its own source (source-relative, so crawl-specific
+    length scales cancel), averaged per language — a drifted language
+    shows up as systematically short-for-its-source documents.
+    percent_rank is an exact rational; the average is over bounded exact
+    doubles, identical cross-engine."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select("lang", F.percent_rank().over(w).alias("pr"))
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("pr"), 6).alias("avg_within_source_pctile"),
+        )
+        .orderBy("lang")
+    )
