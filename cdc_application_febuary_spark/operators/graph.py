@@ -56,8 +56,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     for unified memory."""
     from pyspark import StorageLevel
 
+    # 64 partitions is the validated floor for an 8-core/1 GB driver at
+    # ~1M edges; scaling mildly with cores keeps tasks coarse on wide
+    # machines (256 tiny tasks measurably slowed the 32-core bench)
     n_parts = max(
-        edges.sparkSession.sparkContext.defaultParallelism * 8, 64
+        edges.sparkSession.sparkContext.defaultParallelism * 2, 64
     )
     edges = edges.persist(StorageLevel.DISK_ONLY)
     deg = (
