@@ -158,6 +158,7 @@ _ROUND_PRIORITY = [
     "audio_decode",
     "value_percentiles_approx",
     "value_quantile_sketch",
+    "ann_topk_pq",
     "multimodal_features",
     "multimodal_decode",
     "multimodal_thumbnails",

@@ -4588,3 +4588,22 @@ def doc_length_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+@_q("ann_topk_pq")  # rows-only: quantized distances are approximate
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (`operators/pq.py`): 64-dim floats compressed
+    to 8 one-byte codes (32x), searched by asymmetric-distance lookup
+    tables — the compression tier under IVF for beyond-RAM corpora. The
+    exact twin is `ann_topk_bruteforce`."""
+    import numpy as np
+
+    from ..operators import pq as pqm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pqm.train_pq(emb, m=8, k=16, seed=11)
+    codes = pqm.encode_pq(emb, cb)
+    q = np.array(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    return pqm.pq_search(codes, cb, q, topk=10).select(
+        "id", F.round("adc_dist", 6).alias("adc_dist")
+    )
