@@ -874,8 +874,9 @@ def write_table_with_expectations(
         k: v for k, v in check_expectations(df, expectations).items() if v
     }
     if unique_keys:
+        spark = df.sparkSession
         scope = df.select(*key_cols)
-        if mode == "append" and current_version(spark := df.sparkSession, table_path) is not None:
+        if mode == "append" and current_version(spark, table_path) is not None:
             scope = scope.unionByName(
                 read_table(spark, table_path).select(*key_cols)
             )
