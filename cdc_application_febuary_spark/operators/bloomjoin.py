@@ -97,6 +97,16 @@ def bloom_prefilter_join(
     removes bloom false positives); only the shuffle volume changes."""
     if how not in ("inner", "left_semi"):
         raise ValueError("bloom prefilter only tightens inner/semi joins")
+    # xxhash64 is TYPE-SENSITIVE (an int and a bigint of equal value hash
+    # differently) while the equi-join would silently coerce — mismatched
+    # key types would drop genuine matches. Refuse rather than guess a
+    # coercion direction.
+    big_t, small_t = dict(big.dtypes)[on], dict(small.dtypes)[on]
+    if big_t != small_t:
+        raise ValueError(
+            f"join key {on!r} types differ (big={big_t}, small={small_t}): "
+            "cast both sides to one type before bloom_prefilter_join"
+        )
     bitset = keyset_bloom(small, on, m_bits, k_hashes)
     pre = big.where(bloom_might_contain(bitset, F.col(on), k_hashes))
     if how == "left_semi":

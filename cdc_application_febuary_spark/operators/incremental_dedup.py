@@ -169,11 +169,35 @@ def near_dedup_batch(
     survivors = bt.join(in_batch_losers, "id", "left_anti")
     if mt.current_version(spark, store_path) is not None:
         store = mt.read_table(spark, store_path)
+        has_sigs = (
+            mt.current_version(spark, _sig_store_path(store_path)) is not None
+        )
+        if confirm_threshold is not None and not has_sigs:
+            # store predates the sig companion: nothing to confirm
+            # against — fall back to verification-free rejection (recall
+            # over precision; never admits a candidate the legacy
+            # semantics would have rejected)
+            confirm_threshold = None
         if confirm_threshold is not None:
+            if "id" not in store.columns:
+                store = store.withColumn("id", F.lit(None).cast("long"))
+            # legacy rows (pre-sig-store appends) read back with id NULL
+            # under the widened log schema: their signatures don't exist,
+            # so collisions with them reject verification-free — again
+            # the recall-preserving direction
+            legacy_hits = (
+                survivors.join(
+                    store.where(F.col("id").isNull()).select("band", "bucket"),
+                    ["band", "bucket"],
+                    "left_semi",
+                )
+                .select("id")
+                .distinct()
+            )
             pairs = (
                 survivors.alias("n")
                 .join(
-                    store.alias("s"),
+                    store.where(F.col("id").isNotNull()).alias("s"),
                     (F.col("n.band") == F.col("s.band"))
                     & (F.col("n.bucket") == F.col("s.bucket")),
                 )
@@ -185,6 +209,7 @@ def near_dedup_batch(
                 sig_pair_similarity(pairs, sigs, store_sigs, num_hashes)
                 .where(F.col("est_jaccard") >= confirm_threshold)
                 .select(F.col("a").alias("id"))
+                .unionByName(legacy_hits)
                 .distinct()
             )
         else:

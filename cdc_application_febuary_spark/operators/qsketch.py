@@ -25,30 +25,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DataType,
     DoubleType,
     LongType,
     StructField,
     StructType,
 )
 
-SKETCH_SCHEMA = StructType(
-    [
-        StructField("shard", LongType(), True),
-        StructField("n", LongType(), False),
-        StructField(
-            "centroids",
-            ArrayType(
-                StructType(
-                    [
-                        StructField("c", DoubleType(), False),
-                        StructField("w", LongType(), False),
-                    ]
-                )
+
+def _sketch_schema(shard_type: DataType) -> StructType:
+    """Output schema parameterized by the shard column's own type — a
+    'source' string shard is as valid as a numeric one."""
+    return StructType(
+        [
+            StructField("shard", shard_type, True),
+            StructField("n", LongType(), False),
+            StructField(
+                "centroids",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("c", DoubleType(), False),
+                            StructField("w", LongType(), False),
+                        ]
+                    )
+                ),
+                False,
             ),
-            False,
-        ),
-    ]
-)
+        ]
+    )
 
 
 def shard_quantile_sketches(
@@ -64,7 +69,7 @@ def shard_quantile_sketches(
     import pandas as pd
 
     src = df.select(
-        F.col(shard_col).cast("long").alias("shard"),
+        F.col(shard_col).alias("shard"),
         F.col(value_col).cast("double").alias("v"),
     ).where(F.col("v").isNotNull())
 
@@ -78,10 +83,12 @@ def shard_quantile_sketches(
             if len(ch)
         ]
         return pd.DataFrame(
-            [{"shard": int(pdf["shard"].iloc[0]), "n": n, "centroids": cents}]
+            [{"shard": pdf["shard"].iloc[0], "n": n, "centroids": cents}]
         )
 
-    return src.groupBy("shard").applyInPandas(summarize, SKETCH_SCHEMA)
+    return src.groupBy("shard").applyInPandas(
+        summarize, _sketch_schema(df.schema[shard_col].dataType)
+    )
 
 
 def merge_quantiles(

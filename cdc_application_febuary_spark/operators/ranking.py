@@ -40,6 +40,10 @@ def _ranked_with_total(
     ranged = df.repartitionByRange(parts, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # persisted so the offsets job and the caller's job share one range
+    # partitioning; deliberately NOT unpersisted (the returned plan still
+    # reads it) — storage is LRU-evictable and recompute is deterministic
+    # because the order is total
     ranged = ranged.persist()
     sizes = {
         r["__pid"]: r["cnt"]

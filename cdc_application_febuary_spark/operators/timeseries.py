@@ -53,7 +53,13 @@ def gap_fill_interpolate(
     ``filled = false``; generated rows carry
     ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``.
     Interior gaps only — by construction the first and last grid points of
-    every key are observed, so no extrapolation case exists."""
+    every key are observed, so no extrapolation case exists.
+
+    The grid is the per-key ``sequence(min, max, step)`` UNIONED with the
+    observed bucket timestamps themselves, so buckets that don't land on
+    the ``lo + k*step`` lattice (a month-bucketed series gap-filled at a
+    fixed day step, say) are never silently dropped — they appear as
+    observed points and interpolation runs between true neighbors."""
     spans = series.groupBy(key_col).agg(
         F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
     )
@@ -64,7 +70,7 @@ def gap_fill_interpolate(
                 "__lo", "__hi", F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
             )
         ).alias(ts_col),
-    )
+    ).unionByName(series.select(key_col, ts_col)).distinct()
     joined = grid.join(series, [key_col, ts_col], "left")
     w = Window.partitionBy(key_col).orderBy(ts_col)
     before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

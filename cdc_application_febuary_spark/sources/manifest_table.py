@@ -445,12 +445,19 @@ def change_feed(
     removed = [e.path for e in from_entries if e.path not in to_paths]
     added = [e.path for e in to_entries if e.path not in from_paths]
 
+    # Both sides read under TO_VERSION's log schema: after schema
+    # evolution the removed (pre-evolution) files lack the new columns,
+    # and inferring from them would make a new-column-only update compare
+    # "equal" and vanish from the feed. Under the widened schema old
+    # files read the new column as NULL, so pre/post structs align.
+    pinned = _pinned_schema(spark, table_path, to_version)
+    reader = spark.read.schema(pinned) if pinned is not None else spark.read
     schema_paths = removed or added or [e.path for e in to_entries]
-    template = spark.read.parquet(*schema_paths)
+    template = reader.parquet(*schema_paths)
     cols = template.columns
 
     def _side(paths: list[str]) -> DataFrame:
-        return spark.read.parquet(*paths) if paths else template.limit(0)
+        return reader.parquet(*paths) if paths else template.limit(0)
 
     old = _side(removed).select(
         *key_cols, F.struct(*cols).alias("__o")
@@ -511,23 +518,25 @@ def change_feed_column_stats(
         for c in feed.columns
         if c not in set(key_cols) | {CHANGE_TYPE, COMMIT_VERSION}
     ]
-    pre = feed.where(F.col(CHANGE_TYPE) == "update_preimage").select(
-        *key_cols, *[F.col(c).alias(f"__pre_{c}") for c in data_cols]
-    )
-    post = feed.where(F.col(CHANGE_TYPE) == "update_postimage").select(
-        *key_cols, *[F.col(c).alias(f"__post_{c}") for c in data_cols]
-    )
-    pairs = pre.join(post, key_cols)
-    per_col = pairs.agg(
-        *[
-            F.sum(
-                F.when(
-                    ~F.col(f"__pre_{c}").eqNullSafe(F.col(f"__post_{c}")), 1
-                ).otherwise(0)
-            ).alias(c)
-            for c in data_cols
-        ]
-    ).first()
+    per_col = {}
+    if data_cols:  # a keys-only table still gets insert/delete/update counts
+        pre = feed.where(F.col(CHANGE_TYPE) == "update_preimage").select(
+            *key_cols, *[F.col(c).alias(f"__pre_{c}") for c in data_cols]
+        )
+        post = feed.where(F.col(CHANGE_TYPE) == "update_postimage").select(
+            *key_cols, *[F.col(c).alias(f"__post_{c}") for c in data_cols]
+        )
+        pairs = pre.join(post, key_cols)
+        per_col = pairs.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.col(f"__pre_{c}").eqNullSafe(F.col(f"__post_{c}")), 1
+                    ).otherwise(0)
+                ).alias(c)
+                for c in data_cols
+            ]
+        ).first()
     top = feed.groupBy(CHANGE_TYPE).agg(F.count(F.lit(1)).alias("cnt"))
     counts = {r[CHANGE_TYPE]: r["cnt"] for r in top.collect()}
     rows = [
@@ -572,7 +581,16 @@ def vacuum(
     }
 
     # Pin files referenced by live shallow clones (transitive, cycle-safe).
+    # Dead registrations are pruned only once STALE (marker older than
+    # _CLONE_PRUNE_AGE_MS): a freshly-written marker may belong to a
+    # clone mid-creation (registered, manifest commit in flight) —
+    # deregistering it would leave that clone permanently unprotected. A
+    # young dead marker pins nothing anyway (no manifests), so skipping
+    # it costs only a directory entry.
+    import time as _time
+
     clones_protecting = 0
+    now_ms = int(_time.time() * 1000)
     stack = [table_path.rstrip("/")]
     seen_tables = {_norm(table_path.rstrip("/"))}
     while stack:
@@ -583,7 +601,13 @@ def vacuum(
             seen_tables.add(_norm(target))
             clone_versions = _list_versions(spark, target)
             if not clone_versions:
-                _deregister_clone(spark, t, target)  # clone was dropped
+                fs_m, marker = _clone_marker(spark, t, target)
+                if (
+                    fs_m.exists(marker)
+                    and now_ms - fs_m.getFileStatus(marker).getModificationTime()
+                    > _CLONE_PRUNE_AGE_MS
+                ):
+                    _deregister_clone(spark, t, target)  # clone was dropped
                 continue
             clones_protecting += 1
             stack.append(target)
@@ -729,6 +753,12 @@ def optimize_table(
         "files_after": len(new_entries),
         "files_rewritten": len(rewrite),
     }
+
+
+# Dead clone registrations younger than this are left alone by vacuum:
+# they may belong to a clone whose manifest commit is still in flight
+# (see the pruning note in `vacuum`). Tests shrink it to prune eagerly.
+_CLONE_PRUNE_AGE_MS = 10 * 60 * 1000
 
 
 def _clones_dir(table_path: str) -> str:

@@ -63,7 +63,7 @@ def test_vacuum_pins_files_a_live_clone_references(spark, tmp_path):
     assert mt.read_table(spark, src).count() == 50
 
 
-def test_vacuum_prunes_dead_clone_and_frees_files(spark, tmp_path):
+def test_vacuum_prunes_dead_clone_and_frees_files(spark, tmp_path, monkeypatch):
     import shutil
 
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
@@ -72,11 +72,19 @@ def test_vacuum_prunes_dead_clone_and_frees_files(spark, tmp_path):
     mt.write_table(_df(spark, 200, 250), src, ["k"], mode="overwrite")
 
     shutil.rmtree(dst)  # drop the clone table entirely
+
+    # a FRESH dead marker is skipped, not pruned (it could be a clone
+    # whose manifest commit is still in flight) — but it pins nothing
     stats = mt.vacuum(spark, src, keep_last=1)
     assert stats["clones_protecting"] == 0
-    assert mt.registered_clones(spark, src) == []  # registration pruned
+    assert mt.registered_clones(spark, src) == [dst]  # still registered
     assert stats["data_files_removed"] > 0
     assert mt.read_table(spark, src).count() == 50
+
+    # once stale, the registration is pruned
+    monkeypatch.setattr(mt, "_CLONE_PRUNE_AGE_MS", 0)
+    mt.vacuum(spark, src, keep_last=1)
+    assert mt.registered_clones(spark, src) == []
 
 
 def test_vacuum_protects_clone_of_clone_transitively(spark, tmp_path):

@@ -80,3 +80,18 @@ def test_small_shard_is_exact(spark):
     }
     assert est[0.2] == 1.0  # ceil(0.2*5)=1st value
     assert est[1.0] == 5.0
+
+
+def test_string_shard_column(spark):
+    rows = [("web", float(v)) for v in range(100)] + [
+        ("books", float(v) * 2) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "source string, v double")
+    sk = qsketch.shard_quantile_sketches(df, "v", "source", k=10)
+    got = {r["shard"]: r["n"] for r in sk.collect()}
+    assert got == {"web": 100, "books": 100}
+    est = {
+        r["p"]: r["estimate"]
+        for r in qsketch.merge_quantiles(sk, [0.5]).collect()
+    }
+    assert 40 <= est[0.5] <= 110  # pooled median of the two distributions

@@ -138,3 +138,27 @@ def test_change_feed_column_stats_attribution(spark, tmp_path):
         "deleted": 1, "inserted": 1, "updated": 2,
         "updated:s": 1, "updated:v": 1,
     }
+
+
+def test_change_feed_sees_new_column_only_updates(spark, tmp_path):
+    """Post-evolution change feed: an update that ONLY touches the evolved
+    column must surface (the feed reads both sides under the widened log
+    schema — inferring from pre-evolution files would hide it)."""
+    t = str(tmp_path / "t")
+    mt.write_table(_v1(spark, 0, 6), t, ["k"])  # columns (k, a)
+    chg = spark.createDataFrame(
+        [(3, 6, "x3")], "k long, a long, b string"  # a unchanged for k=3
+    )
+    mt.merge_upsert(spark, t, chg, ["k"])
+
+    feed = mt.change_feed(spark, t, 0, 1, ["k"]).collect()
+    types = {r["__change_type"] for r in feed if r["k"] == 3}
+    assert types == {"update_preimage", "update_postimage"}
+    post = [r for r in feed if r["k"] == 3 and r["__change_type"] == "update_postimage"]
+    assert post[0]["b"] == "x3"
+
+    got = {
+        r["metric"]: r["cnt"]
+        for r in mt.change_feed_column_stats(spark, t, 0, 1, ["k"]).collect()
+    }
+    assert got["updated:b"] == 1 and got["updated:a"] == 0
