@@ -52,6 +52,26 @@ def _kmeans(data: np.ndarray, k: int, iters: int, rng: np.random.Generator):
     return cents
 
 
+def train_pq_matrix(
+    sample: np.ndarray, m: int, k: int, iters: int = 8, seed: int = 0
+) -> np.ndarray:
+    """Codebooks (m, k, d/m) from an in-memory sample matrix (already the
+    bounded driver-side representation — IVF-PQ reuses its cluster-training
+    sample here)."""
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [
+            _kmeans(sample[:, i * sub : (i + 1) * sub], k, iters, rng)
+            for i in range(m)
+        ]
+    )
+
+
 def train_pq(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -67,15 +87,21 @@ def train_pq(
         [r[0] for r in emb.select(vec_col).limit(max_train).collect()],
         dtype=np.float64,
     )
-    d = sample.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    sub = d // m
-    sample = _normalize(sample)
-    rng = np.random.default_rng(seed)
+    return train_pq_matrix(sample, m, k, iters, seed)
+
+
+def adc_lut(codebooks: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """(m, k) partial-squared-distance lookup table for one normalized
+    query — the ADC precomputation shared by `pq_search` and the IVF-PQ
+    index scan."""
+    m, k, sub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
     return np.stack(
         [
-            _kmeans(sample[:, i * sub : (i + 1) * sub], k, iters, rng)
+            ((codebooks[i] - q[i * sub : (i + 1) * sub][None, :]) ** 2).sum(
+                axis=1
+            )
             for i in range(m)
         ]
     )
@@ -123,16 +149,7 @@ def pq_search(
     import pandas as pd
 
     m, k, sub = codebooks.shape
-    q = np.asarray(query, dtype=np.float64)
-    q = q / (np.linalg.norm(q) or 1.0)
-    lut = np.stack(
-        [
-            ((codebooks[i] - q[i * sub : (i + 1) * sub][None, :]) ** 2).sum(
-                axis=1
-            )
-            for i in range(m)
-        ]
-    )  # (m, k)
+    lut = adc_lut(codebooks, query)  # (m, k)
 
     def scan(it):
         for pdf in it:

@@ -184,3 +184,218 @@ def search_ivf_index(
         "files_total": len(entries),
         "files_opened": len(candidates),
     }
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    table_path: str,
+    n_centroids: int = 16,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train: int = 4096,
+) -> dict:
+    """IVF+PQ: the production 100 TB ANN layout — coarse cluster routing
+    (IVF) over 8-byte PQ codes, with the full vector retained per row for
+    optional exact rerank. One training sample feeds BOTH quantizers;
+    cluster assignment and PQ encoding run as Arrow passes; the table
+    commits range-clustered by cluster id with centroids AND codebooks in
+    the commit metadata (self-describing, versioned with the data). The
+    ADC scan reads (vec_id, cluster, codes) ONLY — column pruning keeps
+    the big embedding column on disk unless a rerank asks for it."""
+    from .pq import encode_pq, train_pq_matrix
+
+    sample_rows = (
+        corpus.select(F.col(vec_col).alias("v")).limit(max_train).collect()
+    )
+    sample = np.asarray([r["v"] for r in sample_rows], dtype="float64")
+    centers = np.asarray(
+        _kmeans_sample([r["v"] for r in sample_rows], n_centroids, iters, seed),
+        dtype="float64",
+    )
+    codebooks = train_pq_matrix(sample, pq_m, pq_k, iters=8, seed=seed)
+
+    assign = _assign_cluster_udf(centers)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    codes = encode_pq(corpus, codebooks, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("vec_id"), "codes"
+    )
+    packed = assigned.join(codes, "vec_id").repartitionByRange(
+        max(1, n_centroids // 4), "cluster"
+    )
+    spark = corpus.sparkSession
+    base = mt.current_version(spark, table_path)
+    entries = mt._stage_files(packed, table_path, ["cluster"])
+    mt._write_manifest_atomic(
+        spark,
+        table_path,
+        0 if base is None else base + 1,
+        entries,
+        meta={
+            "index": "ivf_pq",
+            "n_centroids": int(n_centroids),
+            "pq_m": int(pq_m),
+            "pq_k": int(pq_k),
+            "dim": int(centers.shape[1]),
+            "centroids": [[float(x) for x in row] for row in centers],
+            "codebooks": [
+                [[float(x) for x in c] for c in sub] for sub in codebooks
+            ],
+        },
+    )
+    return {
+        "version": 0 if base is None else base + 1,
+        "n_files": len(entries),
+        "n_centroids": n_centroids,
+        "code_bytes_per_vector": pq_m,
+    }
+
+
+def search_ivf_pq(
+    spark: SparkSession,
+    table_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+    rerank: int = 0,
+) -> dict:
+    """ADC search over the IVF-PQ index: probe clusters by centroid
+    similarity, score candidates by pure-JVM lookup-table sums over their
+    8-byte codes — the scan never deserializes the embedding column
+    (asserted by tests via ReadSchema). ``rerank=R`` re-scores each
+    query's top R ADC hits with exact cosine (a second, id-pruned read
+    that DOES touch embeddings) — the standard accuracy dial.
+
+    Returns {"result", "files_total", "files_opened"}; result is
+    (query_id, neighbor_id, rank, adc_dist[, sim]) ascending by distance."""
+    if version is None:
+        version = mt.current_version(spark, table_path)
+    if version is None:
+        raise FileNotFoundError(f"no committed index at {table_path}")
+    meta = mt.read_commit_meta(spark, table_path, version)
+    if meta.get("index") != "ivf_pq":
+        raise ValueError(f"{table_path} v{version} is not an IVF-PQ index")
+    centers = np.asarray(meta["centroids"], dtype="float64")
+    codebooks = np.asarray(meta["codebooks"], dtype="float64")
+    from .pq import adc_lut
+
+    pq_m, pq_k = int(meta["pq_m"]), int(meta["pq_k"])
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    Q = np.vstack([np.asarray(r["qvec"], dtype="float64") for r in q_rows])
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (Q / norms) @ centers.T
+    order = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+    probed = [
+        (
+            int(r["query_id"]),
+            [float(x) for x in adc_lut(codebooks, np.asarray(r["qvec"])).ravel()],
+            [int(c) for c in row],
+        )
+        for r, row in zip(q_rows, order)
+    ]
+    probe_set = sorted({c for _, _, row in probed for c in row})
+
+    entries = mt._read_manifest(spark, table_path, version)
+    candidates = [
+        e
+        for e in entries
+        if any(
+            e.key_min.get("cluster") <= c <= e.key_max.get("cluster")
+            for c in probe_set
+        )
+    ]
+    if not candidates:
+        empty = spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adc_dist double"
+        )
+        return {"result": empty, "files_total": len(entries), "files_opened": 0}
+
+    qdf = spark.createDataFrame(
+        probed, "query_id long, lut array<double>, probed array<int>"
+    ).select("query_id", "lut", F.explode("probed").alias("cluster"))
+
+    # the ADC scan projects ONLY (vec_id, cluster, codes): embeddings
+    # stay on disk
+    code_side = spark.read.parquet(*[e.path for e in candidates]).select(
+        "vec_id", "cluster", "codes"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(pq_m - 1)),
+            lambda c, i: F.element_at(
+                F.col("lut"), (i * pq_k + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        code_side.join(
+            F.broadcast(qdf),
+            (code_side.cluster == qdf.cluster)
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max(k, rerank))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("adc_dist"), 6).alias("adc_dist"),
+        )
+    )
+    if rerank:
+        qvecs = spark.createDataFrame(
+            [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
+            "query_id long, qvec array<double>",
+        )
+        emb_side = spark.read.parquet(*[e.path for e in candidates]).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
+        rr = (
+            top.join(emb_side, "neighbor_id")
+            .join(F.broadcast(qvecs), "query_id")
+            .withColumn("sim", cosine_pairs(F.col("qvec"), F.col("embedding")))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        top = (
+            rr.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rank",
+                "adc_dist",
+                F.round(F.col("sim"), 6).alias("sim"),
+            )
+        )
+    return {
+        "result": top,
+        "files_total": len(entries),
+        "files_opened": len(candidates),
+    }

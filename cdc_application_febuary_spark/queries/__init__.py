@@ -159,6 +159,7 @@ _ROUND_PRIORITY = [
     "value_percentiles_approx",
     "value_quantile_sketch",
     "ann_topk_pq",
+    "ann_topk_ivf_pq",
     "multimodal_features",
     "multimodal_decode",
     "multimodal_thumbnails",

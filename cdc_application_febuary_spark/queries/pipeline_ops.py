@@ -4607,3 +4607,26 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pqm.pq_search(codes, cb, q, topk=10).select(
         "id", F.round("adc_dist", 6).alias("adc_dist")
     )
+
+
+@_q("ann_topk_ivf_pq")  # rows-only: quantized index search is approximate
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ persisted index end-to-end (`operators/vector_index.py`):
+    build the cluster-routed 8-byte-code index as a manifest table, then
+    ADC-search with exact rerank. The scan that scores candidates never
+    reads the embedding column (ReadSchema-asserted in tests) — the
+    production 100 TB ANN layout. Exact twin: `ann_topk_bruteforce`."""
+    import tempfile
+
+    from ..operators import vector_index as vi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfpq_") + "/idx"
+    vi.build_ivf_pq_index(emb, path, n_centroids=16, pq_m=8, pq_k=16, seed=7)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = vi.search_ivf_pq(
+        spark, path, queries, k=5, n_probe=4, rerank=20
+    )
+    return out["result"].orderBy("query_id", "rank")
