@@ -160,6 +160,7 @@ _ROUND_PRIORITY = [
     "value_quantile_sketch",
     "ann_topk_pq",
     "ann_topk_ivf_pq",
+    "near_dedup_fold",
     "multimodal_features",
     "multimodal_decode",
     "multimodal_thumbnails",

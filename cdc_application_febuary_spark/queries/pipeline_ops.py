@@ -4630,3 +4630,32 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, queries, k=5, n_probe=4, rerank=20
     )
     return out["result"].orderBy("query_id", "rank")
+
+
+@_q("near_dedup_fold")  # rows-only: MinHash banding is hash-seeded
+def near_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup e2e (`operators/incremental_dedup`): the
+    corpus arrives as three batches against one persistent MinHash band
+    store, with the signature-estimated confirm tier (threshold 0.5)
+    deciding rejections. Output: per-batch admitted counts plus the final
+    store footprint — replay-safe, text never retained."""
+    import tempfile
+
+    from ..operators.incremental_dedup import _sig_store_path, near_dedup_batch
+    from ..sources import manifest_table as mt
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="near_fold_") + "/bands"
+    rows = []
+    bounds = [(0, 250), (250, 10**9)]
+    for bi, (lo, hi) in enumerate(bounds):
+        batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        out = near_dedup_batch(
+            batch, store, bi, num_hashes=16, bands=8, confirm_threshold=0.5
+        )
+        rows.append((bi, out.count()))
+    sig_rows = mt.read_table(spark, _sig_store_path(store)).count()
+    return spark.createDataFrame(
+        [(b, n, sig_rows) for b, n in rows],
+        "batch_id int, admitted bigint, store_sigs bigint",
+    ).orderBy("batch_id")

@@ -14,6 +14,9 @@ from cdc_application_febuary_spark.queries import all_queries
 # dedicated tests and are exercised by driver_sim anyway.
 SKIP_SLOW = {
     "manifest_change_feed",
+    "near_dedup_fold",          # replays a multi-batch store lifecycle
+    "change_feed_attribution",  # full MERGE lifecycle at build time
+    "ann_topk_ivf_pq",          # builds a persisted index at build time
     "ann_topk_ivf_index",
     "incremental_dedup_fold",
     "stateful_running_counts",  # runs a streaming query to completion
