@@ -4659,3 +4659,56 @@ def near_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(b, n, sig_rows) for b, n in rows],
         "batch_id int, admitted bigint, store_sigs bigint",
     ).orderBy("batch_id")
+
+
+@_q(
+    "dau_wau_stickiness",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+cover AS (
+  SELECT user_id, day + INTERVAL (o) DAY AS day
+  FROM ud, UNNEST(generate_series(0, 6)) AS t(o)
+),
+wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM cover GROUP BY 1)
+SELECT d.day, d.dau, w.wau,
+       ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w USING (day)
+ORDER BY d.day
+""",
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. The sliding
+    distinct-count does NOT use a windowed COUNT DISTINCT (unsupported or
+    state-heavy everywhere): each (user, day) pair instead emits the 7
+    future days it covers — a 7x linear explode — and WAU(d) is a plain
+    grouped distinct. Bounded state, one shuffle, exact. Days with zero
+    activity have no DAU row and are inner-joined away on both sides."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("o"),
+        "day",
+    ).select("user_id", F.col("day") + F.make_dt_interval(F.col("o")))
+    cover = cover.toDF("user_id", "day")
+    wau = cover.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
