@@ -35,12 +35,21 @@ def asof_join(
     ``direction='backward'`` (default) carries the latest right row with
     ``right_ts <= left_ts``; ``'forward'`` the earliest right row with
     ``right_ts >= left_ts`` — same union-tag single-shuffle plan with the
-    time ordering reversed. ``inclusive`` controls whether an
-    equal-timestamp right row matches; equal-timestamp ordering is
-    resolved by sorting the right row before (inclusive) or after
-    (exclusive) the left row."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    time ordering reversed. ``'nearest'`` (pandas ``merge_asof`` parity)
+    picks whichever side is closer in time, still in ONE shuffle: both a
+    backward fill and a forward fill run over the same union, and a
+    per-row comparison of the two gap widths chooses (ties go backward,
+    matching pandas). ``inclusive`` controls whether an equal-timestamp
+    right row matches; equal-timestamp ordering is resolved by sorting
+    the right row before (inclusive) or after (exclusive) the left row.
+    ``nearest`` requires ``inclusive=True`` (an equal-timestamp match IS
+    the nearest; excluding it makes the semantics ambiguous)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
+    if direction == "nearest" and not inclusive:
+        raise ValueError("direction='nearest' requires inclusive=True")
     value_cols = list(value_cols or [c for c in right.columns
                                      if c not in set(on) and c != right_ts])
     on = list(on)
@@ -68,6 +77,50 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = l_tag.unionByName(r_tag)
+
+    if direction == "nearest":
+        base = Window.partitionBy(*on).orderBy(
+            F.col("__asof_ts").asc(), F.col(_TAG).asc()
+        )
+        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        is_right = F.col(_TAG) != 1
+        r_ts = F.when(is_right, F.col("__asof_ts"))
+        carried = unioned.select(
+            "*",
+            F.last(r_ts, ignorenulls=True).over(wb).alias("__b_ts"),
+            F.first(r_ts, ignorenulls=True).over(wf).alias("__f_ts"),
+            *[
+                F.last(F.col(f"__r_{c}"), ignorenulls=True)
+                .over(wb)
+                .alias(f"__b_{c}")
+                for c in value_cols
+            ],
+            *[
+                F.first(F.col(f"__r_{c}"), ignorenulls=True)
+                .over(wf)
+                .alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        )
+        # ties (equal gap) go backward, matching pandas merge_asof
+        use_back = F.col("__f_ts").isNull() | (
+            F.col("__b_ts").isNotNull()
+            & (
+                F.col("__asof_ts").cast("double") - F.col("__b_ts").cast("double")
+                <= F.col("__f_ts").cast("double") - F.col("__asof_ts").cast("double")
+            )
+        )
+        out = carried.where(F.col(_TAG) == 1).select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(use_back, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+        return out
 
     ts_order = (
         F.col("__asof_ts").asc()

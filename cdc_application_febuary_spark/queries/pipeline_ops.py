@@ -4712,3 +4712,56 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_q(
+    "asof_nearest_click",
+    """
+WITH p AS (
+  SELECT user_id AS u, epoch_us(ts) AS pe FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id AS u, epoch_us(ts) AS ce FROM events
+  WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.u, p.pe, MIN(ABS(p.pe - c.ce)) AS gap_us
+  FROM p JOIN c USING (u) GROUP BY 1, 2
+)
+SELECT u AS user_id, COUNT(*) AS n_purchases,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+FROM j GROUP BY 1 ORDER BY user_id
+""",
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof parity,
+    `operators/asof.py`): each purchase matched to its temporally CLOSEST
+    click either side, per user, in one union-tag shuffle. The oracle
+    computes the same minimal |gap| per purchase with a plain min-join —
+    the gap is independent of which equally-near click wins, so the sum
+    is exact."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.unix_micros("ts").alias("pe")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.unix_micros("ts").alias("ce")
+    )
+    nearest = asof_join(
+        p, c, ["u"], left_ts="pe", right_ts="ce",
+        direction="nearest", value_cols=["ce"],
+    )
+    return (
+        nearest.where(F.col("ce").isNotNull())
+        .groupBy(F.col("u").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.abs(F.col("pe") - F.col("ce"))).cast("bigint").alias(
+                "total_gap_us"
+            ),
+        )
+        .orderBy("user_id")
+    )
