@@ -659,3 +659,79 @@ def thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
     return media.where(F.col("kind") == "image").mapInPandas(
         batches, RESIZE_SCHEMA
     )
+
+
+def synthetic_media_mp4(spark, n: int = 24) -> DataFrame:
+    """Video table whose payloads are REAL (metadata-only) MP4 containers
+    built in-process (`functions/mp4.encode_mp4_stub`) — the probe path
+    runs on actual ISO-BMFF bytes; one malformed payload exercises the
+    per-row quarantine."""
+    from ..functions.mp4 import encode_mp4_stub
+
+    rows = []
+    for i in range(n):
+        dur = 1000 * (10 + i * 7)
+        w, h = 320 + (i % 3) * 320, 240 + (i % 3) * 240
+        payload = encode_mp4_stub(dur, w, h, n_tracks=1 + i % 2)
+        rows.append((i, "video", "mp4", bytearray(payload), w, h, dur))
+    rows.append((n, "video", "mp4", bytearray(b"\x00\x00\x00\x08brok"), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+VIDEO_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("major_brand", StringType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("probe_error", StringType(), True),
+    ]
+)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """Container-level probe of video payloads over mapInPandas: brand,
+    duration, track count, resolution from the real MP4 boxes
+    (`functions/mp4.py`). Frame decode stays a documented stub (needs
+    ffmpeg); malformed containers quarantine per row."""
+    from ..functions.mp4 import probe_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    info = probe_mp4(bytes(content))
+                    recs.append(
+                        (
+                            int(mid),
+                            info["major_brand"],
+                            info["duration_ms"],
+                            int(info["n_tracks"]),
+                            info["width"],
+                            info["height"],
+                            None,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 - per-row quarantine
+                    recs.append(
+                        (int(mid), None, None, None, None, None, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "major_brand",
+                    "duration_ms",
+                    "n_tracks",
+                    "width",
+                    "height",
+                    "probe_error",
+                ],
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        batches, VIDEO_PROBE_SCHEMA
+    )

@@ -166,6 +166,7 @@ _ROUND_PRIORITY = [
     "multimodal_features",
     "multimodal_decode",
     "multimodal_thumbnails",
+    "video_probe",
     "documents_mixture",
     "documents_weighted_sample",
 ]

@@ -4765,3 +4765,27 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_q("video_probe")  # rows-only: containers are generated in-process
+def video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container probing end-to-end: real ISO-BMFF boxes parsed in
+    Arrow batches (`functions/mp4.py`), aggregated by resolution tier with
+    quarantine accounting — the metadata stage a video pipeline partitions
+    and frame-samples on (frame DECODE itself needs ffmpeg and stays a
+    documented stub)."""
+    from ..operators import multimodal
+
+    media = multimodal.synthetic_media_mp4(spark, n=24)
+    probed = multimodal.video_metadata(media)
+    return (
+        probed.groupBy("width", "height", "n_tracks")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("duration_ms", F.lit(0))).alias("total_ms"),
+            F.sum(
+                F.when(F.col("probe_error").isNotNull(), 1).otherwise(0)
+            ).alias("quarantined"),
+        )
+        .orderBy(F.asc_nulls_first("width"), "n_tracks")
+    )
