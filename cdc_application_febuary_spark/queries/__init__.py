@@ -147,6 +147,7 @@ _ROUND_PRIORITY = [
     "doc_length_percentile_by_lang",
     "dau_wau_stickiness",
     "asof_nearest_click",
+    "cohort_ltv_curves",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -4789,3 +4789,80 @@ def video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("width"), "n_tracks")
     )
+
+
+@_q(
+    "cohort_ltv_curves",
+    """
+WITH fo AS (
+  SELECT o_custkey AS c,
+         CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS cohort
+  FROM orders GROUP BY 1
+),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM fo GROUP BY 1),
+r AS (
+  SELECT f.cohort,
+         (EXTRACT(YEAR FROM o.o_orderdate) - EXTRACT(YEAR FROM f.cohort)) * 12
+           + (EXTRACT(MONTH FROM o.o_orderdate) - EXTRACT(MONTH FROM f.cohort))
+           AS month_offset,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN fo f ON o.o_custkey = f.c
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT cohort, CAST(month_offset AS INT) AS month_offset,
+         SUM(rev) OVER (PARTITION BY cohort ORDER BY month_offset
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM r
+)
+SELECT c.cohort, c.month_offset,
+       CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+       CAST(c.cum_rev AS DOUBLE) / s.cohort_size AS ltv_per_customer
+FROM c JOIN sizes s USING (cohort)
+WHERE c.month_offset <= 12
+ORDER BY c.cohort, c.month_offset
+""",
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per months-since-acquisition (first year),
+    normalized per cohort member. Orders collapse to (cohort, offset)
+    rows before the cumulative window, so the windowed state is cohorts x
+    offsets — entity-bounded — and the running total is exact DECIMAL."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    fo = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sizes = fo.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    j = orders.join(fo, orders.o_custkey == fo.c)
+    offset = (
+        (F.year("o_orderdate") - F.year("cohort")) * 12
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("int")
+    r = j.groupBy("cohort", offset.alias("month_offset")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = r.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        c.join(F.broadcast(sizes), "cohort")
+        .where(F.col("month_offset") <= 12)
+        .select(
+            "cohort",
+            "month_offset",
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            # no ROUND: the raw IEEE division of identical doubles is
+            # hash-stable; rounding would add a representation-tie risk
+            (F.col("cum_rev").cast("double") / F.col("cohort_size")).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort", "month_offset")
+    )
