@@ -148,6 +148,8 @@ _ROUND_PRIORITY = [
     "dau_wau_stickiness",
     "asof_nearest_click",
     "cohort_ltv_curves",
+    "market_basket_rules",
+    "event_trigram_paths",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -4866,3 +4866,113 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "month_offset")
     )
+
+
+@_q(
+    "market_basket_rules",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+item AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS xy
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.x, p.y, p.xy AS pair_orders,
+       ROUND(CAST(p.xy AS DOUBLE) / n.n, 6) AS support,
+       ROUND(CAST(p.xy AS DOUBLE) / ix.cnt, 6) AS confidence,
+       ROUND(CAST(p.xy AS DOUBLE) * n.n / (ix.cnt * iy.cnt), 6) AS lift
+FROM pair p
+JOIN item ix ON ix.l_partkey = p.x
+JOIN item iy ON iy.l_partkey = p.y
+CROSS JOIN n_orders n
+WHERE p.xy >= 3
+ORDER BY lift DESC, p.x, p.y
+LIMIT 50
+""",
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased parts: support / confidence /
+    lift for every pair bought together in >= 3 orders, top 50 by lift.
+    The pair join is the same bounded inverted-index shape as the
+    co-occurrence graph (cost = sum of per-order basket-size squared);
+    item counts broadcast; every metric is an exact-integer ratio."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.select("l_orderkey").distinct().count()
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("xy"))
+        .where(F.col("xy") >= 3)
+    )
+    ix = item.select(F.col("l_partkey").alias("x"), F.col("cnt").alias("cx"))
+    iy = item.select(F.col("l_partkey").alias("y"), F.col("cnt").alias("cy"))
+    return (
+        pair.join(F.broadcast(ix), "x")
+        .join(F.broadcast(iy), "y")
+        .select(
+            "x",
+            "y",
+            F.col("xy").alias("pair_orders"),
+            F.round(F.col("xy") / F.lit(n), 6).alias("support"),
+            F.round(F.col("xy") / F.col("cx"), 6).alias("confidence"),
+            F.round(
+                F.col("xy") * F.lit(n) / (F.col("cx") * F.col("cy")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "x", "y")
+        .limit(50)
+    )
+
+
+@_q(
+    "event_trigram_paths",
+    """
+WITH seq AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, COUNT(*) AS cnt
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY cnt DESC, e1, e2, e3
+LIMIT 20
+""",
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user paths: two leads over the per-user total
+    order (one window sort serves both), then a |states|^3-bounded count.
+    The path-mining companion to the first-order transition matrix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "e1", "e2", "e3")
+        .limit(20)
+    )
