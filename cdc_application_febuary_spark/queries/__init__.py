@@ -150,6 +150,7 @@ _ROUND_PRIORITY = [
     "cohort_ltv_curves",
     "market_basket_rules",
     "event_trigram_paths",
+    "backfill_gap_plan",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -4976,3 +4976,74 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+@_q(
+    "backfill_gap_plan",
+    """
+WITH span AS (
+  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+cal AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span
+),
+observed AS (
+  SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h
+  FROM events WHERE event_type = 'purchase'
+),
+missing AS (
+  SELECT c.h, ROW_NUMBER() OVER (ORDER BY c.h) AS rn
+  FROM cal c LEFT JOIN observed o ON c.h = o.h WHERE o.h IS NULL
+),
+island AS (
+  SELECT h, CAST(epoch(h) AS BIGINT) // 3600 - rn AS grp FROM missing
+)
+SELECT MIN(h) AS gap_start, MAX(h) AS gap_end, COUNT(*) AS n_hours
+FROM island GROUP BY grp
+ORDER BY gap_start
+""",
+)
+def backfill_gap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning for a CDC feed: which contiguous hour ranges have
+    NO purchase events inside the stream's own span — the work list a
+    re-pull job consumes. Calendar from `sequence()` over the span, an
+    anti-join for missing hours, then the gaps-and-islands trick
+    (hour-index minus row_number is constant within a run) collapses
+    missing hours to ranges. The global row_number runs over MISSING
+    HOURS only — bounded by the calendar span (8.8k rows/year), never by
+    event volume. Everything is exact timestamps and counts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    cal = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    observed = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    missing = cal.join(observed, "h", "left_anti").withColumn(
+        "rn", F.row_number().over(Window.orderBy("h"))
+    )
+    island = missing.withColumn(
+        "grp", (F.unix_timestamp("h") / 3600).cast("bigint") - F.col("rn")
+    )
+    return (
+        island.groupBy("grp")
+        .agg(
+            F.min("h").alias("gap_start"),
+            F.max("h").alias("gap_end"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .drop("grp")
+        .orderBy("gap_start")
+    )
