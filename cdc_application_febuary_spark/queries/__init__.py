@@ -151,6 +151,7 @@ _ROUND_PRIORITY = [
     "market_basket_rules",
     "event_trigram_paths",
     "backfill_gap_plan",
+    "doc_embedding_integrity",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

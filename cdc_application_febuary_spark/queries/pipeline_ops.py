@@ -5047,3 +5047,46 @@ def backfill_gap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("gap_start")
     )
+
+
+@_q(
+    "doc_embedding_integrity",
+    """
+WITH d AS (SELECT doc_id FROM documents),
+e AS (SELECT vec_id, label FROM embeddings)
+SELECT
+  (SELECT COUNT(*) FROM d) AS n_docs,
+  (SELECT COUNT(*) FROM e) AS n_embeddings,
+  (SELECT COUNT(*) FROM d JOIN e ON d.doc_id = e.vec_id) AS n_matched,
+  (SELECT COUNT(*) FROM d LEFT JOIN e ON d.doc_id = e.vec_id
+    WHERE e.vec_id IS NULL) AS docs_missing_embedding,
+  (SELECT COUNT(*) FROM e LEFT JOIN d ON d.doc_id = e.vec_id
+    WHERE d.doc_id IS NULL) AS orphan_embeddings,
+  (SELECT COUNT(DISTINCT label) FROM e) AS n_labels
+""",
+)
+def doc_embedding_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal integrity audit: the document table joined to its
+    embedding table — match rate, missing-embedding docs, orphan vectors,
+    label cardinality, one row. Anti/semi joins only; embeddings' vector
+    column is never read (column pruning)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ek = e.select(F.col("vec_id").alias("doc_id"))
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_embeddings")))
+        .crossJoin(
+            d.join(ek, "doc_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+        )
+        .crossJoin(
+            d.join(ek, "doc_id", "left_anti")
+            .agg(F.count(F.lit(1)).alias("docs_missing_embedding"))
+        )
+        .crossJoin(
+            ek.join(d, "doc_id", "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphan_embeddings"))
+        )
+        .crossJoin(e.agg(F.countDistinct("label").alias("n_labels")))
+    )

@@ -54,6 +54,8 @@ SCALAR_BROADCAST_OK = {
     "triangle_copurchase",
     # 1-row corpus-revenue total for the share denominator (pareto)
     "pareto_abc_parts",
+    # six 1-row audit scalars crossed into one report row
+    "doc_embedding_integrity",
 }
 
 
