@@ -87,12 +87,21 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
         .select("e.s", "e.t")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # explicit fine partitioning: rows here carry O(sqrt(m))-long
+    # adjacency arrays, so a monitoring-sized shuffle setting (e.g. 8
+    # partitions) would hand each sort task hundreds of MB of array
+    # payload — too fat to spill cleanly in a small long-lived JVM
+    n_parts = max(
+        edges.sparkSession.sparkContext.defaultParallelism * 2, 64
+    )
     adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
     a_u = adj.select(F.col("s").alias("s"), F.col("nbrs").alias("__nu"))
     a_v = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("__nv"))
     tri = (
-        oriented.join(a_u, "s")
-        .join(a_v, "t")
+        oriented.repartition(n_parts, "s")
+        .join(a_u.repartition(n_parts, "s"), "s")
+        .repartition(n_parts, "t")
+        .join(a_v.repartition(n_parts, "t"), "t")
         .select(F.size(F.array_intersect("__nu", "__nv")).alias("__c"))
         # coalesce: a triangle-free graph can drop EVERY edge in the inner
         # joins (no out-neighbors to intersect), leaving sum(NULL)
