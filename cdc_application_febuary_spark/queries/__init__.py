@@ -152,6 +152,7 @@ _ROUND_PRIORITY = [
     "event_trigram_paths",
     "backfill_gap_plan",
     "doc_embedding_integrity",
+    "supplier_lead_times",
     "dedup_embedding",
     # below here: rows-only shapes (weaker verdict by design) — the right
     # entries to fall outside an ~50-query driver cap; each is covered by

@@ -5090,3 +5090,55 @@ def doc_embedding_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(e.agg(F.countDistinct("label").alias("n_labels")))
     )
+
+
+@_q(
+    "supplier_lead_times",
+    """
+WITH lt AS (
+  SELECT l.l_suppkey,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+)
+SELECT s.s_nationkey,
+       COUNT(*) AS n_shipments,
+       ROUND(AVG(lead_days), 4) AS avg_lead_days,
+       CAST(MAX(lead_days) AS BIGINT) AS max_lead_days,
+       ROUND(quantile_cont(lead_days, 0.95), 4) AS p95_lead_days
+FROM lt JOIN supplier s ON lt.l_suppkey = s.s_suppkey
+GROUP BY 1 ORDER BY s_nationkey
+""",
+)
+def supplier_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time profile per supplier nation: exact integer
+    day gaps from the fact join (supplier dimension broadcast), exact
+    percentiles per nation partition — the fulfillment-SLA report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    lt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_suppkey",
+            F.datediff("l_shipdate", "o_orderdate").alias("lead_days"),
+        )
+    )
+    return (
+        lt.join(F.broadcast(supp), lt.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.round(F.avg("lead_days"), 4).alias("avg_lead_days"),
+            F.max("lead_days").cast("bigint").alias("max_lead_days"),
+            F.round(F.expr("percentile(lead_days, 0.95)"), 4).alias(
+                "p95_lead_days"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
