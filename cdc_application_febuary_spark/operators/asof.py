@@ -4,19 +4,54 @@ beyond-reference list): for each left row, the latest right row with
 
 Implementation is the union-tag pattern, which is the scale-correct shape:
 tag both sides, union, ONE shuffle on the key, and a running
-``last(value, ignorenulls)`` window carries the most recent right payload
+``last(struct, ignorenulls)`` window carries the most recent right row
 forward onto each left row. No join explosion, no per-key driver loops —
 cost is a single sort within key partitions, identical asymptotics to a
 sort-merge join.
+
+The carried object is a single STRUCT of (timestamp, payload columns), not
+per-column fills: with independent per-column ``last(value, ignorenulls)``
+windows, a right row holding a NULL value column would be skipped for that
+column only, so the output could stitch the winning row's timestamp to an
+OLDER row's payload. The struct is non-null exactly when the row is a right
+row, so the matched row's payload — nulls included — travels as one unit.
+
+Gap comparison for ``direction='nearest'`` is exact: epoch-nanos bigint
+timestamps (~1.7e18) exceed double's 2^53 integer range, so a double cast
+loses up to ~256 ns per operand and can pick the farther side when the two
+gaps differ by under ~0.5 µs. Integral and timestamp types compare via
+DECIMAL(38,0) arithmetic; only genuinely fractional types fall back to
+double.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DataType,
+    DateType,
+    IntegerType,
+    LongType,
+    ShortType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 _TAG = "__asof_is_left"
+
+
+def _exact_gap_operand(col: Column, dtype: DataType) -> Column:
+    """Lossless comparable numeric for nearest-gap arithmetic."""
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return col.cast("decimal(38,0)")
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(col).cast("decimal(38,0)")
+    if isinstance(dtype, DateType):
+        return F.unix_date(col).cast("decimal(38,0)")
+    return col.cast("double")
 
 
 def asof_join(
@@ -60,6 +95,8 @@ def asof_join(
             f"carry duplicate names): {sorted(clash)}; rename or alias the "
             "right-side columns before the join"
         )
+    if not value_cols:
+        return left.select("*")
 
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
@@ -77,6 +114,18 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = l_tag.unionByName(r_tag)
+    is_right = F.col(_TAG) != 1
+    # One struct per right row: timestamp + payload travel together, so the
+    # emitted values always come from the row whose timestamp won (nulls in
+    # payload columns included — ignorenulls skips left rows only, because
+    # the struct itself is non-null on every right row).
+    r_struct = F.when(
+        is_right,
+        F.struct(
+            F.col("__asof_ts").alias("__ts"),
+            *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+        ),
+    )
 
     if direction == "nearest":
         base = Window.partitionBy(*on).orderBy(
@@ -84,43 +133,28 @@ def asof_join(
         )
         wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        is_right = F.col(_TAG) != 1
-        r_ts = F.when(is_right, F.col("__asof_ts"))
         carried = unioned.select(
             "*",
-            F.last(r_ts, ignorenulls=True).over(wb).alias("__b_ts"),
-            F.first(r_ts, ignorenulls=True).over(wf).alias("__f_ts"),
-            *[
-                F.last(F.col(f"__r_{c}"), ignorenulls=True)
-                .over(wb)
-                .alias(f"__b_{c}")
-                for c in value_cols
-            ],
-            *[
-                F.first(F.col(f"__r_{c}"), ignorenulls=True)
-                .over(wf)
-                .alias(f"__f_{c}")
-                for c in value_cols
-            ],
+            F.last(r_struct, ignorenulls=True).over(wb).alias("__b"),
+            F.first(r_struct, ignorenulls=True).over(wf).alias("__f"),
         )
+        ts_type = unioned.schema["__asof_ts"].dataType
+        cur = _exact_gap_operand(F.col("__asof_ts"), ts_type)
+        b_ts = _exact_gap_operand(F.col("__b.__ts"), ts_type)
+        f_ts = _exact_gap_operand(F.col("__f.__ts"), ts_type)
         # ties (equal gap) go backward, matching pandas merge_asof
-        use_back = F.col("__f_ts").isNull() | (
-            F.col("__b_ts").isNotNull()
-            & (
-                F.col("__asof_ts").cast("double") - F.col("__b_ts").cast("double")
-                <= F.col("__f_ts").cast("double") - F.col("__asof_ts").cast("double")
-            )
+        use_back = F.col("__f").isNull() | (
+            F.col("__b").isNotNull() & (cur - b_ts <= f_ts - cur)
         )
-        out = carried.where(F.col(_TAG) == 1).select(
+        return carried.where(F.col(_TAG) == 1).select(
             *[F.col(c) for c in left.columns],
             *[
-                F.when(use_back, F.col(f"__b_{c}"))
-                .otherwise(F.col(f"__f_{c}"))
+                F.when(use_back, F.col(f"__b.{c}"))
+                .otherwise(F.col(f"__f.{c}"))
                 .alias(c)
                 for c in value_cols
             ],
         )
-        return out
 
     ts_order = (
         F.col("__asof_ts").asc()
@@ -133,14 +167,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__v_{c}")
-            for c in value_cols
-        ],
+        "*", F.last(r_struct, ignorenulls=True).over(w).alias("__v")
     )
-    out = carried.where(F.col(_TAG) == 1).select(
+    return carried.where(F.col(_TAG) == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__v.{c}").alias(c) for c in value_cols],
     )
-    return out

@@ -26,6 +26,22 @@ TABLES = (
 SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 
 
+def oracle_type_lints(columns, types) -> list[str]:
+    """Columns whose DuckDB output type would break the round driver's hash.
+
+    DECIMAL: the driver hashes Decimal objects against float64 (VERDICT r1).
+    HUGEINT: an uncast SUM(int); the driver's fetchdf renders it float64
+    ("354.0") vs Spark's bigint ("354") — and this sim's fetchall() path
+    (HUGEINT -> Python int) structurally cannot catch it by value comparison
+    (VERDICT r2: tpch_q12_late_lines_by_status). CAST(... AS BIGINT/DOUBLE).
+    """
+    return [
+        f"{c}:{t}"
+        for c, t in zip(columns, types)
+        if "DECIMAL" in str(t) or "HUGEINT" in str(t)
+    ]
+
+
 def canon(v):
     if v is None:
         return "<N>"
@@ -90,9 +106,9 @@ def main(only: list[str]) -> int:
             print(f"{name}: rows-only rows={len(srows)} ({time.time() - t0:.1f}s)")
             continue
         rel = con.sql(oracles[name])
-        ddecs = [c for c, t in zip(rel.columns, rel.types) if "DECIMAL" in str(t)]
-        if ddecs:
-            print(f"{name}: DECIMAL OUTPUT LINT oracle cols={ddecs}")
+        bad_types = oracle_type_lints(rel.columns, rel.types)
+        if bad_types:
+            print(f"{name}: ORACLE OUTPUT TYPE LINT cols={bad_types}")
             bad += 1
             continue
         dcols = sorted(rel.columns)

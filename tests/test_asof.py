@@ -209,3 +209,63 @@ def test_nearest_requires_inclusive(spark):
             left, right, ["k"], left_ts="t", right_ts="t",
             direction="nearest", inclusive=False, value_cols=["v"],
         )
+
+
+def test_null_payload_travels_with_winning_row(spark):
+    """ADVICE r2: with per-column ignorenulls fills, a nearest/backward match
+    whose value column is NULL leaked an OLDER row's value. The struct carry
+    must emit the matched row's payload verbatim — nulls included."""
+    from cdc_application_febuary_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    # nearest right row (t=99) has v NULL; an older row (t=50) has v=7
+    right = spark.createDataFrame(
+        [(1, 50, 7), (1, 99, None)], "k long, t long, v long"
+    )
+    for direction in ("backward", "nearest"):
+        row = asof_join(
+            left, right, ["k"], left_ts="t", right_ts="t",
+            direction=direction, value_cols=["v"],
+        ).collect()[0]
+        assert row["v"] is None, direction
+    # forward: nearest following row (t=120) NULL, later row (t=200) has 9
+    right_f = spark.createDataFrame(
+        [(1, 120, None), (1, 200, 9)], "k long, t long, v long"
+    )
+    row = asof_join(
+        left, right_f, ["k"], left_ts="t", right_ts="t",
+        direction="forward", value_cols=["v"],
+    ).collect()[0]
+    assert row["v"] is None
+
+
+def test_nearest_gap_exact_for_epoch_nanos(spark):
+    """ADVICE r2: double-cast gaps lose ~256ns per operand at epoch-nanos
+    magnitude (~1.7e18 > 2^53), so sides differing by <0.5us could swap.
+    The DECIMAL(38,0) comparison must pick the truly nearer side."""
+    from cdc_application_febuary_spark.operators.asof import asof_join
+
+    base = 1_700_000_000_000_000_000  # ~2023 in epoch nanos
+    # backward gap 1000ns, forward gap 999ns -> forward wins by 1ns;
+    # both gaps round to the same double, and a double comparison with
+    # tie-goes-backward would pick the backward side.
+    left = spark.createDataFrame([(1, base)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, base - 1000, "back"), (1, base + 999, "fwd")],
+        "k long, t long, side string",
+    )
+    row = asof_join(
+        left, right, ["k"], left_ts="t", right_ts="t",
+        direction="nearest", value_cols=["side"],
+    ).collect()[0]
+    assert row["side"] == "fwd"
+    # and the mirror: backward gap 999ns, forward 1000ns -> backward
+    right2 = spark.createDataFrame(
+        [(1, base - 999, "back"), (1, base + 1000, "fwd")],
+        "k long, t long, side string",
+    )
+    row2 = asof_join(
+        left, right2, ["k"], left_ts="t", right_ts="t",
+        direction="nearest", value_cols=["side"],
+    ).collect()[0]
+    assert row2["side"] == "back"
