@@ -26,11 +26,17 @@ def _walk(data: bytes, start: int, end: int):
     pos = start
     while pos + 8 <= end:
         size, box = struct.unpack_from(">I4s", data, pos)
+        header = 8
         if size == 1:
+            # 64-bit box: the 8 largesize bytes follow the type and are
+            # part of the HEADER, not the payload (ISO 14496-12 §4.2)
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize box {box!r} at {pos}")
             size = struct.unpack_from(">Q", data, pos + 8)[0]
-        if size < 8 or pos + size > end:
+            header = 16
+        if size < header or pos + size > end:
             raise ValueError(f"malformed box {box!r} at {pos} (size {size})")
-        yield box, pos + 8, pos + size
+        yield box, pos + header, pos + size
         pos += size
 
 

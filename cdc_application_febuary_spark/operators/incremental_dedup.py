@@ -95,6 +95,60 @@ def _sig_store_path(store_path: str) -> str:
     return store_path.rstrip("/") + "__sigs"
 
 
+def _store_lsh_params(spark: SparkSession, store_path: str) -> dict | None:
+    """The banding parameters recorded by the band store's most recent
+    commit (None for stores that predate parameter recording)."""
+    v = mt.current_version(spark, store_path)
+    if v is None:
+        return None
+    for version in range(v, -1, -1):
+        meta = mt.read_commit_meta(spark, store_path, version)
+        if "lsh_params" in meta:
+            return meta["lsh_params"]
+    return None
+
+
+def _check_lsh_params(
+    spark: SparkSession,
+    store_path: str,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+) -> None:
+    """Fail loudly when probe banding parameters don't match the store's.
+
+    A band bucket is a hash of one ``rows_per_band``-wide signature slice;
+    probing with different (num_hashes, bands, rows_per_band) hashes
+    different slices, so store collisions silently become zero and every
+    historical near-duplicate is re-admitted (ADVICE r2). Stores written
+    before parameters were recorded always banded 2-row slices (the old
+    ``band_table`` default), so they remain probe-able iff
+    ``rows_per_band == 2``."""
+    probe = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "rows_per_band": rows_per_band,
+    }
+    recorded = _store_lsh_params(spark, store_path)
+    if recorded is not None:
+        if {k: int(v) for k, v in recorded.items()} != probe:
+            raise ValueError(
+                f"band store {store_path} was written with lsh_params="
+                f"{recorded} but is being probed with {probe}; bucket "
+                "hashes would not collide and historical near-duplicates "
+                "would be silently re-admitted — probe with the recorded "
+                "parameters or build a new store"
+            )
+    elif rows_per_band != 2:
+        raise ValueError(
+            f"band store {store_path} predates lsh-parameter recording and "
+            "was banded with rows_per_band=2; probing with "
+            f"rows_per_band={rows_per_band} (num_hashes={num_hashes} // "
+            f"bands={bands}) would miss every stored bucket — probe with "
+            "num_hashes == 2*bands or rebuild the store"
+        )
+
+
 def near_dedup_batch(
     batch: DataFrame,
     store_path: str,
@@ -151,6 +205,7 @@ def near_dedup_batch(
         return None
 
     rows_per_band = num_hashes // bands
+    _check_lsh_params(spark, store_path, num_hashes, bands, rows_per_band)
     sigs = minhash_signatures(
         batch, id_col=id_col, text_col=text_col, num_hashes=num_hashes
     ).persist()
@@ -239,7 +294,14 @@ def near_dedup_batch(
         store_path,
         ["bucket"],
         mode="append",
-        meta={"batch_id": int(batch_id)},
+        meta={
+            "batch_id": int(batch_id),
+            "lsh_params": {
+                "num_hashes": int(num_hashes),
+                "bands": int(bands),
+                "rows_per_band": int(rows_per_band),
+            },
+        },
     )
     return batch.join(
         novel_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"

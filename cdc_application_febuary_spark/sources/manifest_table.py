@@ -584,9 +584,9 @@ def vacuum(
     # Dead registrations are pruned only once STALE (marker older than
     # _CLONE_PRUNE_AGE_MS): a freshly-written marker may belong to a
     # clone mid-creation (registered, manifest commit in flight) —
-    # deregistering it would leave that clone permanently unprotected. A
-    # young dead marker pins nothing anyway (no manifests), so skipping
-    # it costs only a directory entry.
+    # deregistering it would leave that clone permanently unprotected,
+    # and a vacuum in that window additionally pins the source version
+    # the marker recorded, so the in-flight clone's files survive.
     import time as _time
 
     clones_protecting = 0
@@ -602,12 +602,37 @@ def vacuum(
             clone_versions = _list_versions(spark, target)
             if not clone_versions:
                 fs_m, marker = _clone_marker(spark, t, target)
+                if not fs_m.exists(marker):
+                    continue
                 if (
-                    fs_m.exists(marker)
-                    and now_ms - fs_m.getFileStatus(marker).getModificationTime()
+                    now_ms - fs_m.getFileStatus(marker).getModificationTime()
                     > _CLONE_PRUNE_AGE_MS
                 ):
                     _deregister_clone(spark, t, target)  # clone was dropped
+                    continue
+                # Young version-less registration: a clone mid-creation
+                # (registered, first manifest commit in flight). Pin the
+                # source version the marker recorded — a vacuum running in
+                # this window must not delete files the clone is about to
+                # reference (ADVICE r2). Markers written before versions
+                # were recorded pin the source's FULL referenced set.
+                sv = _read_clone_marker(spark, t, target).get("source_version")
+                src_versions = _list_versions(spark, t)
+                pin = (
+                    [int(sv)]
+                    if sv is not None and int(sv) in src_versions
+                    else src_versions
+                )
+                clones_protecting += 1
+                referenced |= {
+                    _norm(e.path)
+                    for v in pin
+                    for e in _read_manifest(spark, t, v)
+                }
+                if _norm(t.rstrip("/")) == _norm(table_path.rstrip("/")):
+                    # keep the pinned manifests as well, so a crashed
+                    # clone can restart and re-read the version it pinned
+                    keep |= set(pin)
                 continue
             clones_protecting += 1
             stack.append(target)
@@ -775,21 +800,41 @@ def _clone_marker(spark: SparkSession, source_path: str, target_path: str):
 
 
 def _register_clone(
-    spark: SparkSession, source_path: str, target_path: str
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    source_version: int | None = None,
 ) -> None:
+    """Write (or refresh) the clone marker, recording the source version
+    being cloned so a vacuum that runs between registration and the
+    clone's first manifest commit can pin exactly that version's files
+    (the marker is always rewritten: a re-clone to the same target at a
+    newer version must update the pin, and the refreshed modification
+    time re-arms the in-flight grace window)."""
     fs, cdir = _fs(spark, _clones_dir(source_path))
     if not fs.exists(cdir):
         fs.mkdirs(cdir)
     _, marker = _clone_marker(spark, source_path, target_path)
-    if fs.exists(marker):
-        return
+    doc = {"target": target_path.rstrip("/")}
+    if source_version is not None:
+        doc["source_version"] = int(source_version)
     out = fs.create(marker, True)
     try:
-        out.write(
-            json.dumps({"target": target_path.rstrip("/")}).encode("utf-8")
-        )
+        out.write(json.dumps(doc).encode("utf-8"))
     finally:
         out.close()
+
+
+def _read_clone_marker(
+    spark: SparkSession, source_path: str, target_path: str
+) -> dict:
+    fs, marker = _clone_marker(spark, source_path, target_path)
+    if not fs.exists(marker):
+        return {}
+    text = "\n".join(
+        r["value"] for r in spark.read.text(marker.toString()).collect()
+    )
+    return json.loads(text)
 
 
 def _deregister_clone(
@@ -852,7 +897,7 @@ def shallow_clone(
     src_schema = _pinned_schema(spark, source_path, version)
     if src_schema is not None:
         clone_meta["schema"] = src_schema.json()
-    _register_clone(spark, source_path, target_path)
+    _register_clone(spark, source_path, target_path, source_version=version)
     _write_manifest_atomic(spark, target_path, next_v, entries, meta=clone_meta)
     return next_v
 

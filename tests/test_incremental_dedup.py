@@ -170,3 +170,57 @@ def test_near_replay_dropped(spark, tmp_path):
     from cdc_application_febuary_spark.sources import manifest_table as mt
 
     assert mt.current_version(spark, store) == 0
+
+
+def test_banding_param_mismatch_fails_loudly(spark, tmp_path):
+    """ADVICE r2: probing a band store with different (num_hashes, bands,
+    rows_per_band) hashes different signature slices — collisions silently
+    become zero. The store records its parameters and a mismatched probe
+    must raise, not re-admit historical near-duplicates."""
+    import pytest
+
+    store = str(tmp_path / "bands")
+    idd.near_dedup_batch(
+        _docs(spark, [(1, BASE)]), store, 0, num_hashes=32, bands=16
+    )
+    with pytest.raises(ValueError, match="lsh_params"):
+        idd.near_dedup_batch(
+            _docs(spark, [(2, NEAR)]), store, 1, num_hashes=64, bands=16
+        )
+    # matching parameters still probe fine (and reject the near-dup)
+    out = idd.near_dedup_batch(
+        _docs(spark, [(2, NEAR)]), store, 1, num_hashes=32, bands=16
+    )
+    assert out.count() == 0
+
+
+def test_legacy_store_without_params_requires_two_row_bands(spark, tmp_path):
+    """Stores written before parameter recording always banded 2-row
+    slices; they stay probe-able at rows_per_band==2 and fail loudly
+    otherwise."""
+    import pytest
+
+    from cdc_application_febuary_spark.operators.dedup import (
+        band_table,
+        minhash_signatures,
+    )
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    store = str(tmp_path / "bands")
+    sigs = minhash_signatures(_docs(spark, [(1, BASE)]), num_hashes=32)
+    bt = band_table(sigs, bands=16, rows_per_band=2)
+    mt.write_table(
+        bt.select("id", "band", "bucket"),
+        store,
+        ["bucket"],
+        mode="append",
+        meta={"batch_id": 0},  # legacy commit: no lsh_params
+    )
+    with pytest.raises(ValueError, match="predates"):
+        idd.near_dedup_batch(
+            _docs(spark, [(2, NEAR)]), store, 1, num_hashes=64, bands=16
+        )
+    out = idd.near_dedup_batch(
+        _docs(spark, [(2, NEAR)]), store, 1, num_hashes=32, bands=16
+    )
+    assert out.count() == 0  # 2-row probe still collides with legacy buckets

@@ -74,17 +74,20 @@ def test_vacuum_prunes_dead_clone_and_frees_files(spark, tmp_path, monkeypatch):
     shutil.rmtree(dst)  # drop the clone table entirely
 
     # a FRESH dead marker is skipped, not pruned (it could be a clone
-    # whose manifest commit is still in flight) — but it pins nothing
+    # whose manifest commit is still in flight) — and while young it
+    # pins the source version it recorded, in case the commit IS in
+    # flight (the ADVICE r2 race)
     stats = mt.vacuum(spark, src, keep_last=1)
-    assert stats["clones_protecting"] == 0
+    assert stats["clones_protecting"] == 1
     assert mt.registered_clones(spark, src) == [dst]  # still registered
-    assert stats["data_files_removed"] > 0
+    assert stats["data_files_removed"] == 0
     assert mt.read_table(spark, src).count() == 50
 
-    # once stale, the registration is pruned
+    # once stale, the registration is pruned and the files freed
     monkeypatch.setattr(mt, "_CLONE_PRUNE_AGE_MS", 0)
-    mt.vacuum(spark, src, keep_last=1)
+    stats2 = mt.vacuum(spark, src, keep_last=1)
     assert mt.registered_clones(spark, src) == []
+    assert stats2["data_files_removed"] > 0
 
 
 def test_vacuum_protects_clone_of_clone_transitively(spark, tmp_path):
@@ -179,3 +182,52 @@ def test_restore_rolls_back_with_history_preserved(spark, tmp_path):
     assert meta["operation"] == "restore" and meta["restored_version"] == 0
     # restore carries v0's schema pin
     assert "schema" in meta
+
+
+def test_vacuum_during_inflight_clone_pins_recorded_version(spark, tmp_path):
+    """ADVICE r2 (clone-pin race): a vacuum running between
+    _register_clone and the clone's first manifest commit used to see a
+    version-less clone, pin nothing, and free the very files the clone
+    was about to reference. The marker now records the pinned source
+    version and a young version-less registration pins that version."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mt.write_table(_df(spark, 0, 100), src, ["k"])       # v0
+    mt.write_table(_df(spark, 200, 250), src, ["k"], mode="overwrite")  # v1
+    mt.write_table(_df(spark, 300, 350), src, ["k"], mode="overwrite")  # v2
+
+    # simulate shallow_clone(version=0) crashing mid-flight: registration
+    # written, manifest commit not yet
+    mt._register_clone(spark, src, dst, source_version=0)
+
+    stats = mt.vacuum(spark, src, keep_last=1)
+    assert stats["clones_protecting"] == 1
+
+    # the in-flight clone can now complete and read the full v0 snapshot
+    mt.shallow_clone(spark, src, dst, version=0)
+    assert mt.read_table(spark, dst).count() == 100
+
+
+def test_vacuum_inflight_clone_legacy_marker_pins_everything(spark, tmp_path):
+    """A pre-fix marker (no recorded source_version) pins the source's
+    FULL referenced set while young — conservative, never stranding."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mt.write_table(_df(spark, 0, 100), src, ["k"])       # v0
+    mt.write_table(_df(spark, 200, 250), src, ["k"], mode="overwrite")  # v1
+    mt._register_clone(spark, src, dst)  # legacy: no source_version
+
+    stats = mt.vacuum(spark, src, keep_last=1)
+    assert stats["clones_protecting"] == 1
+    mt.shallow_clone(spark, src, dst, version=0)
+    assert mt.read_table(spark, dst).count() == 100
+
+
+def test_vacuum_still_prunes_stale_versionless_registration(
+    spark, tmp_path, monkeypatch
+):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mt.write_table(_df(spark, 0, 10), src, ["k"])
+    mt._register_clone(spark, src, dst, source_version=0)
+    monkeypatch.setattr(mt, "_CLONE_PRUNE_AGE_MS", 0)
+    stats = mt.vacuum(spark, src, keep_last=1)
+    assert stats["clones_protecting"] == 0
+    assert mt.registered_clones(spark, src) == []

@@ -53,3 +53,45 @@ def test_video_metadata_over_spark(spark):
         assert r["width"] == meta[mid]["width"]
         assert r["n_tracks"] in (1, 2)
         assert r["major_brand"] == "isom"
+
+
+def test_largesize_box_body_offset():
+    """ADVICE r2: a size==1 (64-bit) box carries an 8-byte largesize after
+    the type; the body starts at +16, not +8 — parsing the largesize bytes
+    as payload mis-reads every field after it."""
+    import struct
+
+    from cdc_application_febuary_spark.functions.mp4 import (
+        encode_mp4_stub,
+        probe_mp4,
+    )
+
+    normal = encode_mp4_stub(duration_ms=1234, width=64, height=32)
+    # rewrite the moov box header to the 64-bit form
+    ftyp_len = struct.unpack_from(">I", normal, 0)[0]
+    moov_len, tag = struct.unpack_from(">I4s", normal, ftyp_len)
+    assert tag == b"moov"
+    moov_payload = normal[ftyp_len + 8 : ftyp_len + moov_len]
+    large_moov = (
+        struct.pack(">I4sQ", 1, b"moov", 16 + len(moov_payload)) + moov_payload
+    )
+    rebuilt = normal[:ftyp_len] + large_moov + normal[ftyp_len + moov_len :]
+    assert probe_mp4(rebuilt) == probe_mp4(normal)
+
+
+def test_truncated_largesize_box_raises():
+    import struct
+
+    import pytest
+
+    from cdc_application_febuary_spark.functions.mp4 import (
+        encode_mp4_stub,
+        probe_mp4,
+    )
+
+    normal = encode_mp4_stub(duration_ms=10)
+    ftyp_len = struct.unpack_from(">I", normal, 0)[0]
+    # size==1 header but only 12 bytes remain — no full largesize field
+    bad = normal[:ftyp_len] + struct.pack(">I4s", 1, b"moov") + b"\x00" * 4
+    with pytest.raises(ValueError, match="largesize|malformed"):
+        probe_mp4(bad)
