@@ -7,12 +7,19 @@ idle keys expire without a custom timeout dance, and timer callbacks.
 Requires the RocksDB state store provider (the HDFS-backed default does
 not support transformWithState); callers flip the conf via
 ``use_rocksdb_state``. The Python<->JVM state protocol additionally
-needs ``google.protobuf`` at runtime — environments without it should
-use the applyInPandasWithState operators in ``stateful.py`` (same
+needs ``google.protobuf`` at runtime — ``compat.protobuf_compat``
+bridges the machine's public pure-Python runtime where no real install
+exists (importing this module arranges it, BEFORE the SparkSession is
+created so workers inherit the path); if no runtime can be found at
+all, use the applyInPandasWithState operators in ``stateful.py`` (same
 semantics, tuple-typed state).
 """
 
 from __future__ import annotations
+
+from ..compat.protobuf_compat import ensure_protobuf
+
+ensure_protobuf()
 
 from collections.abc import Iterator
 

@@ -98,11 +98,20 @@ def test_running_counts_transform_with_state(spark, tmp_path):
     typed ValueState totals survive across micro-batches (RocksDB store).
 
     The state protocol between the Python worker and the JVM rides on
-    protobuf; skip where google.protobuf is absent (this container) —
-    the classic applyInPandasWithState operators in streaming/stateful.py
-    cover the stateful contract there."""
+    protobuf; `compat.protobuf_compat.ensure_protobuf` (invoked by
+    conftest before the session exists) bridges the machine's public
+    pure-Python runtime where no real install exists. Skip only when no
+    runtime could be found at all — there the classic
+    applyInPandasWithState operators in streaming/stateful.py cover the
+    stateful contract."""
     import pytest
 
+    from cdc_application_febuary_spark.compat.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available for transformWithState")
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState state protocol requires protobuf",
@@ -123,9 +132,13 @@ def test_running_counts_transform_with_state(spark, tmp_path):
         out = running_counts_tws(stream.groupBy(F.col("k")))
         ck = tmp_path / "twsck"
 
-        def run_batch(qname):
+        def run_batch(out_name):
+            # memory sink can't recover a checkpoint; foreachBatch parquet can
+            out_dir = tmp_path / out_name
             q = (
-                out.writeStream.format("memory").queryName(qname)
+                out.writeStream.foreachBatch(
+                    lambda b, _id: b.write.mode("append").parquet(str(out_dir))
+                )
                 .outputMode("update")
                 .option("checkpointLocation", str(ck))
                 .trigger(availableNow=True)
@@ -134,13 +147,13 @@ def test_running_counts_transform_with_state(spark, tmp_path):
             q.awaitTermination(120)
             return {
                 r["key"]: (r["events"], r["batch_events"])
-                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+                for r in spark.read.parquet(str(out_dir)).collect()
             }
 
-        got1 = run_batch("tws1")
+        got1 = run_batch("tws_out1")
         assert got1 == {"a": (2, 2), "b": (1, 1)}
         _feed(feed, [{"k": "a", "v": 4}])
-        got2 = run_batch("tws2")
+        got2 = run_batch("tws_out2")
         assert got2["a"] == (3, 1)  # total carried across restarts
     finally:
         if prev is not None:
