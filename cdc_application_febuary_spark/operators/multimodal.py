@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -661,18 +662,31 @@ def thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
     )
 
 
-def synthetic_media_mp4(spark, n: int = 24) -> DataFrame:
+def synthetic_media_mp4(
+    spark, n: int = 24, with_samples: bool = False
+) -> DataFrame:
     """Video table whose payloads are REAL (metadata-only) MP4 containers
     built in-process (`functions/mp4.encode_mp4_stub`) — the probe path
     runs on actual ISO-BMFF bytes; one malformed payload exercises the
-    per-row quarantine."""
+    per-row quarantine. ``with_samples`` adds real stsz/stsc/stco/stss
+    sample tables (one "frame" byte-run per sample in the mdat) so the
+    frame-index path also runs on true container bytes."""
     from ..functions.mp4 import encode_mp4_stub
 
     rows = []
     for i in range(n):
         dur = 1000 * (10 + i * 7)
         w, h = 320 + (i % 3) * 320, 240 + (i % 3) * 240
-        payload = encode_mp4_stub(dur, w, h, n_tracks=1 + i % 2)
+        kwargs = {}
+        if with_samples:
+            n_frames = 6 + (i % 5)
+            kwargs = {
+                "sample_sizes": [16 + ((i + s) % 7) for s in range(n_frames)],
+                "samples_per_chunk": 4,
+                # GOP-ish: a keyframe every 3rd sample, always sample 1
+                "keyframes": list(range(1, n_frames + 1, 3)),
+            }
+        payload = encode_mp4_stub(dur, w, h, n_tracks=1 + i % 2, **kwargs)
         rows.append((i, "video", "mp4", bytearray(payload), w, h, dur))
     rows.append((n, "video", "mp4", bytearray(b"\x00\x00\x00\x08brok"), None, None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
@@ -734,4 +748,74 @@ def video_metadata(media: DataFrame) -> DataFrame:
 
     return media.where(F.col("kind") == "video").mapInPandas(
         batches, VIDEO_PROBE_SCHEMA
+    )
+
+
+FRAME_INDEX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("track_id", IntegerType(), True),
+        StructField("sample", IntegerType(), True),
+        StructField("offset", LongType(), True),
+        StructField("size", LongType(), True),
+        StructField("keyframe", BooleanType(), True),
+        StructField("index_error", StringType(), True),
+    ]
+)
+
+
+def video_frame_table(media: DataFrame) -> DataFrame:
+    """Per-frame byte index of every video payload: one row per sample
+    with its absolute (offset, size) span and keyframe flag, from the
+    real stsz/stsc/stco/stss sample tables (`functions/mp4.frame_index`).
+
+    This is the Spark form of "video frame decode as a pruned-scan
+    problem": downstream frame-sampling filters on ``keyframe`` and reads
+    only those byte ranges — the codec payload never rides the shuffle,
+    and the per-row quarantine column keeps malformed containers from
+    failing the batch. Arrow-batched mapInPandas; output volume is one
+    small row per frame, independent of payload bytes."""
+    from ..functions.mp4 import frame_index
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    frames = frame_index(bytes(content))
+                    if not frames:
+                        recs.append(
+                            (int(mid), None, None, None, None, None, None)
+                        )
+                    for fr in frames:
+                        recs.append(
+                            (
+                                int(mid),
+                                fr["track_id"],
+                                fr["sample"],
+                                fr["offset"],
+                                fr["size"],
+                                fr["keyframe"],
+                                None,
+                            )
+                        )
+                except Exception as e:  # noqa: BLE001 - per-row quarantine
+                    recs.append(
+                        (int(mid), None, None, None, None, None, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "track_id",
+                    "sample",
+                    "offset",
+                    "size",
+                    "keyframe",
+                    "index_error",
+                ],
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        batches, FRAME_INDEX_SCHEMA
     )

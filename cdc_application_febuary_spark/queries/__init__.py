@@ -121,6 +121,7 @@ _ROUND_PRIORITY = [
     "multimodal_decode",
     "multimodal_thumbnails",
     "video_probe",
+    "video_frame_index",
     "documents_mixture",
     "documents_weighted_sample",
     # already driver-verdicted in r1/r2

@@ -4791,6 +4791,39 @@ def video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("video_frame_index")  # rows-only: containers are generated in-process
+def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame byte indexing from real MP4 sample tables
+    (stsz/stsc/stco/stss — `functions/mp4.frame_index`): the stage that
+    turns video frame-sampling into a pruned SCAN. Each container yields
+    one row per sample with its absolute byte span + keyframe flag; the
+    aggregate proves the keyframe subset a GOP sampler would read is a
+    fraction of the total frame bytes, without ever decoding a codec
+    payload."""
+    from ..operators import multimodal
+
+    media = multimodal.synthetic_media_mp4(spark, n=24, with_samples=True)
+    frames = multimodal.video_frame_table(media)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.col("sample")).alias("n_frames"),
+            F.sum(F.when(F.col("keyframe"), 1).otherwise(0)).alias(
+                "n_keyframes"
+            ),
+            F.sum(F.coalesce(F.col("size"), F.lit(0))).alias("frame_bytes"),
+            F.sum(
+                F.when(F.col("keyframe"), F.col("size")).otherwise(0)
+            ).alias("keyframe_bytes"),
+            F.max(F.col("offset") + F.col("size")).alias("span_end"),
+            F.sum(
+                F.when(F.col("index_error").isNotNull(), 1).otherwise(0)
+            ).alias("quarantined"),
+        )
+        .orderBy("media_id")
+    )
+
+
 @_q(
     "cohort_ltv_curves",
     """

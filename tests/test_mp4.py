@@ -95,3 +95,89 @@ def test_truncated_largesize_box_raises():
     bad = normal[:ftyp_len] + struct.pack(">I4s", 1, b"moov") + b"\x00" * 4
     with pytest.raises(ValueError, match="largesize|malformed"):
         probe_mp4(bad)
+
+
+def test_frame_index_matches_file_bytes():
+    """stsz/stsc/stco expansion: every indexed (offset, size) slice must
+    equal the deterministic per-sample byte run the writer laid down —
+    byte-for-byte, across chunk boundaries."""
+    from cdc_application_febuary_spark.functions.mp4 import (
+        encode_mp4_stub,
+        frame_index,
+    )
+
+    sizes = [5, 9, 3, 7, 11, 4, 6, 2, 8]  # 9 samples, chunks of 4 -> 3 chunks
+    content = encode_mp4_stub(
+        duration_ms=9000, width=320, height=240,
+        sample_sizes=sizes, samples_per_chunk=4, keyframes=[1, 5, 9],
+    )
+    rows = frame_index(content)
+    assert len(rows) == len(sizes)
+    assert [r["sample"] for r in rows] == list(range(1, 10))
+    assert [r["size"] for r in rows] == sizes
+    assert [r["keyframe"] for r in rows] == [
+        s in (1, 5, 9) for s in range(1, 10)
+    ]
+    assert all(r["track_id"] == 1 for r in rows)
+    for r in rows:
+        s = r["sample"]
+        expect = bytes((s * 31 + j) % 256 for j in range(r["size"]))
+        assert content[r["offset"] : r["offset"] + r["size"]] == expect
+    # offsets restart at each chunk base, not merely accumulate
+    offs = [r["offset"] for r in rows]
+    assert offs == sorted(offs)
+
+
+def test_frame_index_no_stss_means_all_keyframes():
+    from cdc_application_febuary_spark.functions.mp4 import (
+        encode_mp4_stub,
+        frame_index,
+    )
+
+    content = encode_mp4_stub(1000, sample_sizes=[4, 4, 4], keyframes=None)
+    rows = frame_index(content)
+    assert [r["keyframe"] for r in rows] == [True, True, True]
+
+
+def test_frame_index_empty_for_metadata_only_container():
+    from cdc_application_febuary_spark.functions.mp4 import (
+        encode_mp4_stub,
+        frame_index,
+    )
+
+    assert frame_index(encode_mp4_stub(1000, 320, 240)) == []
+
+
+def test_frame_index_multi_stsc_runs():
+    """A hand-built stsc with two runs (first chunk 2 samples, rest 3):
+    the run boundary logic, not just the single-entry case."""
+    import struct
+
+    from cdc_application_febuary_spark.functions.mp4 import frame_index
+
+    def box(tag, payload):
+        return struct.pack(">I4s", 8 + len(payload), tag) + payload
+
+    sizes = [2, 3, 4, 5, 6, 7, 8, 9]  # 8 samples: chunks = [2], [3], [3]
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, len(sizes))
+               + b"".join(struct.pack(">I", s) for s in sizes))
+    stsc = box(b"stsc", struct.pack(">II", 0, 2)
+               + struct.pack(">III", 1, 2, 1)
+               + struct.pack(">III", 2, 3, 1))
+    stco = box(b"stco", struct.pack(">II", 0, 3)
+               + struct.pack(">III", 1000, 2000, 3000))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0)
+               + struct.pack(">I", 7) + b"\x00" * 60 + struct.pack(">II", 0, 0))
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl",
+               stsz + stsc + stco))))
+    mvhd = box(b"mvhd", b"\x00" * 4 + struct.pack(">II", 0, 0)
+               + struct.pack(">II", 1000, 1000) + b"\x00" * 80)
+    content = (box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+               + box(b"moov", mvhd + trak))
+    rows = frame_index(content)
+    assert [(r["sample"], r["offset"]) for r in rows] == [
+        (1, 1000), (2, 1002),            # chunk 1: sizes 2,3
+        (3, 2000), (4, 2004), (5, 2009), # chunk 2: sizes 4,5,6
+        (6, 3000), (7, 3007), (8, 3015), # chunk 3: sizes 7,8,9
+    ]
+    assert all(r["track_id"] == 7 for r in rows)

@@ -215,3 +215,35 @@ def test_frame_sample_plan(spark):
                  if r["kind"] == "video"}
     for mid, ts in by_id.items():
         assert len(ts) == max(1, durations[mid] // 1000)
+
+
+def test_video_frame_table_spans_and_quarantine(spark):
+    """Frame indexing through Spark: per-sample byte spans come back for
+    every sample-table-carrying container, keyframes follow the planted
+    every-3rd GOP pattern, and the malformed payload quarantines per-row."""
+    from cdc_application_febuary_spark.operators import multimodal
+
+    media = multimodal.synthetic_media_mp4(spark, n=6, with_samples=True)
+    rows = multimodal.video_frame_table(media).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # media 0..5 planted 6 + (i % 5) frames each
+    for i in range(6):
+        frames = [r for r in by_media[i] if r["sample"] is not None]
+        assert len(frames) == 6 + (i % 5)
+        keys = [r["sample"] for r in frames if r["keyframe"]]
+        assert keys == list(range(1, len(frames) + 1, 3))
+        offs = sorted(r["offset"] for r in frames)
+        assert offs[0] > 0 and len(set(offs)) == len(offs)
+    # the malformed trailer row quarantines with an index_error
+    bad = by_media[6]
+    assert len(bad) == 1 and bad[0]["index_error"] is not None
+
+
+def test_video_frame_table_metadata_only_yields_no_frames(spark):
+    from cdc_application_febuary_spark.operators import multimodal
+
+    media = multimodal.synthetic_media_mp4(spark, n=4, with_samples=False)
+    rows = multimodal.video_frame_table(media).collect()
+    assert all(r["sample"] is None for r in rows)
