@@ -1,0 +1,182 @@
+"""Distributed document-quality classification: logistic regression by
+declarative gradient descent, plus a rank-based (Mann–Whitney) AUC.
+
+A 100 TB corpus-quality pass cannot ship rows to a trainer; it ships
+*sufficient statistics*. Each GD iteration here is ONE DataFrame
+aggregation: the current weight vector enters the plan as literals, the
+margin `w·x + b` is a column expression (whole-stage codegen, no UDF),
+and the gradient is d+1 partial SUMs — map-side combined, so per
+iteration the driver receives d+1 doubles regardless of corpus size.
+This is the same sufficient-statistics shape as MLlib's
+``treeAggregate`` LBFGS, expressed through Catalyst instead of RDDs
+(cf. Spark's own LogisticRegression cost aggregator).
+
+Features are standardized first (one additional scan: mean/std per
+feature) — both for conditioning and so learned weights are comparable
+across features. The AUC is the Mann–Whitney statistic computed from
+average ranks of the positive class: a global sort-free ranking via the
+partition-offset trick (`operators/ranking`-style) would also work, but
+AUC needs only per-score group counts, so it reduces to one groupBy and
+a running cumulative sum — exact, including tie handling, with no
+per-row window over a single partition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+@dataclass
+class LogRegModel:
+    feature_cols: list[str]
+    means: list[float]
+    stds: list[float]
+    weights: list[float]  # standardized-space weights
+    bias: float
+    losses: list[float]   # mean log-loss per iteration (first = initial)
+
+    def margin_col(self):
+        """`w·x_standardized + b` as a column expression over the ORIGINAL
+        feature columns (standardization folded in)."""
+        m = F.lit(self.bias)
+        for c, mu, sd, w in zip(
+            self.feature_cols, self.means, self.stds, self.weights
+        ):
+            m = m + F.lit(w) * ((F.col(c) - F.lit(mu)) / F.lit(sd))
+        return m
+
+    def proba_col(self):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-self.margin_col()))
+
+
+def fit_logreg(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 30,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> LogRegModel:
+    """Batch gradient descent, one aggregation scan per iteration.
+
+    The label must be 0/1. Returns standardized-space weights plus the
+    fold-in constants, so scoring is a pure column expression. ``l2``
+    regularizes weights (not the bias). Deterministic up to float-sum
+    order; round scored outputs before hashing them across engines."""
+    feats = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    stats = feats.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.avg(c).alias(f"m_{c}") for c in feature_cols],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in feature_cols],
+    ).first()
+    n = float(stats["__n"])
+    means = [float(stats[f"m_{c}"]) for c in feature_cols]
+    stds = [
+        float(stats[f"s_{c}"]) if stats[f"s_{c}"] else 1.0
+        for c in feature_cols
+    ]
+    std_cols = [
+        ((F.col(c) - F.lit(mu)) / F.lit(sd)).alias(f"z_{i}")
+        for i, (c, mu, sd) in enumerate(zip(feature_cols, means, stds))
+    ]
+    z = feats.select(*std_cols, "__y")
+    z.persist()
+    try:
+        d = len(feature_cols)
+        w = [0.0] * d
+        b = 0.0
+        losses: list[float] = []
+        for _ in range(iters):
+            margin = F.lit(b)
+            for j in range(d):
+                margin = margin + F.lit(w[j]) * F.col(f"z_{j}")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            # log-loss via the numerically-stable softplus form:
+            # loss = softplus(margin) - y*margin
+            loss = (
+                F.when(margin > 30, margin)
+                .when(margin < -30, F.lit(0.0))
+                .otherwise(F.log1p(F.exp(margin)))
+                - F.col("__y") * margin
+            )
+            err = (p - F.col("__y")).alias("__e")
+            row = z.select(err, loss.alias("__l"), *[F.col(f"z_{j}") for j in range(d)]).agg(
+                F.avg("__l").alias("loss"),
+                F.sum("__e").alias("g_b"),
+                *[
+                    F.sum(F.col("__e") * F.col(f"z_{j}")).alias(f"g_{j}")
+                    for j in range(d)
+                ],
+            ).first()
+            losses.append(float(row["loss"]))
+            b -= lr * float(row["g_b"]) / n
+            for j in range(d):
+                grad = float(row[f"g_{j}"]) / n + l2 * w[j]
+                w[j] -= lr * grad
+        return LogRegModel(
+            feature_cols=list(feature_cols),
+            means=means,
+            stds=stds,
+            weights=w,
+            bias=b,
+            losses=losses,
+        )
+    finally:
+        z.unpersist()
+
+
+def auc_score(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC as the Mann–Whitney U statistic, tie-corrected.
+
+    Reduction: group rows by score (ties collapse to one group with
+    positive/total counts), cumulative-sum group totals in score order to
+    get each group's average rank, then
+    ``AUC = (Σ_pos avg_rank − n_pos(n_pos+1)/2) / (n_pos · n_neg)``.
+    The only ordered pass runs over DISTINCT SCORES (already reduced —
+    thousands of groups, not corpus rows), so the single-partition window
+    is over group rows; at extreme cardinality, bucket scores first or
+    swap in the partition-offset ranking. Returns a 1-row DataFrame
+    (auc, n_pos, n_neg, n_score_groups)."""
+    g = (
+        df.select(
+            F.col(score_col).cast("double").alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "s",
+        "cnt",
+        "pos",
+        (
+            F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + (F.col("cnt") + F.lit(1)) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    return ranked.agg(
+        F.sum("pos").alias("__np"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("__nn"),
+        F.sum(F.col("pos") * F.col("avg_rank")).alias("__rs"),
+        F.count(F.lit(1)).alias("n_score_groups"),
+    ).select(
+        F.round(
+            (F.col("__rs") - F.col("__np") * (F.col("__np") + 1) / 2.0)
+            / (F.col("__np") * F.col("__nn")),
+            6,
+        ).alias("auc"),
+        F.col("__np").cast("long").alias("n_pos"),
+        F.col("__nn").cast("long").alias("n_neg"),
+        F.col("n_score_groups").cast("long").alias("n_score_groups"),
+    )

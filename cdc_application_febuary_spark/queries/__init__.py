@@ -104,6 +104,8 @@ _ROUND_PRIORITY = [
     "supplier_lead_times",
     # --- end of the 50-slot window ---
     # round-3 additions (oracle-paired; head the r4 rotation)
+    "contamination_check_hash",
+    "doc_length_auc",
     # rows-only shapes (weaker verdict by design): r4 rotation pool
     "bpe_token_stats",
     "corpus_splits",
@@ -122,6 +124,7 @@ _ROUND_PRIORITY = [
     "multimodal_thumbnails",
     "video_probe",
     "video_frame_index",
+    "quality_classifier",
     "documents_mixture",
     "documents_weighted_sample",
     # already driver-verdicted in r1/r2

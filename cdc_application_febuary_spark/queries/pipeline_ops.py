@@ -2176,6 +2176,49 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "contamination_check_hash",
+    """
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(generate_series(1, len(w)-4)) AS t(i)
+),
+d AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+b AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 17 = 0),
+bs AS (SELECT bench_id, COUNT(*) AS bench_ngrams FROM b GROUP BY 1),
+h AS (SELECT d.doc_id, b.bench_id, COUNT(*) AS overlap_ngrams
+      FROM d JOIN b USING (g) GROUP BY 1, 2)
+SELECT h.doc_id, h.bench_id, h.overlap_ngrams, bs.bench_ngrams,
+       ROUND(CAST(h.overlap_ngrams AS DOUBLE) / bs.bench_ngrams, 6)
+         AS overlap_frac
+FROM h JOIN bs USING (bench_id)
+ORDER BY doc_id, bench_id
+""",
+)
+def contamination_check_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-broadcast contamination tier (`join_mode="hash"`): both
+    sides project n-grams to xxhash64 longs and meet in a shuffle
+    equi-join, so no executor holds the benchmark set and the shuffle
+    moves 8-byte keys instead of n-gram strings — the path a
+    larger-than-broadcast eval suite takes at 100 TB. The oracle is the
+    literal-string join: equality holds unless xxhash64 collides on this
+    corpus (probability ~n_bench/2^64 per gram), so a driver hash-match
+    IS the collision-freeness + equivalence evidence (closes the NOTES r2
+    "hash mode not separately exercised" gap)."""
+    from ..operators import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination.ngram_overlap(
+        corpus, bench, n=5, join_mode="hash"
+    ).orderBy("doc_id", "bench_id")
+
+
 @_q("hll_shard_distinct")  # rows-only: DataSketches HLL registers aren't in SQL
 def hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-once/merge-forever distinct users (`operators/sketches.py`):
@@ -2212,6 +2255,86 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, variance_ratio double, cumulative_ratio double"
     ).orderBy("component")
+
+
+# ---------------------------------------------------------------------------
+# Distributed classifier training + ranking metrics
+# ---------------------------------------------------------------------------
+@_q("quality_classifier")  # rows-only: 30 GD iterations have no SQL twin
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression over document features
+    (`operators/classifier.py`): is-English from length/token/stopword/
+    punctuation signals. Every GD iteration is ONE declarative
+    aggregation (margin as a literal-folded column expression, d+1
+    partial SUMs — the sufficient-statistics shape that holds at 100 TB);
+    the corpus never leaves the executors. Emits standardized-space
+    weights plus train AUC/log-loss, rounded for cross-run stability.
+    Rows-only by design; exact numpy-GD parity is pinned in
+    tests/test_classifier.py."""
+    from ..operators import classifier as C
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") / 1000.0).alias("kchars"),
+        T.token_count(F.col("text")).cast("double").alias("n_tokens"),
+        T.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    feats = ["kchars", "n_tokens", "stop_ratio", "punct_ratio"]
+    model = C.fit_logreg(docs, feats, "y", iters=30, lr=1.0)
+    scored = docs.select(model.proba_col().alias("p"), "y")
+    auc = C.auc_score(scored, "p", "y").first()
+    rows = [("weight:" + c, round(w, 4)) for c, w in zip(feats, model.weights)]
+    rows += [
+        ("bias", round(model.bias, 4)),
+        ("train_auc", float(auc["auc"])),
+        ("final_log_loss", round(model.losses[-1], 4)),
+        ("initial_log_loss", round(model.losses[0], 4)),
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "metric string, value double"
+    ).orderBy("metric")
+
+
+@_q(
+    "doc_length_auc",
+    """
+WITH g AS (
+  SELECT n_chars AS s, COUNT(*) AS cnt,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (cnt + 1) / 2.0 AS avg_rank
+  FROM g
+)
+SELECT ROUND((SUM(pos * avg_rank) - SUM(pos) * (SUM(pos) + 1) / 2.0)
+             / (SUM(pos) * SUM(cnt - pos)), 6) AS auc,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+       CAST(COUNT(*) AS BIGINT) AS n_score_groups
+FROM r
+""",
+)
+def doc_length_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann–Whitney AUC (`operators/classifier.py`):
+    how well raw document length ranks is-English. The reduction is
+    groupBy(score) -> cumulative counts over DISTINCT scores -> three
+    sums, so the only ordered pass touches score groups, never corpus
+    rows; every arithmetic step is on exactly-representable halves, so
+    the DuckDB oracle (same rank algebra in SQL windows) hash-matches
+    bit-for-bit."""
+    from ..operators import classifier as C
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return C.auc_score(docs, "s", "y")
 
 
 # ---------------------------------------------------------------------------
