@@ -101,6 +101,79 @@ def _load_centroids(spark: SparkSession, table_path: str, version: int):
     return np.asarray(meta["centroids"], dtype="float64")
 
 
+def append_ivf_index(
+    batch: DataFrame,
+    table_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+    files_per_cluster_group: int = 1,
+) -> dict | None:
+    """Add a vector batch to an existing index WITHOUT retraining — the
+    faiss ``add()`` analog, versioned: assign the batch to the index's
+    frozen centroids (commit-meta matrix, Arrow-batched argmax), stage it
+    range-clustered by cluster id, and commit old entries + new entries
+    as the next version carrying the same centroids. Search needs no
+    changes: pruning sees the union of file envelopes, snapshot isolation
+    keeps in-flight searches on the prior version, and a rebuild later
+    re-clusters everything.
+
+    ``batch_id`` (optional) makes ingestion exactly-once under streaming
+    replay: a batch id at or below the last committed one returns None
+    and commits nothing (manifest-sink semantics). The commit meta tracks
+    ``appended_rows`` cumulatively — the re-cluster dial: appended mass
+    was assigned to frozen centroids, so once it rivals the trained base,
+    rebuild for balanced cells.
+
+    Returns commit stats, or None for a replayed batch."""
+    spark = batch.sparkSession
+    version = mt.current_version(spark, table_path)
+    if version is None:
+        raise FileNotFoundError(f"no committed index at {table_path}")
+    meta = mt.read_commit_meta(spark, table_path, version)
+    if meta.get("index") != "ivf":
+        raise ValueError(f"{table_path} v{version} is not an IVF index")
+    if batch_id is not None:
+        seen = meta.get("batch_id")
+        if seen is not None and int(batch_id) <= int(seen):
+            return None
+    centers = np.asarray(meta["centroids"], dtype="float64")
+    sample = batch.select(F.col(vec_col)).first()
+    if sample is not None and len(sample[0]) != centers.shape[1]:
+        raise ValueError(
+            f"batch dim {len(sample[0])} != index dim {centers.shape[1]}"
+        )
+    assign = _assign_cluster_udf(centers)
+    assigned = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    n_files = max(
+        1, int(meta["n_centroids"]) * files_per_cluster_group // 4
+    )
+    packed = assigned.repartitionByRange(n_files, "cluster")
+    new_entries = mt._stage_files(packed, table_path, ["cluster"])
+    old_entries = mt._read_manifest(spark, table_path, version)
+    appended = sum(e.rows for e in new_entries)
+    new_meta = {
+        **{k: v for k, v in meta.items() if k != "batch_id"},
+        "appended_rows": int(meta.get("appended_rows", 0)) + int(appended),
+    }
+    if batch_id is not None:
+        new_meta["batch_id"] = int(batch_id)
+    mt._write_manifest_atomic(
+        spark, table_path, version + 1, old_entries + new_entries,
+        meta=new_meta,
+    )
+    return {
+        "version": version + 1,
+        "new_files": len(new_entries),
+        "appended_rows": int(appended),
+        "total_appended_rows": new_meta["appended_rows"],
+    }
+
+
 def search_ivf_index(
     spark: SparkSession,
     table_path: str,

@@ -106,6 +106,7 @@ _ROUND_PRIORITY = [
     # round-3 additions (oracle-paired; head the r4 rotation)
     "contamination_check_hash",
     "doc_length_auc",
+    "ann_topk_ivf_append",
     # rows-only shapes (weaker verdict by design): r4 rotation pool
     "bpe_token_stats",
     "corpus_splits",

@@ -2690,6 +2690,40 @@ def ann_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["result"].orderBy("query_id", "rank")
 
 
+@_q("ann_topk_ivf_append", _ANN_ORACLE)
+def ann_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (`vector_index.append_ivf_index` —
+    the faiss ``add()`` analog): build the persisted IVF index on 70% of
+    the corpus, append the remaining 30% in two exactly-once batches
+    against the FROZEN centroids (no retrain; commit = old entries + new
+    entries + same centroid meta), then full-probe search — which must
+    exactly equal brute force over the WHOLE corpus, proving appended
+    vectors are first-class in the pruned read path."""
+    import tempfile
+
+    from ..operators import vector_index as vi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t = tempfile.mkdtemp(prefix="ivf_app_") + "/idx"
+    vi.build_ivf_index(
+        emb.where(F.col("vec_id") % 10 < 7), t,
+        n_centroids=16, files_per_cluster_group=4,
+    )
+    vi.append_ivf_index(
+        emb.where(F.col("vec_id") % 10 == 7), t, batch_id=0,
+        files_per_cluster_group=4,
+    )
+    vi.append_ivf_index(
+        emb.where(F.col("vec_id") % 10 > 7), t, batch_id=1,
+        files_per_cluster_group=4,
+    )
+    out = vi.search_ivf_index(spark, t, queries, k=5, n_probe=16)
+    return out["result"].orderBy("query_id", "rank")
+
+
 @_q("bpe_token_stats")  # rows-only: learned-merge tokenization isn't in SQL
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL subword tokenization (`functions/bpe.py`): train 100 BPE

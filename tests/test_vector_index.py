@@ -84,3 +84,77 @@ def test_non_index_table_rejected(spark, corpus, tmp_path):
         vi.search_ivf_index(
             spark, t, corpus.select(F.col("vec_id").alias("query_id"), "embedding").limit(1)
         )
+
+
+def test_append_then_full_probe_equals_bruteforce_on_union(
+    spark, corpus, queries, tmp_path
+):
+    """faiss-add analog: build on 70% of the corpus, append the rest in
+    two batches, and full-probe search over the union must exactly equal
+    brute force over the union — appended vectors are first-class."""
+    t = str(tmp_path / "idx")
+    base = corpus.where(F.col("vec_id") % 10 < 7)
+    extra1 = corpus.where(F.col("vec_id") % 10 == 7)
+    extra2 = corpus.where(F.col("vec_id") % 10 > 7)
+    vi.build_ivf_index(base, t, n_centroids=8, files_per_cluster_group=2)
+    s1 = vi.append_ivf_index(extra1, t, batch_id=0)
+    s2 = vi.append_ivf_index(extra2, t, batch_id=1)
+    assert s1["version"] == 1 and s2["version"] == 2
+    assert s2["total_appended_rows"] == extra1.count() + extra2.count()
+
+    out = vi.search_ivf_index(spark, t, queries, k=3, n_probe=8)
+    exact = cosine_topk(corpus, queries, k=3)
+    got = sorted(tuple(r) for r in out["result"].collect())
+    want = sorted(tuple(r) for r in exact.collect())
+    assert got == want
+
+
+def test_append_replay_is_dropped_whole(spark, corpus, tmp_path):
+    t = str(tmp_path / "idx")
+    base = corpus.where(F.col("vec_id") < 150)
+    extra = corpus.where(F.col("vec_id") >= 150)
+    vi.build_ivf_index(base, t, n_centroids=8)
+    assert vi.append_ivf_index(extra, t, batch_id=5)["version"] == 1
+    # replayed batch commits nothing
+    assert vi.append_ivf_index(extra, t, batch_id=5) is None
+    assert mt.current_version(spark, t) == 1
+    # next batch id proceeds
+    assert vi.append_ivf_index(extra.limit(3), t, batch_id=6)["version"] == 2
+
+
+def test_append_search_still_prunes_and_snapshots(
+    spark, corpus, queries, tmp_path
+):
+    t = str(tmp_path / "idx")
+    base = corpus.where(F.col("vec_id") % 2 == 0)
+    vi.build_ivf_index(base, t, n_centroids=8, files_per_cluster_group=4)
+    one_q = queries.limit(1)
+    pre = vi.search_ivf_index(spark, t, one_q, k=3, n_probe=1)
+    vi.append_ivf_index(
+        corpus.where(F.col("vec_id") % 2 == 1), t, files_per_cluster_group=4
+    )
+    post = vi.search_ivf_index(spark, t, one_q, k=3, n_probe=1)
+    # low probe still prunes on the unioned file set
+    assert post["files_opened"] < post["files_total"]
+    assert post["files_total"] > pre["files_total"]
+    # snapshot isolation: version-0 search unaffected by the append
+    v0 = vi.search_ivf_index(spark, t, one_q, k=3, n_probe=1, version=0)
+    assert sorted(map(tuple, v0["result"].collect())) == sorted(
+        map(tuple, pre["result"].collect())
+    )
+
+
+def test_append_rejects_dim_mismatch_and_non_index(spark, corpus, tmp_path):
+    t = str(tmp_path / "idx")
+    vi.build_ivf_index(corpus, t, n_centroids=8)
+    bad = spark.createDataFrame(
+        [(999, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        vi.append_ivf_index(bad, t)
+    plain = str(tmp_path / "plain")
+    mt.write_table(
+        spark.createDataFrame([(1, 2)], "a long, b long"), plain, ["a"]
+    )
+    with pytest.raises(ValueError, match="not an IVF index"):
+        vi.append_ivf_index(corpus.limit(1), plain)
