@@ -107,6 +107,7 @@ _ROUND_PRIORITY = [
     "contamination_check_hash",
     "doc_length_auc",
     "ann_topk_ivf_append",
+    "lineitem_correlation_matrix",
     # rows-only shapes (weaker verdict by design): r4 rotation pool
     "bpe_token_stats",
     "corpus_splits",

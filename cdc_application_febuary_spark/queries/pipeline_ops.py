@@ -932,6 +932,79 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    casts = ", ".join(
+        f"CAST({c} AS DECIMAL(18,2)) AS {c}" for c in _CORR_COLS
+    )
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
+        sums.append(f"CAST(SUM({c} * {c}) AS DOUBLE) AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        sums.append(f"CAST(SUM({a} * {b}) AS DOUBLE) AS sp_{a}_{b}")
+    rows = []
+    for a, b in _CORR_PAIRS:
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"ROUND((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"SQRT((n * ss_{a} - s_{a} * s_{a}) * "
+            f"(n * ss_{b} - s_{b} * s_{b})), 6) AS corr, "
+            f"CAST(n AS BIGINT) AS n FROM m"
+        )
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)} FROM "
+        f"(SELECT {casts} FROM lineitem)) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY col_a, col_b"
+    )
+
+
+@_q("lineitem_correlation_matrix", _corr_matrix_oracle())
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix in ONE pass: every moment
+    (Σx, Σx², Σxy for all pairs) is an exact DECIMAL sum in a single
+    aggregation — order-independent, so both engines feed the same
+    closed-form corr expression (final value ROUND(6) per the repo's
+    double-comparison rule: DuckDB's decimal->double conversion is not
+    correctly rounded, leaving last-ulp skew at sf0.1). d columns cost d(d+1)/2 + d + 1 partial sums in
+    one map-side-combined scan — the sufficient-statistics shape (same
+    as `operators/classifier.py`) that holds at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[F.col(c).cast("decimal(18,2)").alias(c) for c in _CORR_COLS]
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c) * F.col(c)).cast("double").alias(f"ss_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(a) * F.col(b)).cast("double").alias(f"sp_{a}_{b}")
+        )
+    m = li.agg(*aggs).first()
+    n = m["n"]
+    rows = []
+    for a, b in _CORR_PAIRS:
+        num = n * m[f"sp_{a}_{b}"] - m[f"s_{a}"] * m[f"s_{b}"]
+        den = (
+            (n * m[f"ss_{a}"] - m[f"s_{a}"] * m[f"s_{a}"])
+            * (n * m[f"ss_{b}"] - m[f"s_{b}"] * m[f"s_{b}"])
+        ) ** 0.5
+        rows.append((a, b, round(num / den, 6), int(n)))
+    return spark.createDataFrame(
+        rows, "col_a string, col_b string, corr double, n bigint"
+    ).orderBy("col_a", "col_b")
+
+
 # ---------------------------------------------------------------------------
 # Array math over embeddings: per-label norm statistics.
 # ---------------------------------------------------------------------------
