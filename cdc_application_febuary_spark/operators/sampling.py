@@ -167,3 +167,50 @@ def weighted_sample(
         .limit(k)
         .drop("__aes_key")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_tenths: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group-aware train/valid split: near-duplicate CLUSTERS never
+    straddle the boundary.
+
+    A hash split on doc ids leaks: a document and its near-duplicate can
+    land on opposite sides, and the eval set silently contains training
+    data (the standard contamination failure of random splits — the
+    reason decontamination pipelines split by cluster, not by document).
+    Here the near-dup pair set is folded to connected components
+    (`dedup.dedup_clusters` — min-label propagation, docs outside any
+    pair are their own cluster) and the split decision hashes the CLUSTER
+    id, so every member follows its cluster.
+
+    The hash is md5 of the decimal cluster id (``conv(substr(md5(x),1,8),
+    16,10) % 10 < train_tenths``) — deliberately md5, not xxhash64:
+    engine-portable, so a DuckDB oracle reproduces the exact assignment
+    and the split is stable across runs, partitionings, and engines.
+    Granularity is tenths (default 8 = 80/20). Adds ``cluster`` and
+    ``split`` columns; one equi-join against the (tiny) cluster map, no
+    extra shuffle of the corpus beyond it."""
+    from . import dedup as D
+
+    cl = D.dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster"
+    )
+    with_cluster = docs.join(cl, id_col, "left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10
+    )
+    return with_cluster.withColumn(
+        "split",
+        F.when(bucket < train_tenths, F.lit("train")).otherwise(
+            F.lit("valid")
+        ),
+    )

@@ -108,6 +108,7 @@ _ROUND_PRIORITY = [
     "doc_length_auc",
     "ann_topk_ivf_append",
     "lineitem_correlation_matrix",
+    "leakage_safe_splits",
     # rows-only shapes (weaker verdict by design): r4 rotation pool
     "bpe_token_stats",
     "corpus_splits",

@@ -132,6 +132,84 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+_LEAKAGE_SPLIT_ORACLE = """
+WITH RECURSIVE sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       UNNEST(generate_series(1, len(w)-4)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS icnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE CAST(i.icnt AS DOUBLE)/(sa.sz+sb.sz-i.icnt) >= 0.8
+),
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+       FROM reach GROUP BY src),
+sides AS MATERIALIZED (
+  SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster,
+         CASE WHEN ('0x' || substr(md5(CAST(COALESCE(cl.cluster, d.doc_id)
+                                           AS VARCHAR)), 1, 8))::BIGINT
+                   % 10 < 8
+              THEN 'train' ELSE 'valid' END AS split
+  FROM documents d LEFT JOIN cl USING (doc_id)
+),
+crossing AS (
+  SELECT COUNT(*) AS crossing_pairs
+  FROM pairs p JOIN sides sa ON p.a = sa.doc_id
+               JOIN sides sb ON p.b = sb.doc_id
+  WHERE sa.split <> sb.split
+)
+SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT s.cluster) AS BIGINT) AS n_clusters,
+       CAST(c.crossing_pairs AS BIGINT) AS crossing_pairs
+FROM sides s CROSS JOIN crossing c
+GROUP BY s.split, c.crossing_pairs
+ORDER BY s.split
+"""
+
+
+@_q("leakage_safe_splits", _LEAKAGE_SPLIT_ORACLE)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe corpus split (`operators/sampling.leakage_safe_split`):
+    near-duplicate clusters are assigned to train/valid as UNITS — the
+    md5-of-cluster-id hash is engine-portable, so the oracle reproduces
+    the exact assignment, and crossing_pairs == 0 is checked by BOTH
+    engines (the property the operator exists to guarantee; a doc-id
+    hash split would leak near-duplicates into the eval side)."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8).select("a", "b").persist()
+    split = sampling.leakage_safe_split(docs, pairs).persist()
+    sides = split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+    sa = split.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
+    crossing = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .where(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("crossing_pairs"))
+    )
+    return sides.crossJoin(F.broadcast(crossing)).orderBy("split")
+
+
 @_q("dedup_simhash")  # rows-only: xxhash64-seeded fingerprint, not in SQL
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

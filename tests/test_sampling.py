@@ -131,3 +131,48 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     )
     got = [r["id"] for r in weighted_sample(df, "w", 10, "id").collect()]
     assert got == [4]
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    from cdc_application_febuary_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # clusters: {0,1,2}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a long, b long"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    side = {r["doc_id"]: r["split"] for r in out}
+    assert len(side) == 40
+    assert side[0] == side[1] == side[2]
+    assert side[10] == side[11]
+    clus = {r["doc_id"]: r["cluster"] for r in out}
+    assert clus[2] == 0 and clus[11] == 10
+    assert clus[25] == 25  # singleton is its own cluster
+    # both sides populated at this size and the ratio is hash-80/20-ish
+    n_train = sum(1 for s in side.values() if s == "train")
+    assert 0 < n_train < 40
+
+
+def test_leakage_safe_split_is_deterministic_and_partition_invariant(spark):
+    from cdc_application_febuary_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(60)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(3, 4)], "a long, b long")
+    one = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs.coalesce(1), pairs).collect()
+    }
+    many = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs.repartition(7), pairs).collect()
+    }
+    assert one == many
