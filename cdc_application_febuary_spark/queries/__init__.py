@@ -109,6 +109,7 @@ _ROUND_PRIORITY = [
     "ann_topk_ivf_append",
     "lineitem_correlation_matrix",
     "leakage_safe_splits",
+    "doc_similarity_tfidf",
     # rows-only shapes (weaker verdict by design): r4 rotation pool
     "bpe_token_stats",
     "corpus_splits",

@@ -132,6 +132,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+_TFIDF_PAIRS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+tok2 AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket
+  FROM tok WHERE token <> ''
+),
+tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfb AS (SELECT bucket, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+post AS MATERIALIZED (
+  SELECT t.doc_id, t.bucket,
+         CAST(ROUND(t.tf * LN((n.n + 1.0) / (d.dfreq + 1.0)) * 1000000)
+              AS BIGINT) AS w
+  FROM tf t JOIN dfb d ON t.bucket = d.bucket CROSS JOIN n
+  WHERE ROUND(t.tf * LN((n.n + 1.0) / (d.dfreq + 1.0)) * 1000000) <> 0
+    AND d.dfreq <= 250
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM post GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, SUM(a.w * b.w) AS dot
+  FROM post a JOIN post b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.a, d.b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+             6) AS cosine
+FROM dots d JOIN norms na ON d.a = na.doc_id
+            JOIN norms nb ON d.b = nb.doc_id
+WHERE ROUND(CAST(d.dot AS DOUBLE)
+            / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+            6) >= 0.6
+ORDER BY a, b
+"""
+
+
+@_q("doc_similarity_tfidf", _TFIDF_PAIRS_ORACLE)
+def doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF-IDF similarity join (`operators/vectorize.py`):
+    tokens hash to 256 buckets (md5 — engine-portable), weights are
+    integer-scaled so every dot product and norm is an EXACT int64 sum,
+    and pairs meet on an inverted-index bucket equi-join with hot-bucket
+    pruning (df > 250 dropped — stopword buckets, the fan-out bound).
+    The only floating-point step is the final cosine expression, rounded
+    once — which is why the DuckDB oracle hash-matches a similarity
+    *join*, normally the least portable of shapes."""
+    from ..operators import vectorize as V
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = V.hashed_tfidf_postings(docs, dim=256)
+    return V.sparse_cosine_pairs(
+        post, threshold=0.6, max_bucket_df=250
+    ).orderBy("a", "b")
+
+
 _LEAKAGE_SPLIT_ORACLE = """
 WITH RECURSIVE sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
