@@ -1,0 +1,101 @@
+"""Character n-gram language-model scoring — perplexity-style corpus
+filtering without an external model.
+
+Production corpus pipelines (CCNet and its descendants) filter documents
+by language-model perplexity: text that a model of the corpus finds very
+surprising is usually boilerplate, encoding garbage, or spam. This is
+the self-contained Spark form: train a character-trigram model ON the
+corpus (one groupBy over exploded trigrams), score each document by its
+average add-one-smoothed trigram log-probability, and filter on the
+score distribution. Everything is column expressions — the trigram
+explode is `transform(sequence(...), i -> substr(text, i, 3))`, so no
+Python touches the hot path — and the per-document aggregation sums
+DECIMAL-rounded logs, so the score is exact and order-independent
+(engine-portable; the DuckDB oracle replays it bit-for-bit).
+
+Scale: the model is a (trigram, count) table bounded by the alphabet
+cubed in distinct keys — it shuffles once to count and once to join
+back (broadcast when small). Documents never move except by their
+trigram keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def char_ngrams(col, n: int = 3):
+    """Array of all length-``n`` character windows of a string column."""
+    c = F.lower(F.trim(col))
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_model(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(trigram, cnt) counts over the corpus — the 'model'."""
+    return (
+        docs.select(F.explode(char_ngrams(F.col(text_col))).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lm_scores(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_trigrams, lm_score) — lm_score is the mean add-one
+    trigram log-probability (higher = more typical of the corpus; the
+    negative of a per-character log-perplexity). ``model`` defaults to
+    training on ``docs`` itself. Unseen trigrams (cross-corpus scoring)
+    take the +1 smoothing mass. Docs under 3 chars score NULL.
+
+    Exactness: each trigram contributes ``round(ln((cnt+1)/(T+D)), 6)``
+    as DECIMAL(18,6); the per-doc SUM is exact, so the only float step
+    is the final mean, rounded once."""
+    if model is None:
+        model = trigram_model(docs, text_col=text_col)
+    totals = model.agg(
+        F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("d")
+    )
+    scored_tri = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(char_ngrams(F.col(text_col))).alias("tri"),
+        )
+        .join(model, "tri", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t") + F.col("d"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    per_doc = scored_tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("lm_score"),
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        "lm_score",
+    )

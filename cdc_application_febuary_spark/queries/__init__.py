@@ -110,6 +110,7 @@ _ROUND_PRIORITY = [
     "lineitem_correlation_matrix",
     "leakage_safe_splits",
     "doc_similarity_tfidf",
+    "lm_perplexity_profile",
     # rows-only shapes (weaker verdict by design): r4 rotation pool
     "bpe_token_stats",
     "corpus_splits",

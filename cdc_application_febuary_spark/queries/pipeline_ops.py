@@ -132,6 +132,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+_LM_PROFILE_ORACLE = """
+WITH tri AS MATERIALIZED (
+  SELECT doc_id, substr(lower(trim(text)), i, 3) AS tri
+  FROM documents,
+       UNNEST(generate_series(1, GREATEST(len(lower(trim(text))) - 2, 0)))
+         AS u(i)
+),
+model AS MATERIALIZED (SELECT tri, COUNT(*) AS cnt FROM tri GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS t, COUNT(*) AS d FROM model),
+lp AS (
+  SELECT g.doc_id,
+         CAST(ROUND(LN((m.cnt + 1.0) / (tot.t + tot.d)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM tri g JOIN model m USING (tri) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tri,
+         ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS lm_score
+  FROM lp GROUP BY 1
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(p.lm_score AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_lm_score,
+       MIN(p.lm_score) AS min_lm_score
+FROM documents d JOIN per_doc p USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("lm_perplexity_profile", _LM_PROFILE_ORACLE)
+def lm_perplexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model scoring (`functions/lm.py`) — the
+    CCNet-style perplexity filter, self-trained on the corpus: each doc's
+    mean add-one trigram log-probability, profiled per source (surprising
+    text = boilerplate/garbage candidates). The trigram explode is pure
+    column expressions (transform over sequence — no UDF); per-doc sums
+    are exact DECIMAL, so the oracle replays the model bit-for-bit."""
+    from ..functions import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lm.lm_scores(docs).where(F.col("n_trigrams") > 0)
+    return (
+        docs.select("doc_id", "source")
+        .join(scores, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("lm_score").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_lm_score"),
+            F.min("lm_score").alias("min_lm_score"),
+        )
+        .orderBy("source")
+    )
+
+
 _TFIDF_PAIRS_ORACLE = """
 WITH tok AS (
   SELECT doc_id,
