@@ -88,8 +88,16 @@ def test_lm_scores_python_parity(spark):
             model[g] = model.get(g, 0) + 1
     T, D = sum(model.values()), len(model)
     for d, t in rows:
-        lps = [r6(math.log((model[g] + 1) / (T + D))) for g in trigrams(t)]
-        want = r6(sum(lps) / len(lps))
+        # the engines SUM the rounded log-probs as exact DECIMAL(18,6)
+        # and only then divide in double — mirror that (a naive float
+        # sum drifts a half-ulp across the rounding boundary)
+        lps = [
+            Decimal(repr(math.log((model[g] + 1) / (T + D)))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            for g in trigrams(t)
+        ]
+        want = r6(float(sum(lps)) / len(lps))
         assert got[d] == want, (d, got[d], want)
 
 
