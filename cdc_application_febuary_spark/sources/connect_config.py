@@ -293,3 +293,182 @@ def debezium_source_config(
             }
         )
     return cfg
+
+
+# ---------------------------------------------------------------------------
+# Sink connectors (S9-S16 connect-side shapes)
+# ---------------------------------------------------------------------------
+def table_name_from_topic(topic: str) -> str:
+    """{prefix}.{schema}.{table} -> table (last segment)."""
+    parts = topic.split(".")
+    return parts[-1] if len(parts) >= 3 else topic
+
+
+def _jdbc_url(dialect: str, connection: SourceConnection, database: str) -> str:
+    port = connection.port or _DIALECTS[dialect]["default_port"]
+    if dialect == "postgresql":
+        return f"jdbc:postgresql://{connection.host}:{port}/{database}"
+    if dialect == "sqlserver":
+        enc = str(connection.extra.get("encrypt", False)).lower()
+        trust = str(
+            connection.extra.get("trust_server_certificate", True)
+        ).lower()
+        return (
+            f"jdbc:sqlserver://{connection.host}:{port};"
+            f"databaseName={database};encrypt={enc};"
+            f"trustServerCertificate={trust}"
+        )
+    if dialect == "oracle":
+        return f"jdbc:oracle:thin:@{connection.host}:{port}/{database}"
+    raise ValueError(f"unsupported JDBC sink dialect: {dialect}")
+
+
+def jdbc_sink_config(
+    connector_name_: str,
+    connection: SourceConnection,
+    database: str,
+    topics: list[str],
+    batch_size: int = 3000,
+) -> dict:
+    """Confluent JDBC sink carrying the reference's replication policy:
+    append-only inserts with ``pk.mode=none`` (every change lands as a
+    row — the SCD2 history the engine's `operators/scd2` collapses),
+    ``auto.create`` on / ``auto.evolve`` off (targets are created with
+    CDC metadata columns up front), deletes rewritten to rows with
+    ``__deleted=true`` rather than dropped, and consumers starting at
+    ``earliest`` so a fresh sink drains the backlog."""
+    d = _dialect(connection.database_type)
+    return {
+        "name": connector_name_,
+        "connector.class": "io.confluent.connect.jdbc.JdbcSinkConnector",
+        "tasks.max": "1",
+        "topics": ",".join(topics),
+        "connection.url": _jdbc_url(d, connection, database),
+        "connection.user": connection.username,
+        "connection.password": connection.password,
+        "insert.mode": "insert",
+        "pk.mode": "none",
+        "batch.size": str(batch_size),
+        "auto.create": "true",
+        "auto.evolve": "false",
+        "delete.enabled": "false",
+        "transforms": "unwrap",
+        "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+        "transforms.unwrap.drop.tombstones": "true",
+        "transforms.unwrap.delete.handling.mode": "rewrite",
+        "transforms.unwrap.add.fields": "op,source.ts_ms",
+        "consumer.override.auto.offset.reset": "earliest",
+        "errors.tolerance": "all",
+        "errors.log.enable": "true",
+        "errors.log.include.messages": "true",
+        "table.name.format": "${topic}",
+    }
+
+
+def s3_sink_config(
+    connector_name_: str,
+    bucket: str,
+    region: str,
+    topics: list[str],
+    flush_size: int = 10,
+    aws_access_key_id: str | None = None,
+    aws_secret_access_key: str | None = None,
+) -> dict:
+    """Confluent S3 sink: JSON objects, default partitioner, small flush
+    size for near-real-time visibility (the reference's choice)."""
+    cfg = {
+        "name": connector_name_,
+        "connector.class": "io.confluent.connect.s3.S3SinkConnector",
+        "tasks.max": "1",
+        "topics": ",".join(topics),
+        "s3.region": region,
+        "s3.bucket.name": bucket,
+        "s3.part.size": "5242880",
+        "flush.size": str(flush_size if flush_size > 0 else 10),
+        "storage.class": "io.confluent.connect.s3.storage.S3Storage",
+        "format.class": "io.confluent.connect.s3.format.json.JsonFormat",
+        "partitioner.class": (
+            "io.confluent.connect.storage.partitioner.DefaultPartitioner"
+        ),
+        "schema.compatibility": "NONE",
+        "errors.tolerance": "all",
+        "errors.log.enable": "true",
+    }
+    if aws_access_key_id:
+        cfg["aws.access.key.id"] = aws_access_key_id
+    if aws_secret_access_key:
+        cfg["aws.secret.access.key"] = aws_secret_access_key
+    return cfg
+
+
+def snowflake_sink_config(
+    connector_name_: str,
+    account_url: str,
+    username: str,
+    database: str,
+    schema: str,
+    topics: list[str],
+    password: str | None = None,
+    private_key: str | None = None,
+    private_key_passphrase: str | None = None,
+    warehouse: str | None = None,
+    role: str | None = None,
+    batch_size: int = 10000,
+) -> dict:
+    """Snowflake Kafka-Connect sink: the FULL Debezium envelope lands in
+    ``RECORD_CONTENT`` (VARIANT) — no unwrap transform, so op/before/
+    after survive for downstream CDC logic — with the topic2table map
+    lowercasing the topic's table segment (Snowflake-side names)."""
+    if not (password or private_key):
+        raise ValueError(
+            "snowflake sink needs either password or private_key"
+        )
+    cfg = {
+        "name": connector_name_,
+        "connector.class": (
+            "com.snowflake.kafka.connector.SnowflakeSinkConnector"
+        ),
+        "tasks.max": "1",
+        "topics": ",".join(topics),
+        "snowflake.url.name": account_url,
+        "snowflake.user.name": username,
+        "snowflake.database.name": database,
+        "snowflake.schema.name": schema,
+        "buffer.count.records": str(batch_size if batch_size > 0 else 10000),
+        "buffer.flush.time": "60",
+        "buffer.size.bytes": "5000000",
+        "key.converter": "org.apache.kafka.connect.storage.StringConverter",
+        "value.converter": "org.apache.kafka.connect.json.JsonConverter",
+        "value.converter.schemas.enable": "true",
+        "errors.tolerance": "all",
+        "errors.log.enable": "true",
+        "errors.log.include.messages": "true",
+        "snowflake.topic2table.map": ",".join(
+            f"{t}:{table_name_from_topic(t).lower()}" for t in topics
+        ),
+    }
+    if private_key:
+        cfg["snowflake.private.key"] = private_key
+        if private_key_passphrase:
+            cfg["snowflake.private.key.passphrase"] = private_key_passphrase
+    else:
+        cfg["snowflake.password"] = password
+    if warehouse:
+        cfg["snowflake.warehouse.name"] = warehouse
+    if role:
+        cfg["snowflake.role.name"] = role
+    return cfg
+
+
+def snowflake_variant_ddl(table: str, schema: str | None = None) -> str:
+    """CREATE TABLE for the Snowflake landing shape: RECORD_CONTENT +
+    RECORD_METADATA, both VARIANT (the Kafka connector's native format —
+    OBJECT breaks connector compatibility; reference
+    schema_service.py:857-867)."""
+    qualified = f'"{schema}"."{table}"' if schema else f'"{table}"'
+    return (
+        f"CREATE TABLE IF NOT EXISTS {qualified} (\n"
+        '  "RECORD_CONTENT" VARIANT,\n'
+        '  "RECORD_METADATA" VARIANT\n'
+        ")"
+    )

@@ -144,3 +144,68 @@ def test_no_hardcoded_endpoints():
         cfg["schema.history.internal.kafka.bootstrap.servers"]
         == "localhost:9092"
     )
+
+
+def test_jdbc_sink_policy_and_urls():
+    pg = CC.jdbc_sink_config(
+        "sink-pg", _conn("postgresql"), "tgt",
+        ["pipe.public.orders", "pipe.public.lineitem"],
+    )
+    assert pg["insert.mode"] == "insert" and pg["pk.mode"] == "none"
+    assert pg["auto.create"] == "true" and pg["auto.evolve"] == "false"
+    assert pg["transforms.unwrap.delete.handling.mode"] == "rewrite"
+    assert pg["consumer.override.auto.offset.reset"] == "earliest"
+    assert pg["connection.url"] == "jdbc:postgresql://db.internal:5432/tgt"
+
+    ms = CC.jdbc_sink_config(
+        "sink-ms",
+        CC.SourceConnection(
+            host="h", port=1433, username="u", password="p",
+            database_type="sqlserver", extra={"encrypt": True},
+        ),
+        "tgt", ["t.s.x"],
+    )
+    assert ms["connection.url"] == (
+        "jdbc:sqlserver://h:1433;databaseName=tgt;encrypt=true;"
+        "trustServerCertificate=true"
+    )
+    ora = CC.jdbc_sink_config(
+        "sink-o",
+        CC.SourceConnection(
+            host="h", port=1521, username="u", password="p",
+            database_type="oracle",
+        ),
+        "SVC", ["t.s.x"],
+    )
+    assert ora["connection.url"] == "jdbc:oracle:thin:@h:1521/SVC"
+
+
+def test_snowflake_sink_keeps_envelope_and_maps_tables():
+    cfg = CC.snowflake_sink_config(
+        "sink-sf", "acct.snowflakecomputing.com", "u", "DB", "PUB",
+        ["pipe.PUBLIC.ORDERS", "pipe.PUBLIC.LINEITEM"], password="p",
+        warehouse="WH1",
+    )
+    assert "transforms" not in cfg  # envelope preserved in RECORD_CONTENT
+    assert cfg["snowflake.topic2table.map"] == (
+        "pipe.PUBLIC.ORDERS:orders,pipe.PUBLIC.LINEITEM:lineitem"
+    )
+    assert cfg["snowflake.warehouse.name"] == "WH1"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="password or private_key"):
+        CC.snowflake_sink_config("x", "a", "u", "d", "s", ["t.s.t"])
+
+
+def test_snowflake_variant_ddl_shape():
+    ddl = CC.snowflake_variant_ddl("orders", schema="PUBLIC")
+    assert '"RECORD_CONTENT" VARIANT' in ddl
+    assert '"RECORD_METADATA" VARIANT' in ddl
+    assert ddl.startswith('CREATE TABLE IF NOT EXISTS "PUBLIC"."orders"')
+
+
+def test_s3_sink_flush_and_format():
+    cfg = CC.s3_sink_config("s3s", "bkt", "us-east-1", ["p.s.t"], flush_size=0)
+    assert cfg["flush.size"] == "10"  # 0 falls back to the default
+    assert cfg["format.class"].endswith("JsonFormat")
+    assert "aws.access.key.id" not in cfg  # credentials only when given
