@@ -57,12 +57,16 @@ def ngram_overlap(
     if join_mode not in ("broadcast", "hash"):
         raise ValueError(f"unknown join_mode {join_mode!r}")
     d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.word_shingles(text_col, n)).alias("g"),
+        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__w")
+    ).select(
+        "doc_id", F.explode(T.shingles_from_tokens(F.col("__w"), n)).alias("g")
     )
     b = benchmark.select(
         F.col(bench_id_col).alias("bench_id"),
-        F.explode(T.word_shingles(bench_text_col, n)).alias("g"),
+        T.tokens(bench_text_col).alias("__w"),
+    ).select(
+        "bench_id",
+        F.explode(T.shingles_from_tokens(F.col("__w"), n)).alias("g"),
     )
     bench_sizes = b.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("bench_ngrams")

@@ -64,10 +64,16 @@ def shingle_table(
 
     Repartitions the input first: a small-file corpus otherwise runs the
     whole explode in as many tasks as it has files (often one)."""
+    from ..functions.text import shingles_from_tokens, tokens
+
     parts = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(parts).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    return (
+        df.repartition(parts)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__w"))
+        .select(
+            "id",
+            F.explode(shingles_from_tokens(F.col("__w"), n)).alias("shingle"),
+        )
     )
 
 

@@ -4887,12 +4887,17 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     spots one crawl ingested twice under different names. Shingles dedup
     to per-source sets FIRST, so the self-join fan-out is bounded by
     sources-per-shingle (<= n_sources^2), independent of corpus size."""
-    from ..functions.text import word_shingles
+    from ..functions.text import shingles_from_tokens, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source", F.explode(word_shingles("text", 5)).alias("shingle")
-    ).distinct()
+    sh = (
+        docs.select("source", tokens("text").alias("__w"))
+        .select(
+            "source",
+            F.explode(shingles_from_tokens(F.col("__w"), 5)).alias("shingle"),
+        )
+        .distinct()
+    )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
