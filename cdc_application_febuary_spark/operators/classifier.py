@@ -58,12 +58,17 @@ def fit_logreg(
     iters: int = 30,
     lr: float = 1.0,
     l2: float = 0.0,
+    tol: float = 0.0,
 ) -> LogRegModel:
     """Batch gradient descent, one aggregation scan per iteration.
 
     The label must be 0/1. Returns standardized-space weights plus the
     fold-in constants, so scoring is a pure column expression. ``l2``
-    regularizes weights (not the bias). Deterministic up to float-sum
+    regularizes weights (not the bias). ``tol`` > 0 stops early once the
+    mean log-loss improves by less than ``tol`` between iterations —
+    each iteration is a full Spark job, so on converged problems this is
+    pure scheduling overhead saved (determinism is preserved: the stop
+    depends only on the loss sequence). Deterministic up to float-sum
     order; round scored outputs before hashing them across engines."""
     feats = df.select(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
@@ -118,6 +123,12 @@ def fit_logreg(
             for j in range(d):
                 grad = float(row[f"g_{j}"]) / n + l2 * w[j]
                 w[j] -= lr * grad
+            if (
+                tol > 0
+                and len(losses) >= 2
+                and losses[-2] - losses[-1] < tol
+            ):
+                break
         return LogRegModel(
             feature_cols=list(feature_cols),
             means=means,

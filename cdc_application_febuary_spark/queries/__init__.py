@@ -111,6 +111,7 @@ _ROUND_PRIORITY = [
     "leakage_safe_splits",
     "doc_similarity_tfidf",
     "lm_perplexity_profile",
+    "gdpr_delete_audit",
     # rows-only shapes (weaker verdict by design): r4 rotation pool
     "bpe_token_stats",
     "corpus_splits",

@@ -132,6 +132,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+@_q(
+    "gdpr_delete_audit",
+    """
+WITH b AS (SELECT COUNT(*) AS n FROM customer),
+d AS (SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'rows_after' AS metric, CAST(b.n - d.n AS BIGINT) AS value
+FROM b, d
+UNION ALL SELECT 'rows_before', CAST(n AS BIGINT) FROM b
+UNION ALL SELECT 'rows_deleted', CAST(n AS BIGINT) FROM d
+UNION ALL SELECT 'segment_survivors', CAST(COUNT(*) AS BIGINT)
+  FROM customer WHERE c_mktsegment = 'BUILDING' AND FALSE
+ORDER BY metric
+""",
+)
+def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE end-to-end (`manifest_table.delete_where` — the
+    right-to-be-forgotten primitive): land customers as a manifest table,
+    purge one segment copy-on-write (only files containing matches
+    rewrite), and audit before/deleted/after counts plus the post-delete
+    survivor count of the purged segment (must be 0). The oracle derives
+    the same numbers straight from the fixture."""
+    import tempfile
+
+    from ..sources import manifest_table as mt
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = tempfile.mkdtemp(prefix="gdpr_") + "/cust"
+    mt.write_table(cust.repartitionByRange(8, "c_custkey"), t, ["c_custkey"])
+    before = mt.read_table(spark, t).count()
+    stats = mt.delete_where(
+        spark, t, "c_mktsegment = 'BUILDING'", ["c_custkey"]
+    )
+    after_tbl = mt.read_table(spark, t)
+    after = after_tbl.count()
+    survivors = after_tbl.where("c_mktsegment = 'BUILDING'").count()
+    rows = [
+        ("rows_before", before),
+        ("rows_deleted", stats["rows_deleted"]),
+        ("rows_after", after),
+        ("segment_survivors", survivors),
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "metric string, value bigint"
+    ).orderBy("metric")
+
+
 _LM_PROFILE_ORACLE = """
 WITH tri AS MATERIALIZED (
   SELECT doc_id, substr(lower(trim(text)), i, 3) AS tri
@@ -2530,15 +2576,17 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_q("quality_classifier")  # rows-only: 30 GD iterations have no SQL twin
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed logistic regression over document features
-    (`operators/classifier.py`): is-English from length/token/stopword/
-    punctuation signals. Every GD iteration is ONE declarative
-    aggregation (margin as a literal-folded column expression, d+1
-    partial SUMs — the sufficient-statistics shape that holds at 100 TB);
-    the corpus never leaves the executors. Emits standardized-space
-    weights plus train AUC/log-loss, rounded for cross-run stability.
-    Rows-only by design; exact numpy-GD parity is pinned in
-    tests/test_classifier.py."""
+    """Distributed logistic regression (`operators/classifier.py`) as
+    RULE DISTILLATION: train a linear model to mimic the rule-based
+    language-ID verdict from cheap per-doc signals — the standard trick
+    for turning an expensive labeler into a vectorizable filter (the
+    fixture's `lang` COLUMN is random w.r.t. the text, so the honest
+    learnable target is the text-derived label). Every GD iteration is
+    ONE declarative aggregation (margin as a literal-folded column
+    expression, d+1 partial SUMs — sufficient statistics, corpus never
+    leaves the executors; `tol` stops converged fits early). Emits
+    standardized-space weights plus train AUC/log-loss. Rows-only by
+    design; exact numpy-GD parity is pinned in tests/test_classifier.py."""
     from ..operators import classifier as C
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2547,10 +2595,13 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).cast("double").alias("n_tokens"),
         T.stopword_ratio(F.col("text")).alias("stop_ratio"),
         T.punct_ratio(F.col("text")).alias("punct_ratio"),
-        (F.col("lang") == "en").cast("int").alias("y"),
+        T.lang_marker_score(F.col("text"), "en")
+        .cast("double")
+        .alias("en_markers"),
+        (T.lang_id(F.col("text")) == "en").cast("int").alias("y"),
     )
-    feats = ["kchars", "n_tokens", "stop_ratio", "punct_ratio"]
-    model = C.fit_logreg(docs, feats, "y", iters=30, lr=1.0)
+    feats = ["kchars", "n_tokens", "stop_ratio", "punct_ratio", "en_markers"]
+    model = C.fit_logreg(docs, feats, "y", iters=15, lr=1.0, tol=1e-3)
     scored = docs.select(model.proba_col().alias("p"), "y")
     auc = C.auc_score(scored, "p", "y").first()
     rows = [("weight:" + c, round(w, 4)) for c, w in zip(feats, model.weights)]

@@ -409,6 +409,80 @@ def merge_upsert(
     }
 
 
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    key_cols: list[str],
+    meta: dict | None = None,
+) -> dict:
+    """Copy-on-write ``DELETE ... WHERE predicate`` (the GDPR/right-to-be-
+    forgotten primitive): rewrite ONLY the files that actually contain a
+    matching row; every other file carries into the new manifest
+    untouched.
+
+    Affected files are found with one predicate-pushed scan tagged by
+    ``input_file_name()`` — parquet row-group stats prune the probe, and
+    files with zero matches never rewrite. The commit records
+    ``{"operation": "delete", "predicate": ...}`` so the audit trail
+    shows what was purged and when. NOTE: deletion is logical until older
+    versions age out — data files are immutable, so a true purge is this
+    delete followed by ``vacuum(keep_last=1)`` once no reader needs time
+    travel (the same two-step every copy-on-write lake format has).
+
+    Returns stats: version, rows_deleted, files_total, files_rewritten.
+    """
+    base = current_version(spark, table_path)
+    if base is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    entries = _read_manifest(spark, table_path, base)
+    tagged = (
+        _read_entries(spark, table_path, base, entries)
+        .withColumn("__f", F.input_file_name())
+        .where(predicate)
+    )
+    from urllib.parse import urlparse
+
+    def _norm(p: str) -> str:
+        return urlparse(p).path or p
+
+    hit_stats = {
+        _norm(r["__f"]): r["n"]
+        for r in tagged.groupBy("__f").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows_deleted = int(sum(hit_stats.values()))
+    if not hit_stats:
+        return {
+            "version": base,
+            "rows_deleted": 0,
+            "files_total": len(entries),
+            "files_rewritten": 0,
+        }
+    touched = [e for e in entries if _norm(e.path) in hit_stats]
+    untouched = [e for e in entries if _norm(e.path) not in hit_stats]
+    survivors = _read_entries(spark, table_path, base, touched).where(
+        ~F.expr(predicate)
+    )
+    new_entries = list(untouched) + _stage_files(
+        survivors, table_path, key_cols
+    )
+    full_meta = {"operation": "delete", "predicate": predicate}
+    schema = _pinned_schema(spark, table_path, base)
+    if schema is not None:
+        full_meta["schema"] = schema.json()
+    if meta:
+        full_meta.update(meta)
+    _write_manifest_atomic(
+        spark, table_path, base + 1, new_entries, meta=full_meta
+    )
+    return {
+        "version": base + 1,
+        "rows_deleted": rows_deleted,
+        "files_total": len(entries),
+        "files_rewritten": len(touched),
+    }
+
+
 CHANGE_TYPE = "__change_type"
 COMMIT_VERSION = "__commit_version"
 

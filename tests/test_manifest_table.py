@@ -261,3 +261,59 @@ def test_concurrent_commit_conflict_and_retry(spark, tmp_path):
     assert stats["version"] == 2
     rows = {r["k"]: r["v"] for r in _mt.read_table(spark, t).collect()}
     assert rows == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Predicate DELETE: files without matches carry over untouched; the
+    audit trail records the predicate; old versions still see the rows."""
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(10, "k")
+    mt.write_table(df, t, ["k"])
+
+    stats = mt.delete_where(spark, t, "k >= 900", ["k"])
+    assert stats["rows_deleted"] == 100
+    assert stats["files_total"] == 10
+    # only the tail file(s) contained k>=900
+    assert 1 <= stats["files_rewritten"] <= 2
+    assert mt.read_table(spark, t).count() == 900
+    assert mt.read_table(spark, t).where("k >= 900").count() == 0
+    # snapshot isolation: version 0 still has every row
+    assert mt.read_table(spark, t, version=0).count() == 1000
+    meta = mt.read_commit_meta(spark, t, stats["version"])
+    assert meta["operation"] == "delete" and meta["predicate"] == "k >= 900"
+
+
+def test_delete_where_no_matches_is_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    t = str(tmp_path / "t")
+    mt.write_table(
+        spark.range(10).select(F.col("id").alias("k")), t, ["k"]
+    )
+    stats = mt.delete_where(spark, t, "k > 999", ["k"])
+    assert stats["rows_deleted"] == 0 and stats["files_rewritten"] == 0
+    assert mt.current_version(spark, t) == 0  # nothing committed
+
+
+def test_delete_where_shows_in_change_feed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    t = str(tmp_path / "t")
+    mt.write_table(
+        spark.range(20).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        t, ["k"],
+    )
+    mt.delete_where(spark, t, "k < 5", ["k"])
+    feed = mt.change_feed(spark, t, 0, 1, ["k"])
+    dels = feed.where(F.col(mt.CHANGE_TYPE) == "delete")
+    assert sorted(r["k"] for r in dels.collect()) == [0, 1, 2, 3, 4]
