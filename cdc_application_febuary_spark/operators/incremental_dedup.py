@@ -129,6 +129,11 @@ def _check_lsh_params(
         "bands": bands,
         "rows_per_band": rows_per_band,
     }
+    if mt.current_version(spark, store_path) is None:
+        # Brand-new store: nothing recorded, nothing to mismatch — the
+        # first commit will record these params (ADVICE r3: without this
+        # a new store with any non-default banding raised spuriously).
+        return
     recorded = _store_lsh_params(spark, store_path)
     if recorded is not None:
         if {k: int(v) for k, v in recorded.items()} != probe:

@@ -156,8 +156,12 @@ def append_ivf_index(
     new_entries = mt._stage_files(packed, table_path, ["cluster"])
     old_entries = mt._read_manifest(spark, table_path, version)
     appended = sum(e.rows for e in new_entries)
+    # Carry the stored batch_id forward on an unkeyed append: dropping it
+    # would erase the exactly-once watermark, letting a later replay of an
+    # already-committed batch id pass the `seen is None` check and land
+    # duplicate vectors (ADVICE r3). Only a new keyed append overwrites it.
     new_meta = {
-        **{k: v for k, v in meta.items() if k != "batch_id"},
+        **meta,
         "appended_rows": int(meta.get("appended_rows", 0)) + int(appended),
     }
     if batch_id is not None:

@@ -48,13 +48,64 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 # sit right after slot 50 — they head the round-4 rotation; already-
 # verdicted r1/r2 queries fill the back.
 _ROUND_PRIORITY = [
-    # round-3 window slot 1: the r2 hash-fail, re-verified after the
-    # CAST(SUM(...) AS BIGINT) oracle fix
-    "tpch_q12_late_lines_by_status",
-    # r2-green sentinels
+    # Round-4 window (first ~50 slots): VERDICT r3 item 2 — every query
+    # with no driver verdict yet goes first, so by end of r4 all registered
+    # queries have one. Slots 1-8: the oracle-paired round-3 additions.
+    "gdpr_delete_audit",
+    "lm_perplexity_profile",
+    "doc_similarity_tfidf",
+    "leakage_safe_splits",
+    "lineitem_correlation_matrix",
+    "doc_length_auc",
+    "contamination_check_hash",
+    "ann_topk_ivf_append",
+    # Slots 9-28: the rows-only shapes (weaker rows-only verdict by
+    # design — non-SQL-expressible lifecycles, sketches, multimodal).
+    "bpe_token_stats",
+    "corpus_splits",
+    "pii_scan",
+    "dedup_embedding_srp",
+    "hll_shard_distinct",
+    "embedding_pca_variance",
+    "audio_decode",
+    "value_percentiles_approx",
+    "value_quantile_sketch",
+    "ann_topk_pq",
+    "ann_topk_ivf_pq",
+    "near_dedup_fold",
+    "multimodal_features",
+    "multimodal_decode",
+    "multimodal_thumbnails",
+    "video_probe",
+    "video_frame_index",
+    "quality_classifier",
+    "documents_mixture",
+    "documents_weighted_sample",
+    # Slots 29+: new round-4 queries (oracle-paired unless noted).
+    "schema_drift_audit",
+    "sessionization_stats",
+    "dedup_survivorship",
+    "recursive_bom_rollup",
+    "merge_upsert_audit",
+    "stream_join_enrichment",
+    "minhash_jaccard_estimate",
+    "tokens_per_dollar_report",
+    "ngram_lm_contrast",
+    "optimize_compaction_audit",
+    "skyline_orders",
+    "robust_scaler_profile",
+    "mutual_info_features",
+    "shuffle_free_bucket_join",
+    "time_travel_diff",
+    # Green sentinels (r1/r2/r3-verdicted) guarding systemic regressions.
     "q10",
     "corpus_prep_funnel_v2",
-    # the 47 oracle-paired queries with no driver verdict through r2
+    "tpch_q12_late_lines_by_status",
+    "asof_nearest_click",
+    "document_chunks",
+    "market_basket_rules",
+    "dau_wau_stickiness",
+    # --- end of the 50-slot window (r3-verdicted greens below) ---
     "conversion_funnel",
     "conversion_funnel_windowed",
     "value_drift_psi",
@@ -86,7 +137,6 @@ _ROUND_PRIORITY = [
     "value_equidepth_hist",
     "bloom_filtered_revenue",
     "changelog_net_effect",
-    "document_chunks",
     "event_trend_slopes",
     "change_feed_attribution",
     "pit_dimension_join",
@@ -94,45 +144,11 @@ _ROUND_PRIORITY = [
     "cross_source_overlap",
     "lang_source_mixture",
     "doc_length_percentile_by_lang",
-    "dau_wau_stickiness",
-    "asof_nearest_click",
     "cohort_ltv_curves",
-    "market_basket_rules",
     "event_trigram_paths",
     "backfill_gap_plan",
     "doc_embedding_integrity",
     "supplier_lead_times",
-    # --- end of the 50-slot window ---
-    # round-3 additions (oracle-paired; head the r4 rotation)
-    "contamination_check_hash",
-    "doc_length_auc",
-    "ann_topk_ivf_append",
-    "lineitem_correlation_matrix",
-    "leakage_safe_splits",
-    "doc_similarity_tfidf",
-    "lm_perplexity_profile",
-    "gdpr_delete_audit",
-    # rows-only shapes (weaker verdict by design): r4 rotation pool
-    "bpe_token_stats",
-    "corpus_splits",
-    "pii_scan",
-    "dedup_embedding_srp",
-    "hll_shard_distinct",
-    "embedding_pca_variance",
-    "audio_decode",
-    "value_percentiles_approx",
-    "value_quantile_sketch",
-    "ann_topk_pq",
-    "ann_topk_ivf_pq",
-    "near_dedup_fold",
-    "multimodal_features",
-    "multimodal_decode",
-    "multimodal_thumbnails",
-    "video_probe",
-    "video_frame_index",
-    "quality_classifier",
-    "documents_mixture",
-    "documents_weighted_sample",
     # already driver-verdicted in r1/r2
     "profile_orders",
     "asof_attribution",

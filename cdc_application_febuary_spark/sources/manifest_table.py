@@ -460,8 +460,13 @@ def delete_where(
         }
     touched = [e for e in entries if _norm(e.path) in hit_stats]
     untouched = [e for e in entries if _norm(e.path) not in hit_stats]
+    # SQL DELETE removes only rows where the predicate is TRUE; a NULL
+    # predicate result (e.g. `email = 'x'` on a NULL email) must KEEP the
+    # row. A bare `~pred` is NULL for those rows and would drop them from
+    # rewritten files while untouched files keep theirs — layout-dependent
+    # results that disagree with rows_deleted (ADVICE r3).
     survivors = _read_entries(spark, table_path, base, touched).where(
-        ~F.expr(predicate)
+        ~F.coalesce(F.expr(predicate), F.lit(False))
     )
     new_entries = list(untouched) + _stage_files(
         survivors, table_path, key_cols

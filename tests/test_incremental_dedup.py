@@ -224,3 +224,28 @@ def test_legacy_store_without_params_requires_two_row_bands(spark, tmp_path):
         _docs(spark, [(2, NEAR)]), store, 1, num_hashes=32, bands=16
     )
     assert out.count() == 0  # 2-row probe still collides with legacy buckets
+
+
+def test_new_store_accepts_any_banding_params(spark, tmp_path):
+    """ADVICE r3: a brand-new store has nothing recorded and nothing to
+    mismatch — the first batch with non-default banding (rows_per_band=4)
+    must commit (and record its params), not raise the legacy-store
+    error."""
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    store = str(tmp_path / "bands")
+    out = idd.near_dedup_batch(
+        _docs(spark, [(1, BASE)]), store, 0, num_hashes=64, bands=16
+    )
+    assert out.count() == 1
+    meta = mt.read_commit_meta(spark, store, 0)
+    assert meta["lsh_params"] == {
+        "num_hashes": 64, "bands": 16, "rows_per_band": 4,
+    }
+    # and the recorded params now guard subsequent probes as usual
+    import pytest
+
+    with pytest.raises(ValueError, match="lsh_params"):
+        idd.near_dedup_batch(
+            _docs(spark, [(2, NEAR)]), store, 1, num_hashes=32, bands=16
+        )

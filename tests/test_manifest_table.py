@@ -317,3 +317,28 @@ def test_delete_where_shows_in_change_feed(spark, tmp_path):
     feed = mt.change_feed(spark, t, 0, 1, ["k"])
     dels = feed.where(F.col(mt.CHANGE_TYPE) == "delete")
     assert sorted(r["k"] for r in dels.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE removes only predicate-TRUE rows: a row where the
+    predicate evaluates NULL (NULL email vs `email = 'x'`) must be KEPT —
+    in rewritten files exactly as in untouched ones (ADVICE r3: `~pred`
+    is NULL for those rows and silently dropped them from rewrites)."""
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, "a@x.com"), (1, None), (2, "purge@x.com"), (3, None),
+         (4, "b@x.com")],
+        "k long, email string",
+    ).repartitionByRange(2, "k")  # NULL rows share files with the match
+    mt.write_table(df, t, ["k"])
+
+    stats = mt.delete_where(spark, t, "email = 'purge@x.com'", ["k"])
+    assert stats["rows_deleted"] == 1
+    left = mt.read_table(spark, t)
+    assert left.count() == 4  # both NULL-email rows survived
+    assert sorted(r["k"] for r in left.collect()) == [0, 1, 3, 4]
+    assert left.where(F.col("email").isNull()).count() == 2

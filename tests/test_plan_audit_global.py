@@ -56,6 +56,11 @@ SCALAR_BROADCAST_OK = {
     "pareto_abc_parts",
     # six 1-row audit scalars crossed into one report row
     "doc_embedding_integrity",
+    # 1-row crossing-pairs aggregate broadcast (pipeline_ops leakage audit)
+    "leakage_safe_splits",
+    # 1-row corpus doc-count broadcast for the IDF denominator
+    # (vectorize.py hashed TF-IDF)
+    "doc_similarity_tfidf",
 }
 
 

@@ -122,6 +122,23 @@ def test_append_replay_is_dropped_whole(spark, corpus, tmp_path):
     assert vi.append_ivf_index(extra.limit(3), t, batch_id=6)["version"] == 2
 
 
+def test_unkeyed_append_keeps_the_replay_watermark(spark, corpus, tmp_path):
+    """ADVICE r3: an unkeyed append between keyed ones must CARRY the
+    stored batch_id forward — dropping it would let a replay of an
+    already-committed batch id re-admit duplicate vectors."""
+    t = str(tmp_path / "idx")
+    base = corpus.where(F.col("vec_id") < 150)
+    extra = corpus.where(F.col("vec_id") >= 150)
+    vi.build_ivf_index(base, t, n_centroids=8)
+    assert vi.append_ivf_index(extra, t, batch_id=5)["version"] == 1
+    # unkeyed append (ad-hoc backfill) in between
+    assert vi.append_ivf_index(extra.limit(2), t)["version"] == 2
+    assert mt.read_commit_meta(spark, t, 2)["batch_id"] == 5
+    # replay of batch 5 is still dropped whole
+    assert vi.append_ivf_index(extra, t, batch_id=5) is None
+    assert mt.current_version(spark, t) == 2
+
+
 def test_append_search_still_prunes_and_snapshots(
     spark, corpus, queries, tmp_path
 ):
