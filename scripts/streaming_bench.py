@@ -11,6 +11,7 @@ continuously-triggered changelog stream, poll the SCD2 target parquet every
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -101,15 +102,20 @@ def main() -> None:
         results[str(n)] = visible if visible is not None else "timeout"
         shutil.rmtree(work, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "burst time-to-visibility (file feed -> SCD2 target)",
-                "unit": "sec",
-                "bursts": results,
-            }
+    line = {
+        "metric": "burst time-to-visibility (file feed -> SCD2 target)",
+        "unit": "sec",
+        "bursts": results,
+    }
+    print(json.dumps(line))
+    # Round-over-round regression visibility (VERDICT r3 item 6): persist
+    # next to BENCH_r{N}.json when the round number is known.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd:
+        out = Path(__file__).resolve().parent.parent / (
+            f"STREAMBENCH_r{int(rnd):02d}.json"
         )
-    )
+        out.write_text(json.dumps(line, indent=1) + "\n")
     spark.stop()
 
 
