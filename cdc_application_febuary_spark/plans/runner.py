@@ -34,6 +34,118 @@ class PipelineRunResult:
     target_path: str
 
 
+@dataclass
+class ConnectedPipelinePlan:
+    """Everything `start_pipeline` composes for one source connection
+    (reference `cdc_manager.py:194-1290`): the Debezium connector config
+    to POST, the change topics it will produce, the Spark `kafka_source`
+    subscribePattern that covers exactly those topics, and the resolved
+    snapshot/stream-start plan — all from ONE call, so the config, the
+    stream subscription, and the full-load decision cannot drift."""
+
+    connector_config: dict
+    topics: list[str]
+    subscribe_pattern: str
+    starting_offsets: str
+    stream_plan: StreamStartPlan
+
+
+def plan_connected_pipeline(
+    *,
+    pipeline_id: str,
+    connection,
+    database: str,
+    schema: str,
+    tables: list[str],
+    mode: str = "full_load_and_cdc",
+    full_load_lsn: str | None = None,
+    kafka_bootstrap: str = "localhost:9092",
+) -> ConnectedPipelinePlan:
+    """Resolve the snapshot plan for this engine+mode, generate the S17
+    connector config carrying the RESOLVED snapshot mode, and derive the
+    stream's subscribe pattern from the same naming rules the config uses
+    (`topic_for` / `topic_pattern` / `table_name_from_topic` round-trip)."""
+    from ..sources.connect_config import (
+        SourceConnection,
+        debezium_source_config,
+        topic_for,
+    )
+    from ..streaming.changelog_stream import topic_pattern
+
+    if not isinstance(connection, SourceConnection):
+        raise TypeError("plan_connected_pipeline requires a SourceConnection")
+    engine = connection.database_type
+    plan = resolve_snapshot_mode(
+        engine,
+        mode,
+        full_load_completed=full_load_lsn is not None,
+        has_captured_offset=full_load_lsn is not None,
+    )
+    cfg = debezium_source_config(
+        pipeline_id,
+        connection,
+        database,
+        schema,
+        tables,
+        full_load_lsn=full_load_lsn,
+        snapshot_mode=plan.snapshot_mode,
+        kafka_bootstrap=kafka_bootstrap,
+    )
+    topics = [
+        topic_for(pipeline_id, schema, t, database=database if engine == "sqlserver" else None)
+        for t in tables
+    ]
+    return ConnectedPipelinePlan(
+        connector_config=cfg,
+        topics=topics,
+        subscribe_pattern=topic_pattern(pipeline_id, engine),
+        starting_offsets=plan.starting_offsets,
+        stream_plan=plan,
+    )
+
+
+def run_connected_pipeline(
+    spark: SparkSession,
+    *,
+    pipeline_id: str,
+    connection,
+    database: str,
+    schema: str,
+    tables: list[str],
+    source: DataFrame | None,
+    changelog_dir: str,
+    payload_schema: StructType,
+    work_root: str,
+    mode: str = "full_load_and_cdc",
+    stream_timeout_sec: int = 120,
+) -> tuple[ConnectedPipelinePlan, PipelineRunResult]:
+    """The one-call pipeline start: config-gen + snapshot + change stream.
+    The change feed is the file twin of the generated topics (no broker in
+    this container — see NOTES.md); `kafka_source(bootstrap,
+    plan.subscribe_pattern, plan.starting_offsets)` is the drop-in
+    production source for the same plan."""
+    plan = plan_connected_pipeline(
+        pipeline_id=pipeline_id,
+        connection=connection,
+        database=database,
+        schema=schema,
+        tables=tables,
+        mode=mode,
+    )
+    result = run_file_pipeline(
+        spark,
+        pipeline_id=pipeline_id,
+        source=source,
+        changelog_dir=changelog_dir,
+        payload_schema=payload_schema,
+        work_root=work_root,
+        engine=connection.database_type,
+        mode=mode,
+        stream_timeout_sec=stream_timeout_sec,
+    )
+    return plan, result
+
+
 def run_file_pipeline(
     spark: SparkSession,
     *,

@@ -96,6 +96,89 @@ def test_cdc_only_lifecycle_skips_snapshot(spark, tmp_path):
     assert target.where(F.col("__op") == "r").count() == 0
 
 
+def test_connected_pipeline_config_topics_pattern_roundtrip(spark, tmp_path):
+    """VERDICT r3 item 5 — the start_pipeline composition: ONE call yields
+    the Debezium connector config, the change topics, and the Spark
+    subscribe pattern; the test pins that (a) every topic derived from the
+    config's table.include.list matches the stream's subscribePattern,
+    (b) the topic parser round-trips the table names, and (c) the same
+    call runs the pipeline end-to-end over the file twin."""
+    import re
+
+    from cdc_application_febuary_spark.plans.runner import (
+        plan_connected_pipeline,
+        run_connected_pipeline,
+    )
+    from cdc_application_febuary_spark.sources.connect_config import (
+        SourceConnection,
+        table_name_from_topic,
+        topic_for,
+    )
+
+    conn = SourceConnection(
+        host="db1", port=None, username="u", password="p",
+        database_type="postgresql",
+    )
+    plan = plan_connected_pipeline(
+        pipeline_id="orders_pipe",
+        connection=conn,
+        database="shop",
+        schema="public",
+        tables=["orders", "order_items"],
+    )
+    cfg = plan.connector_config
+    # config topics == derived topics == pattern-covered
+    include = cfg["table.include.list"].split(",")
+    derived = [
+        topic_for("orders_pipe", s.split(".")[0], s.split(".")[1])
+        for s in include
+    ]
+    assert derived == plan.topics
+    for t in plan.topics:
+        assert re.fullmatch(plan.subscribe_pattern, t), (t, plan.subscribe_pattern)
+    # parser round-trip: topic -> table
+    assert [table_name_from_topic(t) for t in plan.topics] == [
+        "orders", "order_items",
+    ]
+    # fresh pipeline: connector snapshots, stream starts earliest
+    assert cfg["snapshot.mode"] == "initial"
+    assert plan.stream_plan.run_full_load and plan.starting_offsets == "earliest"
+    # a completed full load flips the connector to stream-only
+    resumed = plan_connected_pipeline(
+        pipeline_id="orders_pipe",
+        connection=conn,
+        database="shop",
+        schema="public",
+        tables=["orders"],
+        full_load_lsn="0/16B3748",
+    )
+    assert resumed.connector_config["snapshot.mode"] == "never"
+    assert not resumed.stream_plan.run_full_load
+
+    # and the same composition runs e2e over the file twin
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "c.json").write_text(
+        _env("c", None, {"id": 7, "name": "g"}, 500) + "\n"
+    )
+    cplan, res = run_connected_pipeline(
+        spark,
+        pipeline_id="orders_pipe",
+        connection=conn,
+        database="shop",
+        schema="public",
+        tables=["orders"],
+        source=spark.createDataFrame([(1, "a")], ["id", "name"]),
+        changelog_dir=str(feed),
+        payload_schema=PAYLOAD,
+        work_root=str(tmp_path / "wk"),
+    )
+    assert cplan.connector_config["snapshot.mode"] == "initial"
+    assert res.full_load is not None and res.full_load.rows == 1
+    target = spark.read.parquet(res.target_path)
+    assert target.count() == 2  # snapshot row + streamed insert
+
+
 def test_lineage_distributed_branch_matches_driver_branch(spark):
     from cdc_application_febuary_spark.operators.lineage import reachable_tables
 
