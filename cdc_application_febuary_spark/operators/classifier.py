@@ -191,3 +191,41 @@ def auc_score(
         F.col("__nn").cast("long").alias("n_neg"),
         F.col("n_score_groups").cast("long").alias("n_score_groups"),
     )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str, round_to: int = 6
+) -> DataFrame:
+    """Exact mutual information between two categorical columns (nats):
+    ``MI = sum_xy p(x,y) * ln(p(x,y) / (p(x)*p(y)))`` — the standard
+    feature-dependence screen before training (alongside
+    :func:`auc_score` for label power).
+
+    One grouped count over the data (map-side combined, shuffle bounded
+    by the distinct pair count), then marginals/total as window sums over
+    the tiny joint table — the raw data is scanned ONCE. Scales like any
+    keyed count at 100 TB; the windows run over |A|x|B| rows, not data.
+    """
+    joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("nxy"))
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wt = Window.partitionBy()
+    terms = (
+        joint.withColumn("nx", F.sum("nxy").over(wa))
+        .withColumn("ny", F.sum("nxy").over(wb))
+        .withColumn("n", F.sum("nxy").over(wt))
+        .select(
+            (
+                (F.col("nxy") / F.col("n"))
+                * F.log(
+                    (F.col("nxy") * F.col("n"))
+                    / (F.col("nx") * F.col("ny"))
+                )
+            ).alias("term"),
+            F.lit(1).alias("pairs"),
+        )
+    )
+    return terms.agg(
+        F.round(F.sum("term"), round_to).alias("mi_nats"),
+        F.sum("pairs").cast("long").alias("n_cells"),
+    )

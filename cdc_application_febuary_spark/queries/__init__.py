@@ -81,22 +81,14 @@ _ROUND_PRIORITY = [
     "quality_classifier",
     "documents_mixture",
     "documents_weighted_sample",
-    # Slots 29+: new round-4 queries (oracle-paired unless noted).
-    "schema_drift_audit",
-    "sessionization_stats",
-    "dedup_survivorship",
-    "recursive_bom_rollup",
-    "merge_upsert_audit",
-    "stream_join_enrichment",
-    "minhash_jaccard_estimate",
-    "tokens_per_dollar_report",
-    "ngram_lm_contrast",
-    "optimize_compaction_audit",
-    "skyline_orders",
-    "robust_scaler_profile",
+    # Slots 29+: new round-4 queries (all oracle-paired — including the
+    # streaming enrichment, the first stream query with a value oracle).
+    "golden_record_users",
     "mutual_info_features",
+    "skyline_orders",
+    "optimize_compaction_audit",
     "shuffle_free_bucket_join",
-    "time_travel_diff",
+    "stream_join_enrichment",
     # Green sentinels (r1/r2/r3-verdicted) guarding systemic regressions.
     "q10",
     "corpus_prep_funnel_v2",

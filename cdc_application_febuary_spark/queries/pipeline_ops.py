@@ -5656,3 +5656,429 @@ def supplier_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: survivorship, info-theory feature screens, skyline, and the
+# manifest/bucketed-layout lifecycles driven as driver-verdicted queries.
+# ---------------------------------------------------------------------------
+@_q(
+    "golden_record_users",
+    """
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS tsn
+  FROM events
+),
+latest AS (
+  SELECT user_id, event_type AS latest_event_type
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY tsn DESC, event_id DESC,
+                                       event_type DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+modal AS (
+  SELECT user_id, event_type AS top_event_type
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+    FROM e GROUP BY user_id, event_type
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT user_id, CAST(MIN(tsn) AS BIGINT) AS first_seen,
+         CAST(MAX(tsn) AS BIGINT) AS last_seen,
+         CAST(COUNT(*) AS BIGINT) AS n_records,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+           AS total_value
+  FROM e GROUP BY user_id
+)
+SELECT a.user_id, a.first_seen, a.last_seen, a.n_records, a.total_value,
+       l.latest_event_type, m.top_event_type
+FROM agg a JOIN latest l USING (user_id) JOIN modal m USING (user_id)
+ORDER BY a.user_id
+LIMIT 200
+""",
+)
+def golden_record_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (`operators/survivorship.py`): one golden row
+    per user from their event history — latest-rule for the most recent
+    event_type (deterministic (ts, event_id, value) tiebreak), modal-rule
+    for the dominant event_type (ties to the smallest value), plus
+    first/last seen and an exact-decimal value total. One groupBy(user)
+    shuffle + one modal pre-aggregation; no raw-row windows."""
+    from ..catalog import load_events_raw
+    from ..operators import survivorship as sv
+
+    e = load_events_raw(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    out = sv.golden_records(
+        e,
+        "user_id",
+        order_cols=["ts", "event_id"],
+        latest_cols=["event_type"],
+        modal_cols=["event_type"],
+        extra_aggs=[
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value")
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.col("first_seen").cast("bigint").alias("first_seen"),
+        F.col("last_seen").cast("bigint").alias("last_seen"),
+        "n_records",
+        "total_value",
+        F.col("latest_event_type").alias("latest_event_type"),
+        "top_event_type",
+    ).orderBy("user_id").limit(200)
+
+
+@_q(
+    "mutual_info_features",
+    """
+WITH pairs(feature_a, feature_b, tbl) AS (
+  VALUES ('l_returnflag', 'l_linestatus', 'lineitem'),
+         ('o_orderstatus', 'o_orderpriority', 'orders'),
+         ('c_mktsegment', 'c_nationkey', 'customer')
+),
+mi_li AS (
+  SELECT ROUND(SUM((nxy/n) * LN((nxy*n)/(nx*ny))), 6) AS mi,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS nxy,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS nx,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY l_linestatus) AS DOUBLE) AS ny,
+           CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+  )
+),
+mi_o AS (
+  SELECT ROUND(SUM((nxy/n) * LN((nxy*n)/(nx*ny))), 6) AS mi,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS nxy,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS nx,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS ny,
+           CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+  )
+),
+mi_c AS (
+  SELECT ROUND(SUM((nxy/n) * LN((nxy*n)/(nx*ny))), 6) AS mi,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS nxy,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS nx,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS ny,
+           CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS n
+    FROM customer GROUP BY c_mktsegment, c_nationkey
+  )
+)
+SELECT 'l_returnflag|l_linestatus' AS feature_pair, mi AS mi_nats, n_cells
+  FROM mi_li
+UNION ALL
+SELECT 'o_orderstatus|o_orderpriority', mi, n_cells FROM mi_o
+UNION ALL
+SELECT 'c_mktsegment|c_nationkey', mi, n_cells FROM mi_c
+ORDER BY feature_pair
+""",
+)
+def mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual information over three categorical feature pairs
+    (`operators/classifier.mutual_information`) — the feature-dependence
+    screen for training-data curation. Each pair is one grouped count of
+    the raw table; marginals/totals are window sums over the tiny joint
+    table (|A|x|B| cells), so the per-pair cost is one scan + one
+    bounded shuffle."""
+    from ..operators.classifier import mutual_information
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    parts = [
+        (
+            "l_returnflag|l_linestatus",
+            mutual_information(li, "l_returnflag", "l_linestatus"),
+        ),
+        (
+            "o_orderstatus|o_orderpriority",
+            mutual_information(orders, "o_orderstatus", "o_orderpriority"),
+        ),
+        (
+            "c_mktsegment|c_nationkey",
+            mutual_information(cust, "c_mktsegment", "c_nationkey"),
+        ),
+    ]
+    out = None
+    for name, df in parts:
+        row = df.select(
+            F.lit(name).alias("feature_pair"), "mi_nats", "n_cells"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("feature_pair")
+
+
+@_q(
+    "skyline_orders",
+    """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+         epoch_ns(o_orderdate) AS datens
+  FROM orders
+),
+s AS (
+  SELECT o_orderkey, price_cents, datens,
+         MIN(datens) OVER (ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS best_cheaper,
+         MIN(datens) OVER (PARTITION BY price_cents) AS best_same
+  FROM o
+)
+SELECT o_orderkey, price_cents,
+       CAST(datens / 86400000000000 AS BIGINT) AS order_day
+FROM s
+WHERE (best_cheaper IS NULL OR datens < best_cheaper)
+  AND datens = best_same
+ORDER BY price_cents, o_orderkey
+""",
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders minimizing (price, date):
+    an order survives iff nothing is BOTH cheaper-or-equal AND
+    earlier-or-equal (with one strict). `operators/skyline.skyline_2d`
+    runs the sweep as a banded two-level prefix scan — full-data windows
+    are partitioned by price band; the only unpartitioned window touches
+    the per-band summary table (n_bands rows) — NOT the O(n^2) dominance
+    self-join, and NOT a whole-table single-partition window."""
+    from ..operators.skyline import skyline_2d
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        (F.unix_micros(F.col("o_orderdate")) * 1000).alias("datens"),
+    )
+    return (
+        skyline_2d(o, "price_cents", "datens", band_width=100_000)
+        .select(
+            "o_orderkey",
+            "price_cents",
+            (F.col("datens") / F.lit(86400000000000)).cast("bigint").alias(
+                "order_day"
+            ),
+        )
+        .orderBy("price_cents", "o_orderkey")
+    )
+
+
+@_q(
+    "optimize_compaction_audit",
+    """
+WITH d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_n,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
+  FROM documents
+)
+SELECT 'content_rows' AS metric, rows_n AS value FROM d
+UNION ALL SELECT 'content_sum_doc_id', sum_doc_id FROM d
+UNION ALL SELECT 'content_distinct_texts', distinct_texts FROM d
+UNION ALL SELECT 'files_shrunk', 1
+UNION ALL SELECT 'rows_match_after_optimize', 1
+ORDER BY metric
+""",
+)
+def optimize_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (small-file bin-packing compaction) end-to-end: land
+    documents as a manifest table fragmented into 64 files, compact to a
+    handful, and audit that the CONTENT is untouched — row count, key
+    sum, and distinct-text count all survive, reads resolve to fewer
+    files. The oracle derives the content metrics straight from the
+    fixture; the lifecycle booleans assert compaction actually reduced
+    files without changing rows."""
+    import tempfile
+
+    from ..sources import manifest_table as mt
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tempfile.mkdtemp(prefix="optimize_") + "/docs"
+    mt.write_table(docs.repartition(64), t, ["doc_id"])
+    v0 = mt.current_version(spark, t)
+    files_before = len(mt._read_manifest(spark, t, v0))
+    stats = mt.optimize_table(spark, t, ["doc_id"], target_files=8)
+    files_after = len(mt._read_manifest(spark, t, stats["version"]))
+    after = mt.read_table(spark, t)
+    content = after.agg(
+        F.count(F.lit(1)).alias("rows_n"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+            "distinct_texts"
+        ),
+    ).first()
+    rows = [
+        ("content_rows", int(content["rows_n"])),
+        ("content_sum_doc_id", int(content["sum_doc_id"])),
+        ("content_distinct_texts", int(content["distinct_texts"])),
+        ("files_shrunk", 1 if files_after < files_before else 0),
+        (
+            "rows_match_after_optimize",
+            1 if int(content["rows_n"]) == docs.count() else 0,
+        ),
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "metric string, value bigint"
+    ).orderBy("metric")
+
+
+@_q(
+    "shuffle_free_bucket_join",
+    """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY o_orderpriority
+""",
+)
+def shuffle_free_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-layout lifecycle driven end-to-end
+    (`sources/bucketed.py`): persist orders AND lineitem bucketed by the
+    join key with equal bucket counts, then run the fact-fact join +
+    keyed aggregation off the bucketed layout — the plan joins bucket i
+    to bucket i with ZERO Exchange (asserted in
+    tests/test_bucketed_join.py; here the driver verifies the ANSWER
+    matches the plain join). Revenue aggregates exact-decimal, cast to
+    double only at the end (both sides)."""
+    import os
+
+    from ..sources.bucketed import write_bucketed_table
+
+    suffix = f"r4_{os.getpid()}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_discount").cast("decimal(18,2)").alias("disc"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lt, ot = f"li_bkt_{suffix}", f"ord_bkt_{suffix}"
+    write_bucketed_table(li, lt, ["l_orderkey"], n_buckets=8)
+    write_bucketed_table(orders, ot, ["o_orderkey"], n_buckets=8)
+    lb, ob = spark.table(lt), spark.table(ot)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("price") * (F.lit(1) - F.col("disc")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "stream_join_enrichment",
+    """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey < 120
+ORDER BY o.o_orderkey
+""",
+)
+def stream_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment end-to-end: a deterministic change feed
+    (the first orders, as JSON change envelopes in a file feed — the
+    kafka twin) streams through a foreachBatch that broadcast-joins the
+    static customer dimension and appends to a parquet target; the query
+    returns the enriched target. The oracle is the equivalent static
+    join — making this the one STREAMING query with a value-hash oracle,
+    not just rows-only. Dimension is broadcast: no shuffle of the stream
+    side at any scale."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_enrich_")
+    feed = f"{work}/feed"
+    target = f"{work}/target"
+    import os
+
+    os.makedirs(feed, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 120
+    )
+    (
+        orders.select(
+            F.to_json(
+                F.struct(
+                    "o_orderkey",
+                    "o_custkey",
+                    F.col("o_totalprice").cast("decimal(18,2)").alias(
+                        "amount"
+                    ),
+                )
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(feed)
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    env_schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("amount", DecimalType(18, 2)),
+        ]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .load(feed)
+        .select(F.from_json("value", env_schema).alias("p"))
+        .select("p.*")
+    )
+
+    def enrich(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.join(F.broadcast(cust), batch.o_custkey == cust.c_custkey)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "c_name",
+                "c_mktsegment",
+                F.col("amount").cast("double").alias("amount"),
+            )
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(target).orderBy("o_orderkey")

@@ -31,6 +31,9 @@ SKIP_SLOW = {
     "multimodal_features",
     "multimodal_thumbnails",
     "audio_decode",
+    "optimize_compaction_audit",   # manifest write + OPTIMIZE at build time
+    "shuffle_free_bucket_join",    # writes two bucketed tables at build time
+    "stream_join_enrichment",      # runs a streaming query to completion
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
