@@ -75,24 +75,33 @@ def with_global_rank(df: DataFrame, order_by, rank_col: str = "rank") -> DataFra
 def with_global_cumsum(
     df: DataFrame,
     order_by,
-    value_col: str,
-    out_col: str = "cumsum",
+    value_col,
+    out_col="cumsum",
 ) -> DataFrame:
-    """Exact running total of ``value_col`` over a global total order,
+    """Exact running total(s) of ``value_col`` over a global total order,
     without a single-partition window — the same partition-offset plan as
     :func:`with_global_rank`, with per-partition VALUE sums as the
     offsets. ``value_col`` must be exact-typed (decimal/integral): the
     offsets are collected to the driver and re-injected as literals, which
     is only sound when partition-sum + offset-add are exact arithmetic
-    (double offsets would make the result partitioning-dependent)."""
+    (double offsets would make the result partitioning-dependent).
+
+    ``value_col``/``out_col`` may be lists to compute several running
+    totals in ONE range partitioning + ONE offsets job (e.g. the two
+    cumulative class counts of a KS statistic)."""
     from decimal import Decimal
 
-    dtype = dict(df.dtypes)[value_col]
-    if dtype.startswith(("double", "float")):
-        raise ValueError(
-            "with_global_cumsum needs an exact value type (decimal/int), "
-            f"got {dtype}: cast first"
-        )
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col must pair up")
+    dtypes = dict(df.dtypes)
+    for vc in value_cols:
+        if dtypes[vc].startswith(("double", "float")):
+            raise ValueError(
+                "with_global_cumsum needs an exact value type "
+                f"(decimal/int), got {dtypes[vc]} for {vc}: cast first"
+            )
     cols = _as_sort_cols(order_by)
     parts = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *cols).withColumn(
@@ -100,32 +109,38 @@ def with_global_cumsum(
     )
     ranged = ranged.persist()
     sums = {
-        r["__pid"]: r["s"]
+        r["__pid"]: [r[f"s{i}"] for i in range(len(value_cols))]
         for r in ranged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("s"))
+        .agg(*[F.sum(vc).alias(f"s{i}") for i, vc in enumerate(value_cols)])
         .collect()
     }
-    offsets, acc = {}, Decimal(0)
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += Decimal(str(sums[pid] if sums[pid] is not None else 0))
-    wide = "decimal(38,6)" if dtype.startswith("decimal") else "bigint"
-    omap = F.create_map(
-        *[
-            x
-            for pid, off in offsets.items()
-            for x in (F.lit(pid), F.lit(str(off)).cast(wide))
-        ]
-    ) if offsets else F.create_map()
     local = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return ranged.withColumn(
-        out_col,
-        (F.sum(value_col).over(local).cast(wide) + omap[F.col("__pid")]).cast(
-            wide
-        ),
-    ).drop("__pid")
+    out = ranged
+    for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+        offsets, acc = {}, Decimal(0)
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            s = sums[pid][i]
+            acc += Decimal(str(s if s is not None else 0))
+        wide = (
+            "decimal(38,6)" if dtypes[vc].startswith("decimal") else "bigint"
+        )
+        omap = F.create_map(
+            *[
+                x
+                for pid, off in offsets.items()
+                for x in (F.lit(pid), F.lit(str(off)).cast(wide))
+            ]
+        ) if offsets else F.create_map()
+        out = out.withColumn(
+            oc,
+            (F.sum(vc).over(local).cast(wide) + omap[F.col("__pid")]).cast(
+                wide
+            ),
+        )
+    return out.drop("__pid")
 
 
 def scalable_ntile(

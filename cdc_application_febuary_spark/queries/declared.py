@@ -397,6 +397,8 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # unpartitioned window BY DESIGN: input is the post-aggregation daily
+    # table (rows == distinct days — calendar-bounded, not data-scale)
     w = (
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

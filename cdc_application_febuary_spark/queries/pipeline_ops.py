@@ -1566,8 +1566,12 @@ LIMIT 50 OFFSET 50
 """,
 )
 def events_filtered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # OFFSET pagination via row_number (the engine-side form of the
-    # reference's ORDER BY ... OFFSET skip LIMIT n — api.py:8841-8850).
+    # OFFSET pagination (the engine-side form of the reference's
+    # ORDER BY ... OFFSET skip LIMIT n — api.py:8841-8850). Top-(offset+
+    # size) via orderBy+limit plans TakeOrderedAndProject — parallel
+    # partial top-K per partition + one bounded merge — instead of a
+    # row_number window over ALL filtered rows in one partition; the
+    # offset filter then windows over <= 100 rows (bounded by page depth).
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").where(
@@ -1575,10 +1579,11 @@ def events_filtered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("value").between(10, 400)
         & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
     )
+    top = ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(100)
     w = Window.orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") > 50) & (F.col("rn") <= 100))
+        top.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 50)
         .select("event_id", "user_id", "event_type", "value")
     )
 
@@ -1733,6 +1738,8 @@ def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # unpartitioned window BY DESIGN: runs over the daily aggregate
+    # (rows == distinct days — calendar-bounded, not data-scale)
     w = (
         Window.orderBy(F.datediff("day", F.lit("1970-01-01").cast("date")))
         .rangeBetween(-2, Window.currentRow)
@@ -2930,21 +2937,20 @@ def curriculum_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum construction: bin the corpus into quality quartiles
     (low -> high) and report each bin's doc/token mass — the allocation a
     curriculum sampler feeds (e.g. later training epochs overweight the
-    top bin). Exact NTILE over (rounded quality, doc_id) is the
-    deterministic small-tier; at 100 TB the same binning uses
-    approx-quantile cutpoints as map-side filters (no global window) —
-    the approx tier of `value_percentiles_approx`."""
-    from pyspark.sql import Window
+    top bin). Exact ANSI NTILE via `ranking.scalable_ntile` (partition-
+    offset plan: range partition + local windows + broadcast offsets) —
+    bit-identical to a global-window ntile with NO single-partition
+    stage."""
+    from ..operators.ranking import scalable_ntile
 
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select(
         "doc_id",
         T.token_count("text").alias("n_tok"),
         T.quality_score("text").alias("quality"),
-    )
-    w = Window.orderBy(F.round("quality", 6), "doc_id")
+    ).withColumn("__qr", F.round("quality", 6))
     return (
-        q.withColumn("bin", F.ntile(4).over(w))
+        scalable_ntile(q, 4, ["__qr", "doc_id"], "bin")
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -3881,6 +3887,8 @@ def chi_square_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols_ = c.groupBy("band").agg(F.sum("o").alias("ct"))
     from pyspark.sql import Window
 
+    # unpartitioned window BY DESIGN: over the contingency CELLS
+    # (|types| x |bands| rows — bounded by construction)
     whole = Window.partitionBy()
     joined = (
         c.join(F.broadcast(rows_), "t")
@@ -3933,6 +3941,7 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # unpartitioned window BY DESIGN: 9 leading-digit rows
     whole = Window.partitionBy()
     return (
         c.withColumn("tot", F.sum("n").over(whole))
@@ -3977,36 +3986,37 @@ def ks_price_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance between finished and
     in-flight order totals — the nonparametric companion to the PSI
     alarm (PSI localizes WHERE mass moved; KS bounds the worst CDF gap
-    with a distribution-free test). Exact tier: one global RANGE window
-    (ties share a CDF step on both engines); the 100 TB tier evaluates
-    the same max at approx-quantile grid points so no global sort is
-    needed."""
-    from pyspark.sql import Window
+    with a distribution-free test). Exact and scalable: class counts
+    collapse to DISTINCT prices first (ties share a CDF step on both
+    engines), then BOTH cumulative class counts run in one
+    `ranking.with_global_cumsum` pass (partition-offset plan, no
+    single-partition window); the two class totals are bounded driver
+    scalars."""
+    from ..operators.ranking import with_global_cumsum
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("x"),
         (F.col("o_orderstatus") == "F").alias("is_b"),
     )
-    w = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, 0)
-    whole = Window.partitionBy()
-    s = o.select(
-        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).over(w).alias("cb"),
-        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).over(w).alias("co"),
-        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).over(whole).alias("nb"),
-        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).over(whole).alias("no"),
+    g = o.groupBy("x").agg(
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).alias("o"),
     )
-    return s.agg(
+    tot = g.agg(F.sum("b").alias("nb"), F.sum("o").alias("no")).first()
+    nb, no = int(tot["nb"]), int(tot["no"])
+    c = with_global_cumsum(g, ["x"], ["b", "o"], ["cb", "co"])
+    return c.agg(
         F.round(
             F.max(
                 F.abs(
-                    F.col("cb").cast("double") / F.col("nb")
-                    - F.col("co").cast("double") / F.col("no")
+                    F.col("cb").cast("double") / F.lit(nb)
+                    - F.col("co").cast("double") / F.lit(no)
                 )
             ),
             6,
         ).alias("ks_d"),
-        F.max("nb").cast("bigint").alias("n_base"),
-        F.max("no").cast("bigint").alias("n_obs"),
+        F.lit(nb).cast("bigint").alias("n_base"),
+        F.lit(no).cast("bigint").alias("n_obs"),
     )
 
 
@@ -5545,6 +5555,8 @@ def backfill_gap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_trunc("hour", "ts").alias("h"))
         .distinct()
     )
+    # unpartitioned window BY DESIGN: over the MISSING calendar hours
+    # (anti-join survivors — bounded by the calendar span, not data-scale)
     missing = cal.join(observed, "h", "left_anti").withColumn(
         "rn", F.row_number().over(Window.orderBy("h"))
     )
