@@ -120,3 +120,79 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
         ).alias("transitivity"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank by power iteration, pure DataFrame ops — the iterative-
+    algorithm representative (like the distributed logistic regression,
+    the loop is DRIVER-side orchestration of declarative jobs; per
+    iteration the data-side work is one join + one keyed aggregation).
+
+    Semantics (standard, matching networkx.pagerank defaults up to the
+    dangling handling): start uniform 1/N; each step
+        r'(v) = (1-d)/N + d * (dangling_mass/N + sum_{u->v} r(u)/deg(u))
+    where dangling_mass is the rank parked on nodes with no out-edges —
+    redistributed uniformly, so sum(r) == 1 every iteration (asserted in
+    tests against a numpy transition-matrix power iteration).
+
+    Scale posture: ranks live in a (node, rank) DataFrame partitioned by
+    node; each iteration shuffles contributions once on dst. The rank
+    frame is checkpointed via localCheckpoint every few iterations to cut
+    the growing lineage (the classic iterative-Spark trap); the dangling
+    mass is the one driver scalar per iteration. Fixed iteration count
+    keeps the result deterministic and oracle-independent of float
+    convergence tests.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    ).persist()
+    n = nodes.count()
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("dst")
+    ).join(deg.select(F.col(src_col).alias("node"), "deg"), "node").persist()
+    out_edges.count()
+
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for i in range(iterations):
+        contrib = (
+            out_edges.join(ranks, "node")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # rank parked on dangling nodes (no out-edges): total rank that
+        # sent no contributions this step — one bounded driver scalar
+        flowing = (
+            ranks.join(
+                out_edges.select("node").distinct(), "node", "left_semi"
+            )
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        dangling = 1.0 - flowing
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -130,3 +130,75 @@ def sparse_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag-of-words
+    query — the standard lexical retrieval scorer (Robertson et al.,
+    TREC-3; the Lucene `+1` idf variant so scores stay positive):
+
+        idf(t)  = ln((N - df + 0.5)/(df + 0.5) + 1)
+        s(d)    = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Shape: one token explode scanned TWICE at worst (doc lengths need all
+    tokens; tf/df only the query's terms, filtered BEFORE the count so
+    the heavy aggregation is bounded by |terms| x docs-containing-them).
+    N and avgdl are two driver scalars. Per-term contributions round to
+    DECIMAL(18,6) before the per-doc sum, so the total is an exact
+    decimal sum — order-independent and engine-portable (the same trick
+    as the LM scorer's per-doc log-prob sums).
+
+    Returns (doc_id, bm25) — all docs containing >= 1 query term.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["tot"]) / float(stats["n"])
+
+    qt = tok.where(F.col("token").isin(list(query_terms)))
+    tf = qt.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("bm25")
+    )

@@ -89,6 +89,9 @@ _ROUND_PRIORITY = [
     "optimize_compaction_audit",
     "shuffle_free_bucket_join",
     "stream_join_enrichment",
+    "bm25_topk",
+    "part_price_twap",
+    "pagerank_parts",
     # Green sentinels (r1/r2/r3-verdicted) guarding systemic regressions.
     "q10",
     "corpus_prep_funnel_v2",

@@ -6094,3 +6094,156 @@ def stream_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.read.parquet(target).orderBy("o_orderkey")
+
+
+@_q(
+    "bm25_topk",
+    """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE token <> ''),
+dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dl),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+  WHERE token IN ('spark', 'merge', 'vector')
+  GROUP BY 1, 2
+),
+dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           LN((CAST(stats.n AS DOUBLE) - dfq.dfreq + 0.5)
+              / (dfq.dfreq + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl
+                / (CAST(stats.tot AS DOUBLE) / CAST(stats.n AS DOUBLE))))),
+           6) AS DECIMAL(18,6)) AS c
+  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+FROM contrib GROUP BY 1
+ORDER BY bm25 DESC, doc_id LIMIT 15
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (`operators/vectorize.bm25_scores`): rank the
+    corpus against the query {spark, merge, vector}, top 15. Per-term
+    contributions round to DECIMAL(18,6) before the per-doc sum so both
+    engines add exactly; N/avgdl are two driver scalars; the tf/df
+    aggregations filter to the query's terms BEFORE counting."""
+    from ..operators.vectorize import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, ["spark", "merge", "vector"])
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@_q(
+    "part_price_twap",
+    """
+WITH pe AS (
+  SELECT l_partkey, l_shipdate,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS px,
+         LEAD(l_shipdate) OVER (PARTITION BY l_partkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS nxt
+  FROM lineitem
+),
+w AS (
+  SELECT l_partkey, px,
+         CAST(COALESCE(date_diff('day', l_shipdate, nxt), 1) AS BIGINT)
+           AS days
+  FROM pe
+),
+t AS (
+  SELECT l_partkey,
+         SUM(px * days) AS pd, SUM(days) AS d, COUNT(*) AS n
+  FROM w WHERE days > 0 GROUP BY 1
+)
+SELECT l_partkey,
+       ROUND(CAST(pd AS DOUBLE) / d, 4) AS twap,
+       CAST(d AS BIGINT) AS span_days,
+       CAST(n AS BIGINT) AS n_fills
+FROM t WHERE n >= 8
+ORDER BY l_partkey
+""",
+)
+def part_price_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per part (the TWAP every pricing /
+    portfolio pipeline computes): each fill's price holds until the next
+    fill (LEAD per part — a PARTITIONED window, entity-bounded state),
+    weighted by the holding interval in days; zero-length holds (same-day
+    refills) carry no weight. price*days accumulates in exact DECIMAL;
+    the single double division rounds to 4 on both engines."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("px"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    pe = li.withColumn("nxt", F.lead("l_shipdate").over(w)).select(
+        "l_partkey",
+        "px",
+        F.coalesce(
+            F.datediff(F.col("nxt"), F.col("l_shipdate")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    t = (
+        pe.where(F.col("days") > 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("px") * F.col("days")).alias("pd"),
+            F.sum("days").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        t.where(F.col("n") >= 8)
+        .select(
+            "l_partkey",
+            F.round(F.col("pd").cast("double") / F.col("d"), 4).alias("twap"),
+            F.col("d").cast("bigint").alias("span_days"),
+            F.col("n").cast("bigint").alias("n_fills"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@_q("pagerank_parts")
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (`operators/graph.
+    pagerank`): parts bought in the same order are linked both ways;
+    power iteration (8 fixed steps, d=0.85) with uniform dangling
+    redistribution — the iterative-algorithm representative alongside the
+    distributed logistic regression. Rows-only by design (iterative float
+    fixpoints are not SQL-expressible); numpy transition-matrix parity is
+    pinned in tests/test_graph_cumsum.py. Output: top 20 parts by rounded
+    rank."""
+    from ..operators.graph import cooccurrence_edges, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    und = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    pr = pagerank(edges, iterations=8)
+    return (
+        pr.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )

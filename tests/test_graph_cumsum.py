@@ -95,3 +95,51 @@ def test_global_cumsum_rejects_double(spark):
     df = spark.createDataFrame([(1, 1.5)], "id long, v double")
     with pytest.raises(ValueError):
         ranking.with_global_cumsum(df, ["id"], "v")
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(5)
+    n = 40
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(160)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+
+    iters, d = 12, 0.85
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(df, iterations=iters, damping=d).collect()
+    }
+
+    # numpy reference: column-stochastic transition with uniform dangling
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    M = np.zeros((N, N))
+    outdeg = {}
+    for a, b in pairs:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    for a, b in pairs:
+        M[idx[b], idx[a]] += 1.0 / outdeg[a]
+    r = np.full(N, 1.0 / N)
+    dang = np.array([1.0 if v not in outdeg else 0.0 for v in nodes])
+    for _ in range(iters):
+        r = (1 - d) / N + d * (M @ r + (dang @ r) / N)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # chain a->b->c: c is dangling; ranks must still sum to 1 and
+    # monotonically favor downstream nodes
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(df, iterations=20).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[1] > got[0]

@@ -34,6 +34,7 @@ SKIP_SLOW = {
     "optimize_compaction_audit",   # manifest write + OPTIMIZE at build time
     "shuffle_free_bucket_join",    # writes two bucketed tables at build time
     "stream_join_enrichment",      # runs a streaming query to completion
+    "pagerank_parts",              # 8 power iterations run at build time
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -72,3 +72,63 @@ def test_postings_partition_invariant(spark):
         map(tuple, V.hashed_tfidf_postings(docs.repartition(5), dim=32).collect())
     )
     assert one == many
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    corpus = {
+        1: "spark table merge fast merge",
+        2: "vector scan spark",
+        3: "slow table row group",
+        4: "merge merge merge spark vector data",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    terms, k1, b = ["spark", "merge", "vector"], 1.2, 0.75
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in V.bm25_scores(docs, terms).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    N = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    want = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if q in tt)
+            idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            c = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+            s += round(c, 6)
+        if s:
+            want[d] = s
+    assert set(got) == set(want)  # doc 3 has no query term
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, d
+
+
+def test_bm25_rarer_term_outranks_common_at_equal_tf(spark):
+    # 'vector' appears in 1 doc, 'spark' in 3: doc matching only the rare
+    # term must beat an equal-length doc matching only the common one
+    docs = spark.createDataFrame(
+        [
+            (1, "vector aaa bbb"),
+            (2, "spark aaa bbb"),
+            (3, "spark ccc ddd"),
+            (4, "spark eee fff"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in V.bm25_scores(docs, ["spark", "vector"]).collect()
+    }
+    assert got[1] > got[2]
