@@ -6166,7 +6166,8 @@ t AS (
   FROM w WHERE days > 0 GROUP BY 1
 )
 SELECT l_partkey,
-       ROUND(CAST(pd AS DOUBLE) / d, 4) AS twap,
+       CAST((CAST(CAST(pd * 100 AS DECIMAL(38,0)) AS HUGEINT) * 20000 + d)
+            // (2 * d) AS BIGINT) AS twap_cents_x100,
        CAST(d AS BIGINT) AS span_days,
        CAST(n AS BIGINT) AS n_fills
 FROM t WHERE n >= 8
@@ -6178,8 +6179,12 @@ def part_price_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     portfolio pipeline computes): each fill's price holds until the next
     fill (LEAD per part — a PARTITIONED window, entity-bounded state),
     weighted by the holding interval in days; zero-length holds (same-day
-    refills) carry no weight. price*days accumulates in exact DECIMAL;
-    the single double division rounds to 4 on both engines."""
+    refills) carry no weight. price*days accumulates in exact DECIMAL and
+    the average stays in integer arithmetic — twap_cents_x100 is the
+    HALF_UP-rounded value of 10^4 * pd/d computed with integer division
+    ((2*10^4*pd_cents + d) div 2d), so no double rounding tie can split
+    the engines (a ROUND(pd/d, 4) double version hash-diverged on one
+    exact .xxxx5 quotient)."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -6214,7 +6219,10 @@ def part_price_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.where(F.col("n") >= 8)
         .select(
             "l_partkey",
-            F.round(F.col("pd").cast("double") / F.col("d"), 4).alias("twap"),
+            F.expr(
+                "CAST((CAST(pd * 100 AS DECIMAL(38,0)) * 20000 + d) "
+                "div (2 * d) AS BIGINT)"
+            ).alias("twap_cents_x100"),
             F.col("d").cast("bigint").alias("span_days"),
             F.col("n").cast("bigint").alias("n_fills"),
         )
