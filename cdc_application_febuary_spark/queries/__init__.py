@@ -92,6 +92,9 @@ _ROUND_PRIORITY = [
     "bm25_topk",
     "part_price_twap",
     "pagerank_parts",
+    "stream_windowed_counts",
+    "csv_json_roundtrip_report",
+    "vacuum_retention_audit",
     # Green sentinels (r1/r2/r3-verdicted) guarding systemic regressions.
     "q10",
     "corpus_prep_funnel_v2",

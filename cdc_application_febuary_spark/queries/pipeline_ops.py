@@ -6255,3 +6255,215 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+@_q(
+    "stream_windowed_counts",
+    """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows + watermark, end-to-end as a STREAM
+    with a value oracle (T6/T7 driver-visible): the first two days of
+    events replay through a file stream under a 30-minute watermark in
+    APPEND mode — output rows are exactly the FINALIZED windows. Append
+    emits a window only in a batch whose watermark passed the window end,
+    and the watermark itself trails one batch behind the data, so the
+    feed carries two out-of-band sentinel files (maxFilesPerTrigger=1
+    keeps them as separate batches, file-stream order is arrival order):
+    sentinel 1 advances the watermark past the real horizon, sentinel 2
+    triggers the batch that flushes the last real windows. The sentinels'
+    own windows stay unfinalized and never appear. Result must equal the
+    batch GROUP BY of the real events."""
+    import tempfile
+
+    from ..catalog import load_table
+
+    work = tempfile.mkdtemp(prefix="stream_win_")
+    feed, target = f"{work}/feed", f"{work}/target"
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    (
+        ev.select(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.unix_micros("ts").alias("ts_us"),
+                )
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(feed)
+    )
+    import json as _json
+    import pathlib as _pl
+
+    def _sentinel(name: str, iso_us: int) -> None:
+        _pl.Path(feed, name).write_text(
+            _json.dumps(
+                {"event_id": -1, "event_type": "__sentinel", "ts_us": iso_us}
+            )
+            + "\n"
+        )
+
+    # 2024-01-03 01:00 and 01:10 UTC in epoch-micros: both watermarks stay
+    # below their own window's end, so neither sentinel window finalizes
+    _sentinel("z1_sentinel.json", 1704243600_000_000)
+    _sentinel("z2_sentinel.json", 1704244200_000_000)
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(feed)
+        .select(F.from_json("value", schema).alias("p"))
+        .select(
+            F.col("p.event_type").alias("event_type"),
+            F.timestamp_micros(F.col("p.ts_us")).alias("ts"),
+        )
+        .withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt"
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(target).orderBy("window_start", "event_type")
+
+
+@_q(
+    "csv_json_roundtrip_report",
+    """
+WITH c AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+  FROM customer GROUP BY 1
+)
+SELECT 'csv' AS fmt, c_mktsegment, CAST(n AS BIGINT) AS n, bal FROM c
+UNION ALL
+SELECT 'json', c_mktsegment, CAST(n AS BIGINT), bal FROM c
+ORDER BY fmt, c_mktsegment
+""",
+)
+def csv_json_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S6 object-scan family driver-visible: land customers as CSV
+    AND as JSON-lines objects, read each back through the engine's
+    readers (header+inferSchema / sampled json), and aggregate per
+    segment — both format paths must reproduce the parquet truth
+    exactly (acctbal routed through DECIMAL on every path)."""
+    import tempfile
+
+    from ..sources.files import read_csv_objects, read_json_objects
+
+    work = tempfile.mkdtemp(prefix="objscan_")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
+    )
+    cust.coalesce(2).write.mode("overwrite").option("header", "true").csv(
+        f"{work}/csv"
+    )
+    cust.coalesce(2).write.mode("overwrite").json(f"{work}/json")
+
+    def agg(df, fmt):
+        return (
+            df.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("bal"),
+            )
+            .select(F.lit(fmt).alias("fmt"), "c_mktsegment", "n", "bal")
+        )
+
+    out = agg(read_csv_objects(spark, f"{work}/csv"), "csv").unionByName(
+        agg(read_json_objects(spark, f"{work}/json"), "json")
+    )
+    return out.orderBy("fmt", "c_mktsegment")
+
+
+@_q(
+    "vacuum_retention_audit",
+    """
+WITH s AS (SELECT COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+           FROM supplier WHERE s_nationkey <> 3)
+SELECT 'live_rows' AS metric, CAST(n AS BIGINT) AS value FROM s
+UNION ALL SELECT 'live_key_sum', key_sum FROM s
+UNION ALL SELECT 'old_version_readable', 0
+UNION ALL SELECT 'orphan_files_removed', 1
+ORDER BY metric
+""",
+)
+def vacuum_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance tail of the GDPR story: DELETE rewrites files,
+    VACUUM(keep_last=1) then physically removes the pre-delete versions —
+    time travel to v0 must FAIL afterwards (retention trade), the live
+    read must be untouched, and at least one unreferenced file must have
+    been garbage-collected. Oracle derives the surviving content from the
+    fixture."""
+    import tempfile
+
+    from ..sources import manifest_table as mt
+
+    supp = load_table(spark, sf_dir, "supplier")
+    t = tempfile.mkdtemp(prefix="vacuum_") + "/supp"
+    mt.write_table(
+        supp.repartitionByRange(4, "s_suppkey"), t, ["s_suppkey"]
+    )
+    mt.delete_where(spark, t, "s_nationkey = 3", ["s_suppkey"])
+    stats = mt.vacuum(spark, t, keep_last=1)
+    live = mt.read_table(spark, t).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s_suppkey").alias("key_sum")
+    ).first()
+    try:
+        mt.read_table(spark, t, version=0).count()
+        old_readable = 1
+    except Exception:
+        old_readable = 0
+    rows = [
+        ("live_rows", int(live["n"])),
+        ("live_key_sum", int(live["key_sum"])),
+        ("old_version_readable", old_readable),
+        (
+            "orphan_files_removed",
+            1 if stats.get("data_files_removed", 0) > 0 else 0,
+        ),
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "metric string, value bigint"
+    ).orderBy("metric")

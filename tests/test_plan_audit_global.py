@@ -35,6 +35,9 @@ SKIP_SLOW = {
     "shuffle_free_bucket_join",    # writes two bucketed tables at build time
     "stream_join_enrichment",      # runs a streaming query to completion
     "pagerank_parts",              # 8 power iterations run at build time
+    "stream_windowed_counts",      # runs a streaming query to completion
+    "csv_json_roundtrip_report",   # writes csv/json objects at build time
+    "vacuum_retention_audit",      # manifest write+delete+vacuum at build
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
