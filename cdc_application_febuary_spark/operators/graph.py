@@ -168,17 +168,14 @@ def pagerank(
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
+            .persist()
         )
-        # rank parked on dangling nodes (no out-edges): total rank that
-        # sent no contributions this step — one bounded driver scalar
-        flowing = (
-            ranks.join(
-                out_edges.select("node").distinct(), "node", "left_semi"
-            )
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
+        # rank parked on dangling nodes (no out-edges) = 1 - the mass
+        # that flowed: each emitting node contributes exactly its rank
+        # (deg * rank/deg), so the flowing total is just SUM(inflow) over
+        # the tiny per-node contrib table — one bounded scalar, no extra
+        # join against the edge list.
+        flowing = contrib.agg(F.sum("inflow")).first()[0] or 0.0
         dangling = 1.0 - flowing
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
@@ -192,7 +189,9 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
+            # eager materialization per step: truncates the lineage (the
+            # iterative-Spark trap) and lets the step's contrib unpersist
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % 3 == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+        contrib.unpersist()
     return ranks

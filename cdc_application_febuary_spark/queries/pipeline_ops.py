@@ -6375,15 +6375,19 @@ WITH c AS (
 SELECT 'csv' AS fmt, c_mktsegment, CAST(n AS BIGINT) AS n, bal FROM c
 UNION ALL
 SELECT 'json', c_mktsegment, CAST(n AS BIGINT), bal FROM c
+UNION ALL
+SELECT 'orc', c_mktsegment, CAST(n AS BIGINT), bal FROM c
 ORDER BY fmt, c_mktsegment
 """,
 )
 def csv_json_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The S6 object-scan family driver-visible: land customers as CSV
-    AND as JSON-lines objects, read each back through the engine's
-    readers (header+inferSchema / sampled json), and aggregate per
-    segment — both format paths must reproduce the parquet truth
-    exactly (acctbal routed through DECIMAL on every path)."""
+    """The S6 object-scan family driver-visible: land customers as CSV,
+    JSON-lines, AND ORC objects, read each back through the engine's
+    readers (header+inferSchema / sampled json / native orc), and
+    aggregate per segment — every format path must reproduce the parquet
+    truth exactly (acctbal routed through DECIMAL on every path). Avro
+    stays undriven: Spark's avro module jar is not in this container
+    (external module since 2.4) and there is no network to fetch it."""
     import tempfile
 
     from ..sources.files import read_csv_objects, read_json_objects
@@ -6398,6 +6402,7 @@ def csv_json_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/csv"
     )
     cust.coalesce(2).write.mode("overwrite").json(f"{work}/json")
+    cust.coalesce(2).write.mode("overwrite").orc(f"{work}/orc")
 
     def agg(df, fmt):
         return (
@@ -6411,8 +6416,10 @@ def csv_json_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(fmt).alias("fmt"), "c_mktsegment", "n", "bal")
         )
 
-    out = agg(read_csv_objects(spark, f"{work}/csv"), "csv").unionByName(
-        agg(read_json_objects(spark, f"{work}/json"), "json")
+    out = (
+        agg(read_csv_objects(spark, f"{work}/csv"), "csv")
+        .unionByName(agg(read_json_objects(spark, f"{work}/json"), "json"))
+        .unionByName(agg(spark.read.orc(f"{work}/orc"), "orc"))
     )
     return out.orderBy("fmt", "c_mktsegment")
 
