@@ -48,9 +48,13 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 # sit right after slot 50 — they head the round-4 rotation; already-
 # verdicted r1/r2 queries fill the back.
 _ROUND_PRIORITY = [
-    # Round-4 window (first ~50 slots): VERDICT r3 item 2 — every query
-    # with no driver verdict yet goes first, so by end of r4 all registered
-    # queries have one. Slots 1-8: the oracle-paired round-3 additions.
+    # Round-4 window (the driver checks the first ~50 registry entries):
+    # VERDICT r3 item 2 — every query with no driver verdict yet goes
+    # first, so by end of r4 all pre-r4 queries have one. Slots 1-8: the
+    # oracle-paired round-3 additions; 9-28: the rows-only pool; 29-40:
+    # the twelve new round-4 queries (all oracle-paired except
+    # pagerank_parts); 41-47: green sentinels; the window tail (48-50)
+    # lands on r3-verdicted greens.
     "gdpr_delete_audit",
     "lm_perplexity_profile",
     "doc_similarity_tfidf",
