@@ -143,9 +143,16 @@ def _evolved_schema(
     mode: str,
 ):
     """Commit-time schema: overwrite takes the batch's schema; append
-    widens the recorded schema with the batch's NEW columns (same-name
-    type conflicts raise — silent coercion corrupts downstream)."""
+    widens the recorded schema with the batch's NEW columns, and upgrades
+    a column's type when the batch carries a LOSSLESS widening (int
+    ladder / float ladder / decimal growth — `evolution._is_widening`,
+    the same lattice the JDBC auto-DDL applies). A batch NARROWER than
+    the table is fine as-is (the pinned log schema upcasts it on read —
+    Spark 4's parquet reader widens int32->int64 etc. in the scan).
+    Anything else raises — silent coercion corrupts downstream."""
     from pyspark.sql.types import StructType
+
+    from .evolution import _is_widening
 
     if mode != "append" or base is None:
         return df.schema
@@ -158,11 +165,16 @@ def _evolved_schema(
         if have is None:
             by_name[f.name] = f
         elif have.dataType != f.dataType:
-            raise ValueError(
-                f"schema conflict on column {f.name!r}: table has "
-                f"{have.dataType.simpleString()}, batch has "
-                f"{f.dataType.simpleString()}"
-            )
+            hs, fs_ = have.dataType.simpleString(), f.dataType.simpleString()
+            if _is_widening(hs, fs_):
+                by_name[f.name] = f  # batch is wider: evolve the log
+            elif _is_widening(fs_, hs):
+                pass  # batch is narrower: pinned schema upcasts on read
+            else:
+                raise ValueError(
+                    f"schema conflict on column {f.name!r}: table has "
+                    f"{hs}, batch has {fs_} — not a lossless widening"
+                )
     return StructType(list(by_name.values()))
 
 

@@ -342,3 +342,45 @@ def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
     assert left.count() == 4  # both NULL-email rows survived
     assert sorted(r["k"] for r in left.collect()) == [0, 1, 3, 4]
     assert left.where(F.col("email").isNull()).count() == 2
+
+
+def test_append_widens_column_type_losslessly(spark, tmp_path):
+    """Type widening on append (round-4, mirroring the JDBC auto-DDL
+    lattice): an int column upgraded to bigint by a later batch evolves
+    the LOG schema; files written before the widening upcast on read
+    (Spark 4 parquet scan widening), so old rows and the int32-overflow
+    row coexist."""
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    t = str(tmp_path / "t")
+    mt.write_table(
+        spark.createDataFrame([(0, 10), (1, 20)], "k long, v int"), t, ["k"]
+    )
+    big = 3_000_000_000
+    mt.write_table(
+        spark.createDataFrame([(2, big)], "k long, v long"),
+        t, ["k"], mode="append",
+    )
+    out = mt.read_table(spark, t)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {(r["k"], r["v"]) for r in out.collect()} == {
+        (0, 10), (1, 20), (2, big)
+    }
+    # a narrower batch after the widening is fine: pinned schema upcasts
+    mt.write_table(
+        spark.createDataFrame([(3, 30)], "k long, v int"),
+        t, ["k"], mode="append",
+    )
+    out = mt.read_table(spark, t)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert out.count() == 4
+    # lossy change still raises
+    import pytest
+
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        mt.write_table(
+            spark.createDataFrame([(4, "x")], "k long, v string"),
+            t, ["k"], mode="append",
+        )
