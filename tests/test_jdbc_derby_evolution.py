@@ -207,3 +207,42 @@ def test_widening_lattice():
     assert not w("decimal(18,2)", "decimal(18,4)")  # integer digits shrink
     assert w("decimal(18,2)", "decimal(20,4)")  # both grow: safe
     assert not w("int", "string") and not w("int", "double")
+
+
+def test_evolved_schema_composition_and_null_fill():
+    """Pure-function coverage: evolved_schema applies widen+add in table
+    order; conform_for_append(null_fill=True) materializes typed NULLs
+    for full-physical-schema sinks."""
+    from pyspark.sql.types import StructType
+
+    target = StructType([
+        StructField("k", LongType()),
+        StructField("v", IntegerType()),
+    ])
+    source = StructType([
+        StructField("k", LongType()),
+        StructField("v", LongType()),
+        StructField("tag", StringType()),
+    ])
+    plan = ev.plan_evolution(target, source)
+    evolved = ev.evolved_schema(target, plan)
+    assert [(f.name, f.dataType.simpleString()) for f in evolved.fields] == [
+        ("k", "bigint"), ("v", "bigint"), ("tag", "string"),
+    ]
+
+
+def test_conform_null_fill_materializes_target_only_columns(spark):
+    from pyspark.sql.types import StructType
+
+    target = StructType([
+        StructField("k", LongType()),
+        StructField("name", StringType()),
+        StructField("email", StringType()),
+    ])
+    batch = spark.createDataFrame([(1, "b")], "k long, name string")
+    full = ev.conform_for_append(batch, target, null_fill=True)
+    assert full.columns == ["k", "name", "email"]
+    assert full.first()["email"] is None
+    # default (omit) drops the target-only column for JDBC appends
+    slim = ev.conform_for_append(batch, target)
+    assert slim.columns == ["k", "name"]

@@ -221,3 +221,45 @@ def test_jaccard_hot_shingle_pruning(spark):
         for r in jaccard_pairs(docs, threshold=0.2, max_df=2).collect()
     }
     assert pruned == {(1, 2)}
+
+
+def test_connected_pipeline_sqlserver_four_part_topics(spark):
+    """SQL Server inserts the database into topic names (4-part); the
+    derived subscribePattern must cover exactly those and the resolved
+    snapshot mode must follow the sqlserver remap (never -> schema_only
+    once an offset exists)."""
+    import re
+
+    from cdc_application_febuary_spark.plans.runner import (
+        plan_connected_pipeline,
+    )
+    from cdc_application_febuary_spark.sources.connect_config import (
+        SourceConnection,
+        table_name_from_topic,
+    )
+
+    conn = SourceConnection(
+        host="mssql1", port=None, username="u", password="p",
+        database_type="sqlserver",
+    )
+    plan = plan_connected_pipeline(
+        pipeline_id="inv_pipe",
+        connection=conn,
+        database="warehouse",
+        schema="dbo",
+        tables=["stock", "moves"],
+        full_load_lsn="0000002b:000004f8:0001",
+    )
+    assert plan.topics == [
+        "inv_pipe.warehouse.dbo.stock",
+        "inv_pipe.warehouse.dbo.moves",
+    ]
+    for t in plan.topics:
+        assert re.fullmatch(plan.subscribe_pattern, t)
+    # 3-part (PG-shaped) names must NOT match the 4-part pattern
+    assert not re.fullmatch(plan.subscribe_pattern, "inv_pipe.dbo.stock")
+    assert [table_name_from_topic(t) for t in plan.topics] == [
+        "stock", "moves",
+    ]
+    assert plan.connector_config["snapshot.mode"] == "schema_only"
+    assert not plan.stream_plan.run_full_load
