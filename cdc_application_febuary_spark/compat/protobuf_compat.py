@@ -63,3 +63,70 @@ def ensure_protobuf() -> bool:
         return True
     except ImportError:
         return False
+
+
+_ZIP_CACHE: dict[str, str] = {}
+
+
+def ensure_protobuf_on_workers(spark) -> bool:
+    """Bridge ``google.protobuf`` into the Python workers of an
+    ALREADY-RUNNING SparkSession.
+
+    :func:`ensure_protobuf` relies on exporting PYTHONPATH *before* the
+    JVM launches (workers snapshot it then). A driver that builds its
+    session before importing the engine misses that window — so this
+    variant ships the bridge through ``sc.addPyFile``: a zip of the
+    vendor shim (google/protobuf path-extension + runtime_version stub)
+    plus a ``cloudsdk`` path-extension stub, each resolving to the
+    machine's absolute SDK runtime. addPyFile entries join every
+    worker's sys.path at task setup, no environment needed. Idempotent;
+    harmless when PYTHONPATH was already exported."""
+    if not ensure_protobuf():
+        return False
+    import tempfile
+    import zipfile
+
+    key = "bridge"
+    zpath = _ZIP_CACHE.get(key)
+    if zpath is None or not os.path.exists(zpath):
+        zdir = tempfile.mkdtemp(prefix="pbcompat_")
+        zpath = os.path.join(zdir, "pbcompat_bridge.zip")
+        vendor = Path(_VENDOR)
+        with zipfile.ZipFile(zpath, "w") as z:
+            for rel in (
+                "google/__init__.py",
+                "google/protobuf/__init__.py",
+                "google/protobuf/runtime_version.py",
+            ):
+                z.write(str(vendor / rel), rel)
+            z.writestr(
+                "cloudsdk/__init__.py",
+                "import os as _os\n"
+                f"_SDK = {_SDK_ROOT + '/cloudsdk'!r}\n"
+                "if _os.path.isdir(_SDK):\n"
+                "    __path__.append(_SDK)\n",
+            )
+        _ZIP_CACHE[key] = zpath
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # double-add in one context raises on some versions — fine
+    # addPyFile covers ordinary task workers, but the transformWithState
+    # state-protocol runner builds its OWN python worker factory whose
+    # environment comes from the live SparkConf, not the includes list —
+    # without this it resolves `google` to the empty namespace package
+    # inside spark-core.jar ("unknown location" ImportError). The factory
+    # is created lazily at first use, so mutating the JVM-side conf
+    # before the stream starts is effective.
+    try:
+        jconf = spark.sparkContext._jsc.sc().conf()
+        extra = os.pathsep.join((_VENDOR, _SDK_ROOT))
+        current = jconf.get("spark.executorEnv.PYTHONPATH", "")
+        if _VENDOR not in current.split(os.pathsep):
+            jconf.set(
+                "spark.executorEnv.PYTHONPATH",
+                f"{extra}{os.pathsep}{current}" if current else extra,
+            )
+    except Exception:
+        pass
+    return True

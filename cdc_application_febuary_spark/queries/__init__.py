@@ -99,6 +99,7 @@ _ROUND_PRIORITY = [
     "stream_windowed_counts",
     "csv_json_roundtrip_report",
     "vacuum_retention_audit",
+    "stateful_totals_v2",
     # Green sentinels (r1/r2/r3-verdicted) guarding systemic regressions.
     "q10",
     "corpus_prep_funnel_v2",

@@ -6474,3 +6474,106 @@ def vacuum_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "metric string, value bigint"
     ).orderBy("metric")
+
+
+@_q(
+    "stateful_totals_v2",
+    """
+SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS events
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY 1 ORDER BY key
+""",
+)
+def stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 typed-state API) with a VALUE
+    oracle: day-1 events replay as a two-batch stream through the
+    RunningCountProcessor (typed ValueState, RocksDB store); the LAST
+    update-mode emission per key must equal the batch GROUP BY — the
+    lifetime-total contract of stateful processing, driver-checked.
+    `ensure_protobuf_on_workers` ships the google.protobuf bridge via
+    addPyFile so the state protocol works even though the driver built
+    this session before the engine imported (PYTHONPATH was never
+    exported to the JVM)."""
+    import tempfile
+
+    from ..compat.protobuf_compat import ensure_protobuf_on_workers
+    from ..streaming.stateful_v2 import running_counts_tws
+
+    if not ensure_protobuf_on_workers(spark):
+        raise RuntimeError(
+            "no protobuf runtime available for transformWithState"
+        )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        work = tempfile.mkdtemp(prefix="tws_q_")
+        feed, target = f"{work}/feed", f"{work}/target"
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+        )
+        # two files -> two micro-batches (maxFilesPerTrigger=1): totals
+        # must accumulate across batches, not reset
+        ev.select(
+            F.to_json(F.struct("event_id", "event_type")).alias("value")
+        ).coalesce(2).write.mode("overwrite").text(feed)
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("event_type", StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(feed)
+            .select(F.from_json("value", schema).alias("p"))
+            .select("p.event_type")
+        )
+        out = running_counts_tws(stream.groupBy(F.col("event_type")))
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            batch.withColumn("__bid", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(target)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        emitted = spark.read.parquet(target)
+        return (
+            emitted.groupBy("key")
+            .agg(
+                F.max_by(
+                    "events", F.struct(F.col("__bid"), F.col("events"))
+                ).alias("events")
+            )
+            .orderBy("key")
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )

@@ -51,7 +51,41 @@ def use_rocksdb_state(spark: SparkSession) -> None:
     )
 
 
-class RunningCountProcessor(StatefulProcessor):
+class _WorkerProtobufBridge:
+    """Repair ``google.protobuf`` inside the state-protocol WORKER.
+
+    The transformWithState worker may have cached ``google`` /
+    ``google.protobuf`` as the empty namespace packages that live inside
+    spark-core.jar (sys.path includes the jar) before any bridge path is
+    visible — after which the proto import dies with "cannot import name
+    'descriptor' ... (unknown location)". Deserializing the processor is
+    the first engine-controlled code to run in that worker, BEFORE
+    ``_handle_pre_init`` imports StateMessage_pb2 — so ``__setstate__``
+    injects the bridge paths (captured driver-side in ``_pb_paths``) and
+    purges the poisoned namespace modules. No-op when a real protobuf is
+    installed (modules then have ``__file__``)."""
+
+    def __getstate__(self):
+        from ..compat import protobuf_compat as pc
+
+        state = dict(self.__dict__)
+        state["_pb_paths"] = (pc._VENDOR, pc._SDK_ROOT)
+        return state
+
+    def __setstate__(self, state):
+        import sys
+
+        self.__dict__.update(state)
+        for p in state.get("_pb_paths", ()):
+            if p and p not in sys.path:
+                sys.path.insert(0, p)
+        for mod in ("google", "google.protobuf"):
+            m = sys.modules.get(mod)
+            if m is not None and not getattr(m, "__file__", None):
+                del sys.modules[mod]
+
+
+class RunningCountProcessor(_WorkerProtobufBridge, StatefulProcessor):
     """Per-key running totals in a typed ValueState — the
     transformWithState twin of ``stateful.running_counts``."""
 

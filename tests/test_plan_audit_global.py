@@ -38,6 +38,7 @@ SKIP_SLOW = {
     "stream_windowed_counts",      # runs a streaming query to completion
     "csv_json_roundtrip_report",   # writes csv/json objects at build time
     "vacuum_retention_audit",      # manifest write+delete+vacuum at build
+    "stateful_totals_v2",          # runs a transformWithState stream
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
