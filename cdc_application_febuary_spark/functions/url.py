@@ -24,7 +24,9 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 # Query parameters that never identify content — the usual tracking set.
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+# Case-insensitive: trackers appear in the wild as UTM_Source / FBCLID too,
+# and a case-sensitive filter would leave two spellings of one page unmerged.
+TRACKING_PARAM_RE = r"(?i)^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
 
 # Second-level labels that act as public suffixes under a 2-letter ccTLD
 # (public-suffix-lite: the full PSL is a data file; this heuristic covers

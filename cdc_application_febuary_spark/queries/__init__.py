@@ -48,13 +48,28 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 # sit right after slot 50 — they head the round-4 rotation; already-
 # verdicted r1/r2 queries fill the back.
 _ROUND_PRIORITY = [
-    # Round-4 window (the driver checks the first ~50 registry entries):
-    # VERDICT r3 item 2 — every query with no driver verdict yet goes
-    # first, so by end of r4 all pre-r4 queries have one. Slots 1-8: the
-    # oracle-paired round-3 additions; 9-28: the rows-only pool; 29-40:
-    # the twelve new round-4 queries (all oracle-paired except
-    # pagerank_parts); 41-47: green sentinels; the window tail (48-50)
-    # lands on r3-verdicted greens.
+    # Round-5 window (the driver checks the first ~50 registry entries):
+    # every pre-r5 query already has a driver verdict (VERDICT r4), so the
+    # window leads with the NEW round-5 queries — url_domain_dedup first
+    # (VERDICT r4 "What's wrong" item 1: previously unregistered dead
+    # code), then the new oracle-paired evidence for previously unit-only
+    # §2 rows (A12 lag, J3 lineage, F9 inference, alert rules, Derby
+    # lifecycle, Avro leg) — followed by green sentinels from every
+    # query family; r1-r4-verdicted greens fill the back.
+    "url_domain_dedup",
+    # --- new round-5 queries (registered as they land) ---
+    "alert_rules_fired",
+    "consumer_lag_report",
+    "fk_lineage_report",
+    "type_inference_report",
+    "pipeline_lifecycle_derby",
+    "avro_roundtrip_report",
+    "object_listing_report",
+    "table_size_report",
+    "identifier_pipeline_report",
+    "sessionization_gaps",
+    "quantile_bucket_auc",
+    # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",
     "doc_similarity_tfidf",
@@ -205,12 +220,13 @@ _ROUND_PRIORITY = [
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from . import declared, pipeline_ops, tpch_style
+    from . import corpus_ops, declared, pipeline_ops, tpch_style
 
     merged: dict[str, QueryFn] = {}
     merged.update(declared.QUERIES)
     merged.update(pipeline_ops.QUERIES)
     merged.update(tpch_style.QUERIES)
+    merged.update(corpus_ops.QUERIES)
     out: dict[str, QueryFn] = {}
     for name in _ROUND_PRIORITY:
         if name in merged:
@@ -220,10 +236,11 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracles() -> dict[str, str]:
-    from . import declared, pipeline_ops, tpch_style
+    from . import corpus_ops, declared, pipeline_ops, tpch_style
 
     out: dict[str, str] = {}
     out.update(declared.ORACLES)
     out.update(pipeline_ops.ORACLES)
     out.update(tpch_style.ORACLES)
+    out.update(corpus_ops.ORACLES)
     return out

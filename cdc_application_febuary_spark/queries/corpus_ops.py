@@ -1,6 +1,5 @@
-"""Round-4 extension queries: web-corpus URL canonicalization, substring-
-level dedup, embedding quantization, mixture weighting, entropy filtering,
-hybrid retrieval fusion.
+"""Web-corpus extension queries: URL canonicalization + registrable-domain
+rollup (``functions/url.py``).
 
 Same contract as ``pipeline_ops``: each query is a thin adapter over a
 library operator, paired with a DuckDB oracle whenever the semantics are
@@ -56,7 +55,7 @@ _URL_BUILD_SQL = """
                   ELSE '' END)
          || '/doc/' || CAST(doc_id % 250 AS VARCHAR)
          || (CASE WHEN doc_id % 250 % 5 = 0 THEN ''
-                  WHEN doc_id >= 250 THEN '?b=2&utm_source=x&a=1&fbclid=z'
+                  WHEN doc_id >= 250 THEN '?b=2&UTM_Source=x&a=1&FBclid=z'
                   ELSE '?a=1&b=2' END)
          || (CASE WHEN doc_id >= 250 THEN '#frag' ELSE '' END) AS url
   FROM documents
@@ -73,6 +72,17 @@ parsed AS (
          regexp_extract(url, '\\?([^#]*)', 1) AS q
   FROM raw
 ),
+kept AS (
+  -- array_to_string over an empty DuckDB list is NULL, not '' — coalesce,
+  -- or every no-surviving-params URL turns into a NULL canonical.
+  SELECT *,
+         COALESCE(array_to_string(list_sort(list_filter(
+             string_split(q, '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+               '(?i)^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))), '&'),
+           '') AS keptq
+  FROM parsed
+),
 norm AS (
   SELECT doc_id,
          regexp_replace(rawhost, '^www\\.', '') AS host,
@@ -81,17 +91,8 @@ norm AS (
                        OR (scheme = 'https' AND port = '443')
                   THEN '' ELSE ':' || port END)
          || (CASE WHEN path = '' THEN '/' ELSE path END)
-         || (CASE WHEN array_to_string(list_sort(list_filter(
-                    string_split(q, '&'),
-                    p -> p <> '' AND NOT regexp_matches(p,
-                      '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))), '&') = ''
-             THEN ''
-             ELSE '?' || array_to_string(list_sort(list_filter(
-                    string_split(q, '&'),
-                    p -> p <> '' AND NOT regexp_matches(p,
-                      '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))), '&')
-             END) AS canonical
-  FROM parsed
+         || (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END) AS canonical
+  FROM kept
 ),
 dom AS (
   SELECT doc_id, canonical,
@@ -138,7 +139,7 @@ def url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         alt, F.when(k % 2 == 0, ":443").otherwise(":80")
     ).otherwise("")
     query = F.when(k % 5 == 0, "").otherwise(
-        F.when(alt, "?b=2&utm_source=x&a=1&fbclid=z").otherwise("?a=1&b=2")
+        F.when(alt, "?b=2&UTM_Source=x&a=1&FBclid=z").otherwise("?a=1&b=2")
     )
     frag = F.when(alt, "#frag").otherwise("")
     raw = docs.select(
