@@ -11,6 +11,14 @@ Timing is per-query wall-clock of plan construction + execution to
 completion (count/collect of an already-aggregated result — the queries all
 end in aggregates or limits, so collect is small and the time measured is
 the distributed work, not driver materialization).
+
+Contention-proofing (VERDICT r4 item 2): each query runs K times
+($SPARK_GRAFT_BENCH_RUNS, default 3) and the reported figure is the MIN —
+the steady-state time with JVM/memory-bandwidth contention (the documented
+±50% swing) filtered out. All samples persist to bench_queries.json as
+{"name": {"min": s, "samples": [...]}}; the headline total is the sum of
+mins (what a clean serial run would cost), with the raw wall-clock kept in
+"wall_clock_sec" for honesty.
 """
 
 from __future__ import annotations
@@ -56,18 +64,26 @@ def main() -> None:
     ).collect()
 
     qs = E.queries()
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     t_all = time.time()
     for name in sorted(qs):
-        t0 = time.time()
-        try:
-            df = qs[name](spark, sf_dir)
-            n = df.count()  # forces full execution
-            timings[name] = round(time.time() - t0, 4)
-        except Exception as e:  # a failing query must not hide the rest
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-    total = round(time.time() - t_all, 4)
+        per_run: list[float] = []
+        for _ in range(max(1, runs)):
+            t0 = time.time()
+            try:
+                df = qs[name](spark, sf_dir)
+                df.count()  # forces full execution
+                per_run.append(round(time.time() - t0, 4))
+            except Exception as e:  # a failing query must not hide the rest
+                per_run.append(-1.0)
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                break
+        samples[name] = per_run
+        timings[name] = -1.0 if min(per_run) < 0 else min(per_run)
+    wall = round(time.time() - t_all, 4)
+    total = round(sum(v for v in timings.values() if v > 0), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -75,19 +91,30 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     sidecar = Path(__file__).resolve().parent / "bench_queries.json"
-    sidecar.write_text(json.dumps(timings, indent=1, sort_keys=True))
+    sidecar.write_text(
+        json.dumps(
+            {
+                name: {"min": timings[name], "samples": samples[name]}
+                for name in timings
+            },
+            indent=1,
+            sort_keys=True,
+        )
+    )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
     print(
         json.dumps(
             {
-                "metric": "full query suite wall-clock",
+                "metric": f"full query suite, sum of per-query min-of-{runs}",
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
                 "query_count": len(timings),
                 "errors": sum(1 for v in timings.values() if v < 0),
+                "runs_per_query": runs,
+                "wall_clock_sec": wall,
                 "sf": sf_val,
                 "queries_file": str(sidecar),
             }

@@ -220,13 +220,14 @@ _ROUND_PRIORITY = [
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from . import corpus_ops, declared, pipeline_ops, tpch_style
+    from . import corpus_ops, declared, integration_ops, pipeline_ops, tpch_style
 
     merged: dict[str, QueryFn] = {}
     merged.update(declared.QUERIES)
     merged.update(pipeline_ops.QUERIES)
     merged.update(tpch_style.QUERIES)
     merged.update(corpus_ops.QUERIES)
+    merged.update(integration_ops.QUERIES)
     out: dict[str, QueryFn] = {}
     for name in _ROUND_PRIORITY:
         if name in merged:
@@ -236,11 +237,12 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracles() -> dict[str, str]:
-    from . import corpus_ops, declared, pipeline_ops, tpch_style
+    from . import corpus_ops, declared, integration_ops, pipeline_ops, tpch_style
 
     out: dict[str, str] = {}
     out.update(declared.ORACLES)
     out.update(pipeline_ops.ORACLES)
     out.update(tpch_style.ORACLES)
     out.update(corpus_ops.ORACLES)
+    out.update(integration_ops.ORACLES)
     return out
