@@ -366,3 +366,155 @@ def type_inference_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "column_name string, value_rule_type string,"
         " spark_inferred_type string"
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline lifecycle against live Derby: poll -> drift/evolution ->
+# exactly-once manifest -> SCD2 current state (S1+T1/T2+J2+W1 composed)
+# ---------------------------------------------------------------------------
+_LIFECYCLE_ORACLE = """
+WITH base AS MATERIALIZED (
+  SELECT c_custkey AS k, c_acctbal AS bal,
+         CASE WHEN c_custkey >= 150 THEN c_mktsegment END AS segment
+  FROM customer WHERE c_custkey < 200
+),
+final AS (
+  SELECT k,
+         CASE WHEN k < 30 THEN bal + 1000.0 ELSE bal END AS bal,
+         segment
+  FROM base
+  WHERE NOT (k % 10 = 7 AND k < 150)
+)
+SELECT COALESCE(segment, '(pre-drift)') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS customers,
+       CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("pipeline_lifecycle_derby", _LIFECYCLE_ORACLE)
+def pipeline_lifecycle_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's layered CDC story end-to-end against a live embedded
+    Derby source, driver-visible: (1) full-load poll into the exactly-once
+    manifest sink; (2) upstream schema drift (ALTER ADD segment) detected
+    on the next incremental poll — the manifest log widens, old rows
+    NULL-backfill; (3) a change batch of updates + delete-rewrites; (4)
+    SCD2 current-state view over the target, rolled up per segment. The
+    pipeline plan itself (S17 config + topics + subscribe pattern) is
+    composed via `plan_connected_pipeline` and its round-trip invariants
+    asserted inline. Oracle reproduces the surviving state from the
+    customer fixture."""
+    import re
+    import tempfile
+
+    from ..operators.scd2 import current_state, to_scd2_rows
+    from ..plans.runner import plan_connected_pipeline
+    from ..sources import evolution as ev
+    from ..sources import manifest_table as mt
+    from ..sources.connect_config import SourceConnection
+    from ..sources.incremental import PollState, poll_changes
+    from ..sources.jdbc import JdbcReadSpec, JdbcWriteSpec
+    from ..streaming import manifest_sink as ms
+
+    # planning surface: config/topics/pattern must round-trip (pinned in
+    # tests/test_lifecycle.py; re-asserted here so the driver query runs
+    # the same composition a real pipeline start would)
+    plan = plan_connected_pipeline(
+        pipeline_id="lifederby",
+        connection=SourceConnection(
+            host="localhost", port=5432, username="app", password="app",
+            database_type="postgresql", database="appdb",
+        ),
+        database="appdb",
+        schema="public",
+        tables=["customer"],
+    )
+    assert all(
+        re.fullmatch(plan.subscribe_pattern, t) for t in plan.topics
+    ), "subscribe pattern must cover every generated topic"
+
+    work = tempfile.mkdtemp(prefix="lifederby_")
+    db, target = f"{work}/db", f"{work}/target"
+    common = dict(
+        engine="derby", host="", port=0, database=db, user="app",
+        password="app", table="S_CUST",
+    )
+    w, r = JdbcWriteSpec(**common), JdbcReadSpec(**common)
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 200
+    )
+    pre = cust.where(F.col("c_custkey") < 150).select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    post = cust.where(F.col("c_custkey") >= 150).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+    def scd2(df, cols, op, ts):
+        return to_scd2_rows(
+            df.withColumn("op", F.lit(op)).withColumn(
+                "source_ts_ms", F.lit(ts)
+            ),
+            cols,
+        )
+
+    # tick 1: initial rows -> full-load poll -> manifest batch 0
+    w.write(pre)
+    changes, state = poll_changes(
+        r.read(spark), PollState(offset_column="k", high_water=None)
+    )
+    ms.append_batch(scd2(changes, ["k", "bal"], "r", 1000), 0, target, ["k"])
+
+    # tick 2: upstream drift + new rows -> incremental poll sees only the
+    # delta (WHERE k > high_water ran in Derby); the added column widens
+    # the manifest log, old files read back NULL
+    ev.execute_ddl(
+        spark, w.url, ['ALTER TABLE S_CUST ADD COLUMN "segment" VARCHAR(12)']
+    )
+    post.write.format("jdbc").mode("append").options(
+        url=w.url, dbtable="S_CUST"
+    ).save()
+    delta, state = poll_changes(r.read(spark), state)
+    ms.append_batch(
+        scd2(delta, ["k", "bal", "segment"], "c", 2000), 1, target, ["k"]
+    )
+
+    # tick 3: a CDC change batch — balance corrections for k<30, then
+    # delete-rewrites for k%10==7 (later commit ts, so SCD2 ordering wins)
+    updates = pre.where(F.col("k") < 30).select(
+        "k",
+        (F.col("bal") + F.lit(1000.0)).alias("bal"),
+        F.lit(None).cast("string").alias("segment"),
+    )
+    deletes = pre.where(F.col("k") % 10 == 7).select(
+        "k",
+        F.lit(None).cast("double").alias("bal"),
+        F.lit(None).cast("string").alias("segment"),
+    )
+    batch2 = scd2(updates, ["k", "bal", "segment"], "u", 3000).unionByName(
+        scd2(deletes, ["k", "bal", "segment"], "d", 4000)
+    )
+    ms.append_batch(batch2, 2, target, ["k"])
+    # crash-replay of batch 2 must be a no-op (exactly-once)
+    assert ms.append_batch(batch2, 2, target, ["k"]) is None
+
+    cs = current_state(
+        mt.read_table(spark, target), ["k"], order_cols=["__source_ts_ms"]
+    )
+    return (
+        cs.groupBy(
+            F.coalesce(F.col("segment"), F.lit("(pre-drift)")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum(F.col("bal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("segment")
+    )

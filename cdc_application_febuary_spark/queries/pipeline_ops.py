@@ -6372,7 +6372,9 @@ WITH c AS (
          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
   FROM customer GROUP BY 1
 )
-SELECT 'csv' AS fmt, c_mktsegment, CAST(n AS BIGINT) AS n, bal FROM c
+SELECT 'avro' AS fmt, c_mktsegment, CAST(n AS BIGINT) AS n, bal FROM c
+UNION ALL
+SELECT 'csv', c_mktsegment, CAST(n AS BIGINT), bal FROM c
 UNION ALL
 SELECT 'json', c_mktsegment, CAST(n AS BIGINT), bal FROM c
 UNION ALL
@@ -6382,14 +6384,17 @@ ORDER BY fmt, c_mktsegment
 )
 def csv_json_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The S6 object-scan family driver-visible: land customers as CSV,
-    JSON-lines, AND ORC objects, read each back through the engine's
-    readers (header+inferSchema / sampled json / native orc), and
-    aggregate per segment — every format path must reproduce the parquet
-    truth exactly (acctbal routed through DECIMAL on every path). Avro
-    stays undriven: Spark's avro module jar is not in this container
-    (external module since 2.4) and there is no network to fetch it."""
+    JSON-lines, ORC, AND Avro objects, read each back through the engine's
+    readers (header+inferSchema / sampled json / native orc / the
+    pure-Python object-container codec in `functions/avro.py` — Spark's
+    avro jar is absent from this container, so the format is implemented
+    from the public spec), and aggregate per segment — every format path
+    must reproduce the parquet truth exactly (acctbal routed through
+    DECIMAL on every path; the Avro leg carries it as double, exact for
+    2-decimal values, and re-enters DECIMAL before the SUM)."""
     import tempfile
 
+    from ..functions.avro import read_avro, write_avro
     from ..sources.files import read_csv_objects, read_json_objects
 
     work = tempfile.mkdtemp(prefix="objscan_")
@@ -6403,6 +6408,13 @@ def csv_json_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust.coalesce(2).write.mode("overwrite").json(f"{work}/json")
     cust.coalesce(2).write.mode("overwrite").orc(f"{work}/orc")
+    write_avro(
+        cust.withColumn(
+            "c_acctbal", F.col("c_acctbal").cast("double")
+        ).coalesce(2),
+        f"{work}/avro",
+        codec="deflate",
+    )
 
     def agg(df, fmt):
         return (
@@ -6420,6 +6432,7 @@ def csv_json_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg(read_csv_objects(spark, f"{work}/csv"), "csv")
         .unionByName(agg(read_json_objects(spark, f"{work}/json"), "json"))
         .unionByName(agg(spark.read.orc(f"{work}/orc"), "orc"))
+        .unionByName(agg(read_avro(spark, f"{work}/avro"), "avro"))
     )
     return out.orderBy("fmt", "c_mktsegment")
 
