@@ -193,6 +193,71 @@ def auc_score(
     )
 
 
+def bucketed_auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The 100 TB path `auc_score` documents: quantile-bucket the scores
+    FIRST (exact ANSI NTILE via the partition-offset plan — no
+    single-partition pass over rows), then tie-corrected Mann–Whitney AUC
+    over the bucket indices. The only unpartitioned window runs over
+    ``n_buckets`` rows.
+
+    All rank algebra stays in BIGINT (``2*rank_sum`` trick) and the AUC is
+    one final division of two exact integers — IEEE-identical across
+    engines, so it is hash-safe without ROUND (CLAUDE.md rule). Ordering
+    inside NTILE is made total with ``tiebreak_col``, which both engines
+    must use identically. Returns (auc, n_pos, n_neg, n_buckets).
+    """
+    from .ranking import scalable_ntile
+
+    tiled = scalable_ntile(
+        df.select(
+            F.col(score_col).alias("__s"),
+            F.col(tiebreak_col).alias("__t"),
+            F.col(label_col).cast("long").alias("__y"),
+        ),
+        n_buckets,
+        ["__s", "__t"],
+        out_col="__b",
+    )
+    g = tiled.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("__y").alias("pos")
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    # 2*rank_sum of positives = sum_b pos_b * (2*cum_before_b + cnt_b + 1)
+    ranked = g.select(
+        "cnt",
+        "pos",
+        (
+            F.col("pos")
+            * (
+                F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + F.lit(1)
+            )
+        ).alias("rs2"),
+    )
+    return ranked.agg(
+        F.sum("pos").alias("__np"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("__nn"),
+        F.sum("rs2").alias("__rs2"),
+    ).select(
+        (
+            (F.col("__rs2") - F.col("__np") * (F.col("__np") + 1)).cast(
+                "double"
+            )
+            / (F.lit(2) * F.col("__np") * F.col("__nn")).cast("double")
+        ).alias("auc"),
+        F.col("__np").cast("long").alias("n_pos"),
+        F.col("__nn").cast("long").alias("n_neg"),
+        F.lit(n_buckets).cast("long").alias("n_buckets"),
+    )
+
+
 def mutual_information(
     df: DataFrame, col_a: str, col_b: str, round_to: int = 6
 ) -> DataFrame:

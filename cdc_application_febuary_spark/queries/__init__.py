@@ -63,11 +63,9 @@ _ROUND_PRIORITY = [
     "fk_lineage_report",
     "type_inference_report",
     "pipeline_lifecycle_derby",
-    "avro_roundtrip_report",
     "object_listing_report",
     "table_size_report",
     "identifier_pipeline_report",
-    "sessionization_gaps",
     "quantile_bucket_auc",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",

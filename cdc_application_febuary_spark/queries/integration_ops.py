@@ -518,3 +518,221 @@ def pipeline_lifecycle_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 object listing driver-visible
+# ---------------------------------------------------------------------------
+_LISTING_ORACLE = """
+SELECT 'nation_' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') || '.txt'
+         AS key,
+       CAST(LENGTH(n_name) + 1 AS BIGINT) AS size,
+       'nation_' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0')
+         AS table_name
+FROM nation ORDER BY key
+"""
+
+
+@_q("object_listing_report", _LISTING_ORACLE)
+def object_listing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 driver-visible: plant one text object per nation
+    (``nation_NN.txt`` holding the nation name + newline), list the prefix
+    through `files.list_objects` (the reference's objects-as-tables
+    listing, s3.py:567-633), and report key / byte size / derived table
+    name. The oracle recomputes each key and size from the nation fixture."""
+    import tempfile
+
+    from ..sources.files import list_objects
+
+    work = tempfile.mkdtemp(prefix="objlist_")
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )  # nation is a 25-row dimension at every SF
+    for r in rows:
+        with open(f"{work}/nation_{int(r['n_nationkey']):02d}.txt", "w") as f:
+            f.write(str(r["n_name"]) + "\n")
+    listed = list_objects(work, suffixes=(".txt",))
+    return spark.createDataFrame(
+        [(o.key, o.size, o.table) for o in listed],
+        "key string, size long, table_name string",
+    ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# A10 table size / rowcount snapshot
+# ---------------------------------------------------------------------------
+_SIZE_TABLES = (
+    "region nation customer supplier part orders lineitem events documents"
+    " embeddings"
+).split()
+
+_SIZE_ORACLE = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_count,"
+        f" CAST((SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM {t}) d)"
+        f" AS BIGINT) AS n_columns FROM {t}"
+        for t in _SIZE_TABLES
+    )
+    + "\n) ORDER BY table_name"
+)
+
+
+@_q("table_size_report", _SIZE_ORACLE)
+def table_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 driver-visible: the per-table size/rowcount snapshot the
+    reference's monitoring tier reads from catalog stats — row count and
+    column count for every fixture table, through the engine's catalog
+    loader (which normalizes the events timestamp without changing the
+    column count). Parquet footer statistics make each COUNT(*) a
+    metadata-only scan."""
+    parts = []
+    for t in _SIZE_TABLES:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("row_count")).select(
+                F.lit(t).alias("table_name"),
+                "row_count",
+                F.lit(len(df.columns)).cast("long").alias("n_columns"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# F5/F6/P6/F10 identifier pipeline
+# ---------------------------------------------------------------------------
+_IDENT_ORACLE = r"""
+WITH s AS (
+  SELECT s_suppkey,
+         regexp_replace(regexp_replace(s_name,
+           '[#@$%^&*()+=\[\]{};:''",.<>?/\\|`~ -]', '_', 'g'),
+           '_+', '_', 'g') AS ident,
+         CASE s_suppkey % 8
+           WHEN 0 THEN 'completed' WHEN 1 THEN 'FAILED'
+           WHEN 2 THEN 'running'   WHEN 3 THEN 'applied'
+           WHEN 4 THEN 'error'     WHEN 5 THEN 'Pending'
+           WHEN 6 THEN 'succeeded' ELSE 'parked' END AS raw_status
+  FROM supplier WHERE s_suppkey < 40
+)
+SELECT s_suppkey,
+       ident,
+       'pipe1.public.' || ident AS topic,
+       ident AS table_back,
+       CASE WHEN lower(raw_status) IN
+                 ('completed','applied','success','succeeded')
+              THEN 'success'
+            WHEN lower(raw_status) IN ('failed','error','errored')
+              THEN 'failed'
+            WHEN lower(raw_status) IN ('running','in_progress','pending')
+              THEN 'pending'
+            ELSE 'unknown' END AS status_norm
+FROM s ORDER BY s_suppkey
+"""
+
+
+@_q("identifier_pipeline_report", _IDENT_ORACLE)
+def identifier_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6/P6/F10 driver-visible in one pass: supplier names (which
+    carry '#') sanitized to identifiers, built into pipeline topics,
+    round-tripped back to table names, and a cycled raw-status column
+    normalized through the reference's status buckets (api.py:9036-9049).
+    The oracle re-implements the same regex/CASE grammar in DuckDB."""
+    from ..functions.identifiers import (
+        normalize_status,
+        sanitize_identifier,
+        table_from_topic,
+        topic_name,
+    )
+
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 40)
+        .select(
+            "s_suppkey",
+            sanitize_identifier("s_name").alias("ident"),
+            (F.col("s_suppkey") % 8).alias("m"),
+        )
+    )
+    raw_status = (
+        F.when(F.col("m") == 0, "completed")
+        .when(F.col("m") == 1, "FAILED")
+        .when(F.col("m") == 2, "running")
+        .when(F.col("m") == 3, "applied")
+        .when(F.col("m") == 4, "error")
+        .when(F.col("m") == 5, "Pending")
+        .when(F.col("m") == 6, "succeeded")
+        .otherwise("parked")
+    )
+    out = sup.select(
+        "s_suppkey",
+        "ident",
+        topic_name(F.lit("pipe1"), F.lit("public"), F.col("ident")).alias(
+            "topic"
+        ),
+        raw_status.alias("raw_status"),
+    ).select(
+        "s_suppkey",
+        "ident",
+        "topic",
+        table_from_topic("topic").alias("table_back"),
+        normalize_status("raw_status").alias("status_norm"),
+    )
+    return out.orderBy("s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Quantile-bucketed AUC — the documented 100 TB path for auc_score
+# ---------------------------------------------------------------------------
+_BUCKET_AUC_ORACLE = """
+WITH t AS (
+  SELECT NTILE(64) OVER (ORDER BY n_chars, doc_id) AS b,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM t GROUP BY b
+),
+r AS (
+  SELECT cnt, pos,
+         pos * (2 * COALESCE(SUM(cnt) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + cnt + 1) AS rs2
+  FROM g
+),
+f AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS np,
+         CAST(SUM(cnt - pos) AS BIGINT) AS nn,
+         CAST(SUM(rs2) AS BIGINT) AS rs2
+  FROM r
+)
+SELECT CAST(rs2 - np * (np + 1) AS DOUBLE)
+         / CAST(2 * np * nn AS DOUBLE) AS auc,
+       np AS n_pos, nn AS n_neg, CAST(64 AS BIGINT) AS n_buckets
+FROM f
+"""
+
+
+@_q("quantile_bucket_auc", _BUCKET_AUC_ORACLE)
+def quantile_bucket_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path `auc_score` documents for extreme score cardinality:
+    quantile-bucket scores first (`classifier.bucketed_auc_score` — exact
+    ANSI NTILE via the partition-offset plan, so no single-partition pass
+    over rows), then tie-corrected Mann–Whitney AUC over bucket indices in
+    pure BIGINT algebra with ONE final integer division (IEEE-identical
+    across engines, hash-safe without ROUND). Oracle: the same NTILE +
+    rank algebra in DuckDB windows."""
+    from ..operators.classifier import bucketed_auc_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return bucketed_auc_score(docs, "n_chars", "y", "doc_id", n_buckets=64)
