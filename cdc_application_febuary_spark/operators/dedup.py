@@ -198,14 +198,34 @@ def band_table(
 
 
 def lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 2
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs
-    (a < b, distinct). Plain shuffle join on the band key, no cross join."""
+    (a < b, distinct). Plain shuffle join on the band key, no cross join.
+
+    ``max_bucket``: drop band buckets holding more than this many docs
+    before the self-join — the banded analog of the hot-shingle ``max_df``
+    pruning in the Jaccard path. A boilerplate-dominated bucket (every doc
+    sharing a site template) contributes O(bucket²) candidate pairs while
+    carrying no discriminative signal; at corpus scale one such bucket is
+    the whole job (measured in scripts/skew_drill.py). Default None keeps
+    the exact candidate set."""
     band_rows = band_table(sigs, bands, rows_per_band)
     # both self-join sides read band_rows — persist or the minhash
     # aggregation upstream runs twice
     band_rows = band_rows.persist()
+    if max_bucket is not None:
+        sizes = band_rows.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        band_rows = band_rows.join(
+            sizes.where(F.col("__n") <= max_bucket).drop("__n"),
+            ["band", "bucket"],
+            "left_semi",
+        )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(

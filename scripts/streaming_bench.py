@@ -6,6 +6,14 @@ target, report seconds-to-visibility; N in {100, 1000, 10000}).
 Here: write an N-event Debezium-envelope burst into a file feed, run the
 continuously-triggered changelog stream, poll the SCD2 target parquet every
 0.5 s until all N rows are visible. Prints one JSON line per N.
+
+Sustained mode (VERDICT r4 item 7, mirroring the reference's steady-state
+`backend/lag_report.json` snapshot): hold SPARK_GRAFT_STREAM_RATE events/s
+(default 2000) for SPARK_GRAFT_STREAM_SECS seconds (default 30) as one feed
+file per 500 ms tick, track per-tick time-to-visibility (file landing ->
+every row of that tick readable in the target), and report p50/p99/max
+visibility plus checkpoint and target growth. Both modes print into ONE
+JSON line (and STREAMBENCH_r{N}.json when SPARK_GRAFT_ROUND is set).
 """
 
 from __future__ import annotations
@@ -33,6 +41,112 @@ def envelope(i: int, ts_ms: int) -> str:
             }
         }
     )
+
+
+def _dir_mb(path: str) -> float:
+    total = 0
+    for p in Path(path).rglob("*"):
+        if p.is_file():
+            total += p.stat().st_size
+    return round(total / 1e6, 2)
+
+
+def run_sustained(spark, payload) -> dict:
+    """Hold RATE events/s for SECS seconds (one feed file per 500 ms tick),
+    measure per-tick time-to-visibility, report p50/p99/max + growth."""
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.streaming.changelog_stream import (
+        StreamConfig,
+        file_source,
+        start_changelog_stream,
+    )
+
+    rate = int(os.environ.get("SPARK_GRAFT_STREAM_RATE", "2000"))
+    secs = int(os.environ.get("SPARK_GRAFT_STREAM_SECS", "30"))
+    tick_s = 0.5
+    per_tick = max(1, int(rate * tick_s))
+    n_ticks = int(secs / tick_s)
+
+    work = Path(tempfile.mkdtemp(prefix="stream_sustained_"))
+    feed = work / "feed"
+    feed.mkdir()
+    (feed / "warm.json").write_text(envelope(-1, 0) + "\n")
+    cfg = StreamConfig(
+        pipeline_id="sustained",
+        target_path=str(work / "target"),
+        event_log_path=str(work / "event_log"),
+        checkpoint_dir=str(work / "ckpt"),
+        trigger={"processingTime": "500 milliseconds"},
+    )
+    q = start_changelog_stream(
+        spark, file_source(spark, str(feed)), payload, cfg
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:  # wait for the warm row
+        try:
+            if spark.read.parquet(cfg.target_path).count() >= 1:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+
+    def max_visible_id() -> int:
+        try:
+            row = (
+                spark.read.parquet(cfg.target_path)
+                .agg(F.max("id"))
+                .first()
+            )
+            return row[0] if row[0] is not None else -1
+        except Exception:
+            return -1
+
+    write_ts: list[float] = []
+    seen_ts: dict[int, float] = {}  # tick -> first time its last id visible
+
+    def poll() -> None:
+        mid = max_visible_id()
+        now = time.time()
+        for k in range(len(write_ts)):
+            if k not in seen_ts and mid >= (k + 1) * per_tick - 1:
+                seen_ts[k] = now
+
+    t_start = time.time()
+    for k in range(n_ticks):
+        target_t = t_start + k * tick_s
+        while time.time() < target_t:
+            time.sleep(0.02)
+        ts_ms = int(time.time() * 1000)
+        body = "\n".join(
+            envelope(k * per_tick + i, ts_ms) for i in range(per_tick)
+        ) + "\n"
+        (feed / f"tick-{k:05d}.json").write_text(body)
+        write_ts.append(time.time())
+        poll()
+    # drain: poll until every tick is visible (or timeout)
+    deadline = time.time() + 120
+    while len(seen_ts) < n_ticks and time.time() < deadline:
+        time.sleep(0.25)
+        poll()
+    q.stop()
+
+    lat = sorted(
+        seen_ts[k] - write_ts[k] for k in range(n_ticks) if k in seen_ts
+    )
+    out = {
+        "rate_eps": rate,
+        "duration_s": secs,
+        "ticks": n_ticks,
+        "ticks_visible": len(lat),
+        "p50_s": round(lat[len(lat) // 2], 3) if lat else None,
+        "p99_s": round(lat[int(len(lat) * 0.99)], 3) if lat else None,
+        "max_s": round(lat[-1], 3) if lat else None,
+        "checkpoint_mb": _dir_mb(str(work / "ckpt")),
+        "target_mb": _dir_mb(str(work / "target")),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -102,10 +216,13 @@ def main() -> None:
         results[str(n)] = visible if visible is not None else "timeout"
         shutil.rmtree(work, ignore_errors=True)
 
+    sustained = run_sustained(spark, payload)
+
     line = {
-        "metric": "burst time-to-visibility (file feed -> SCD2 target)",
+        "metric": "burst + sustained time-to-visibility (file feed -> SCD2 target)",
         "unit": "sec",
         "bursts": results,
+        "sustained": sustained,
     }
     print(json.dumps(line))
     # Round-over-round regression visibility (VERDICT r3 item 6): persist

@@ -120,3 +120,25 @@ def test_dedup_clusters_keep_flags(spark):
     rows = {r["doc_id"]: (r["cluster"], r["keep"]) for r in dedup_clusters(pairs).collect()}
     assert rows == {3: (3, True), 5: (3, False), 9: (3, False),
                     7: (7, True), 8: (7, False)}
+
+
+def test_lsh_hot_bucket_cap(spark):
+    from cdc_application_febuary_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    # 30 docs sharing identical text -> every band bucket holds all 30
+    # (435 pairs); two genuinely-near docs with distinct text survive a cap
+    rows = [(i, BASE) for i in range(30)] + [(100, OTHER), (101, OTHER + "!")]
+    sigs = minhash_signatures(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).persist()
+    uncapped = lsh_candidates(sigs).count()
+    assert uncapped >= 435  # the boilerplate clique is all-pairs
+    capped = {
+        (r["a"], r["b"]) for r in lsh_candidates(sigs, max_bucket=5).collect()
+    }
+    assert (100, 101) in capped  # small buckets keep their candidates
+    assert all(a >= 100 for a, _ in capped)  # the hot clique is pruned
+    sigs.unpersist()
