@@ -67,6 +67,8 @@ _ROUND_PRIORITY = [
     "table_size_report",
     "identifier_pipeline_report",
     "quantile_bucket_auc",
+    "doc_entropy_filter",
+    "hybrid_retrieval_fusion",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

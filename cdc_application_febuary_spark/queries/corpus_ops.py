@@ -165,3 +165,190 @@ def url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality filter
+# ---------------------------------------------------------------------------
+# Low character entropy = repetitive/degenerate text (keyboard mashing,
+# template spam, single-token repetition) — a standard corpus-quality
+# screen next to the length/stopword filters in functions/text.py. The
+# per-(doc, letter) contribution -p*ln(p) rounds to DECIMAL(18,6) before
+# the per-doc sum (the BM25/LM pattern), so both engines add exactly.
+_ENTROPY_ORACLE = """
+WITH letters AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+  FROM documents
+),
+cnts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM letters GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnts GROUP BY 1
+),
+contrib AS (
+  SELECT cnts.doc_id,
+         CAST(ROUND(
+           -(CAST(cnts.c AS DOUBLE) / tot.n)
+             * LN(CAST(cnts.c AS DOUBLE) / tot.n), 6) AS DECIMAL(18,6)) AS h
+  FROM cnts JOIN tot USING (doc_id)
+),
+ent AS (
+  SELECT contrib.doc_id, tot.n AS n_letters,
+         CAST(SUM(h) AS DOUBLE) AS entropy
+  FROM contrib JOIN tot USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT doc_id, n_letters, entropy
+FROM ent WHERE n_letters >= 50
+ORDER BY entropy ASC, doc_id LIMIT 20
+"""
+
+
+@_q("doc_entropy_filter", _ENTROPY_ORACLE)
+def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality screen: the 20 lowest-entropy documents
+    (the repetitive/degenerate tail a corpus filter drops first) with at
+    least 50 letters. Letter histogram per doc -> Shannon entropy in nats
+    with DECIMAL(18,6)-rounded per-term contributions (order-independent
+    sums on both engines). Pure expressions — one explode + two grouped
+    aggregations, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    letters = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]"), 0)
+        ).alias("ch"),
+    )
+    cnts = letters.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = cnts.join(tot, "doc_id").select(
+        "doc_id",
+        "n",
+        F.round(-p * F.log(p), 6).cast("decimal(18,6)").alias("h"),
+    )
+    ent = contrib.groupBy("doc_id", "n").agg(
+        F.sum("h").cast("double").alias("entropy")
+    )
+    return (
+        ent.where(F.col("n") >= 50)
+        .select("doc_id", F.col("n").alias("n_letters"), "entropy")
+        .orderBy(F.col("entropy").asc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (BM25 ⊕ embedding cosine, reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+# The standard two-tower retrieval merge: lexical BM25 ranks and dense
+# cosine ranks fused with RRF (k=60). Ranks are integers, so the fused
+# score is a fixed two-term sum of identical IEEE divisions — hash-safe.
+_RRF_ORACLE = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE token <> ''),
+dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dl),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+  WHERE token IN ('spark', 'merge', 'vector')
+  GROUP BY 1, 2
+),
+dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           LN((CAST(stats.n AS DOUBLE) - dfq.dfreq + 0.5)
+              / (dfq.dfreq + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl
+                / (CAST(stats.tot AS DOUBLE) / CAST(stats.n AS DOUBLE))))),
+           6) AS DECIMAL(18,6)) AS c
+  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+bm AS (
+  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+  FROM contrib GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 30
+),
+bmrank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r1
+  FROM bm
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+),
+cosrank AS (
+  SELECT doc_id, r2 FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r2
+    FROM cos) t
+  WHERE r2 <= 30
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.r1, c.r2,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + b.r1), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + c.r2), 0) AS rrf
+  FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, CAST(COALESCE(r1, -1) AS BIGINT) AS bm25_rank,
+       CAST(COALESCE(r2, -1) AS BIGINT) AS cosine_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+
+
+@_q("hybrid_retrieval_fusion", _RRF_ORACLE)
+def hybrid_retrieval_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-30 for {spark, merge, vector}
+    (`operators/vectorize.bm25_scores`) fused with dense cosine top-30
+    around the vec_id=0 embedding (`similarity.cosine_topk_blocked`) via
+    reciprocal-rank fusion, k=60. Both legs reduce to integer ranks
+    before fusion, so the fused score is a fixed two-term sum of
+    identical IEEE divisions — no decimal scaffolding needed. -1 marks a
+    doc absent from a leg."""
+    from ..operators.similarity import cosine_topk_blocked
+    from ..operators.vectorize import bm25_scores
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm = (
+        bm25_scores(docs, ["spark", "merge", "vector"])
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(30)
+    )
+    # rank window runs over the 30 surviving rows only (bounded)
+    bmrank = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r1"),
+    )
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cosrank = cosine_topk_blocked(
+        emb, queries, k=30, query_id_col="query_id"
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r2"))
+
+    fused = bmrank.join(cosrank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("r1", F.lit(-1)).cast("long").alias("bm25_rank"),
+        F.coalesce("r2", F.lit(-1)).cast("long").alias("cosine_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r1")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r2")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(15)
