@@ -213,29 +213,39 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with DECIMAL(18,6)-rounded per-term contributions (order-independent
     sums on both engines). Pure expressions — one explode + two grouped
     aggregations, no UDFs."""
+    # Map-only plan: the alphabet is fixed, so the letter histogram is 26
+    # `translate` length-differences per row — no explode (which would be
+    # one row PER CHARACTER: the corpus's total character count), no
+    # shuffle at all until the final top-k (TakeOrderedAndProject). The
+    # 26-term per-row sum stays in DECIMAL(18,6), so it equals the
+    # oracle's unordered per-(doc,letter) decimal aggregation exactly.
+    import string
+
     docs = load_table(spark, sf_dir, "documents")
-    letters = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]"), 0)
-        ).alias("ch"),
+    lt = F.regexp_replace(F.lower("text"), "[^a-z]", "")
+    base = docs.select("doc_id", lt.alias("lt")).select(
+        "doc_id", "lt", F.length("lt").alias("n")
     )
-    cnts = letters.groupBy("doc_id", "ch").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    tot = cnts.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    p = F.col("c").cast("double") / F.col("n")
-    contrib = cnts.join(tot, "doc_id").select(
-        "doc_id",
-        "n",
-        F.round(-p * F.log(p), 6).cast("decimal(18,6)").alias("h"),
-    )
-    ent = contrib.groupBy("doc_id", "n").agg(
-        F.sum("h").cast("double").alias("entropy")
+    n = F.col("n")
+
+    def term(letter: str):
+        c = n - F.length(F.translate(F.col("lt"), letter, ""))
+        p = c.cast("double") / n
+        return F.when(
+            c > 0, F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+        ).otherwise(F.lit(0).cast("decimal(18,6)"))
+
+    entropy = sum(
+        (term(l) for l in string.ascii_lowercase),
+        F.lit(0).cast("decimal(18,6)"),
     )
     return (
-        ent.where(F.col("n") >= 50)
-        .select("doc_id", F.col("n").alias("n_letters"), "entropy")
+        base.where(n >= 50)
+        .select(
+            "doc_id",
+            n.alias("n_letters"),
+            entropy.cast("double").alias("entropy"),
+        )
         .orderBy(F.col("entropy").asc(), "doc_id")
         .limit(20)
     )
