@@ -239,6 +239,69 @@ def lsh_candidates(
     )
 
 
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_docs: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Substring-level (ExactSubstr-style) dedup statistics: every
+    ``width``-token window of every document, flagged when the identical
+    window appears in >= ``min_docs`` distinct documents (the
+    cross-document repeated-substring signal of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array construction reduces, in the fixed-width form, to a
+    window-fingerprint equi-join; no suffix array needed).
+
+    Returns per-doc ``(id, n_windows, dup_windows, dup_frac)`` — the
+    fraction of a document's token windows that also occur elsewhere,
+    which a corpus filter thresholds or excises span-wise.
+
+    Scale: one explode to (doc, window-key) — rows = total token count —
+    then hash aggregations keyed on the window. ``hashed=True`` keys on
+    xxhash64(window) (8 bytes instead of the text; the production
+    setting); ``hashed=False`` keys on the window string itself, the
+    engine-parity form the DuckDB oracle can reproduce."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("ts")).where(
+        F.size("ts") >= width
+    )
+    win_expr = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - width + 1),
+        lambda i: F.array_join(F.slice(F.col("ts"), i, width), " "),
+    )
+    wins = base.select("id", F.explode(win_expr).alias("w"))
+    if hashed:
+        wins = wins.withColumn("w", F.xxhash64("w"))
+    wins = wins.persist()  # both the dup-key agg and per-doc totals read it
+    dup_keys = (
+        wins.groupBy("w")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("w")
+    )
+    totals = wins.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dups = (
+        wins.join(dup_keys, "w", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dup_windows"))
+    )
+    return (
+        totals.join(dups, "id", "left")
+        .select(
+            "id",
+            "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            (
+                F.coalesce("dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def sig_pair_similarity(
     pairs: DataFrame,
     left_sigs: DataFrame,

@@ -69,6 +69,7 @@ _ROUND_PRIORITY = [
     "quantile_bucket_auc",
     "doc_entropy_filter",
     "hybrid_retrieval_fusion",
+    "substring_dup_spans",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

@@ -362,3 +362,87 @@ def hybrid_retrieval_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(15)
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (ExactSubstr-style repeated spans)
+# ---------------------------------------------------------------------------
+# 20% of docs get an identical 13-token boilerplate prefix (planted in
+# BOTH engines with the same CASE), so their 8-token windows inside the
+# boilerplate are duplicated corpus-wide while the rest of the text stays
+# unique — the cross-document repeated-substring shape site templates
+# produce. dup_frac is one division of two BIGINTs (IEEE-identical).
+_BOILER = (
+    "please review the updated terms of service before continuing to use"
+    " this site"
+)
+
+_SPAN_ORACLE = f"""
+WITH raw AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+  FROM raw
+),
+tok2 AS (SELECT * FROM tok WHERE len(ts) >= 8),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+  FROM tok2
+),
+win AS (
+  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS w FROM pos
+),
+dupw AS (
+  SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM win GROUP BY 1
+),
+dup AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows
+  FROM win JOIN dupw USING (w) GROUP BY 1
+)
+SELECT t.doc_id, n_windows,
+       COALESCE(dup_windows, 0) AS dup_windows,
+       CAST(COALESCE(dup_windows, 0) AS DOUBLE) / n_windows AS dup_frac
+FROM tot t LEFT JOIN dup USING (doc_id)
+ORDER BY dup_frac DESC, doc_id LIMIT 20
+"""
+
+
+@_q("substring_dup_spans", _SPAN_ORACLE)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (`operators/dedup.duplicated_span_stats`,
+    the fixed-width form of ExactSubstr dedup — Lee et al. 2022): per-doc
+    count and fraction of 8-token windows that occur verbatim in other
+    documents, over a corpus where 20% of docs share a planted 13-token
+    boilerplate prefix. String window keys here so the DuckDB oracle can
+    reproduce them; production uses the hashed=True 8-byte keys."""
+    from ..operators.dedup import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    stats = duplicated_span_stats(
+        docs, "doc_id", "text", width=8, hashed=False
+    )
+    return (
+        stats.select(
+            F.col("id").alias("doc_id"),
+            "n_windows",
+            "dup_windows",
+            "dup_frac",
+        )
+        .orderBy(F.col("dup_frac").desc(), "doc_id")
+        .limit(20)
+    )

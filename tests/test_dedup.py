@@ -142,3 +142,42 @@ def test_lsh_hot_bucket_cap(spark):
     assert (100, 101) in capped  # small buckets keep their candidates
     assert all(a >= 100 for a, _ in capped)  # the hot clique is pruned
     sigs.unpersist()
+
+
+def test_duplicated_span_stats(spark):
+    from cdc_application_febuary_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        (1, shared + " alpha beta gamma"),
+        (2, shared + " delta epsilon zeta"),
+        (3, "totally unrelated words go here now ok fine sure yes"),
+        (4, "short text"),  # < width tokens: dropped entirely
+    ]
+    out = {
+        r["id"]: r
+        for r in duplicated_span_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"]), width=8
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # docs 1/2: 11 tokens -> 4 windows each; only the pure-shared window
+    # (positions 1) is identical across docs — later windows differ by tail
+    assert out[1]["n_windows"] == 4 and out[2]["n_windows"] == 4
+    assert out[1]["dup_windows"] == 1 and out[2]["dup_windows"] == 1
+    assert abs(out[1]["dup_frac"] - 0.25) < 1e-12
+    assert out[3]["dup_windows"] == 0
+    # hashed and string keys agree on the statistics
+    s2 = {
+        r["id"]: (r["n_windows"], r["dup_windows"])
+        for r in duplicated_span_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            width=8,
+            hashed=False,
+        ).collect()
+    }
+    assert s2 == {
+        k: (v["n_windows"], v["dup_windows"]) for k, v in out.items()
+    }
