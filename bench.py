@@ -8,9 +8,10 @@ bench_queries.json (round 1's all-91-query line was too long for the
 driver's capture — BENCH_r01.json recorded parsed:null).
 
 Timing is per-query wall-clock of plan construction + execution to
-completion (count/collect of an already-aggregated result — the queries all
-end in aggregates or limits, so collect is small and the time measured is
-the distributed work, not driver materialization).
+completion via a noop-sink write, which materializes every column of every
+row (a count() would let Catalyst prune agg expressions the row count
+doesn't need — see the inline comment); the time measured is the
+distributed work, not driver materialization.
 
 Contention-proofing (VERDICT r4 item 2): each query runs K times
 ($SPARK_GRAFT_BENCH_RUNS, default 3) and the reported figure is the MIN —
@@ -74,7 +75,13 @@ def main() -> None:
             t0 = time.time()
             try:
                 df = qs[name](spark, sf_dir)
-                df.count()  # forces full execution
+                # noop sink: consumes EVERY column of EVERY row. A bare
+                # count() is not a valid harness — Catalyst prunes agg
+                # expressions that don't affect the row count (verified:
+                # count() over groupBy().agg(sum(x*x)) eliminates the sum
+                # from the optimized plan), silently under-measuring any
+                # query whose final ordering doesn't read the agg values.
+                df.write.mode("overwrite").format("noop").save()
                 per_run.append(round(time.time() - t0, 4))
             except Exception as e:  # a failing query must not hide the rest
                 per_run.append(-1.0)

@@ -123,18 +123,24 @@ def main() -> None:
             "full_outer",
         )
 
+    def run(df):
+        # force full materialization of every column — a bare count() lets
+        # Catalyst eliminate joins/projections (the substring stats join
+        # collapsed to counting base rows on the first attempt)
+        df.write.mode("overwrite").format("noop").save()
+
     jobs = {
         "doc_entropy (map-only)": (
-            lambda: entropy_job(docs1).count(),
-            lambda: entropy_job(docs10).count(),
+            lambda: run(entropy_job(docs1)),
+            lambda: run(entropy_job(docs10)),
         ),
         "substring_dup (hashed, W=8)": (
-            lambda: duplicated_span_stats(docs1, width=8).count(),
-            lambda: duplicated_span_stats(docs10, width=8).count(),
+            lambda: run(duplicated_span_stats(docs1, width=8)),
+            lambda: run(duplicated_span_stats(docs10, width=8)),
         ),
         "hybrid RRF (BM25+cosine)": (
-            lambda: rrf_job(docs1, emb1).count(),
-            lambda: rrf_job(docs10, emb10).count(),
+            lambda: run(rrf_job(docs1, emb1)),
+            lambda: run(rrf_job(docs10, emb10)),
         ),
     }
     print("\n| operator | 1x s | 10x s | ratio | envelope |")
