@@ -69,3 +69,24 @@ def skew_report(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFrame:
         .orderBy(F.col("cnt").desc(), *[F.col(c) for c in key_cols])
         .limit(top)
     )
+
+
+def two_phase_distinct_count(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key without hot-key reducer state.
+
+    A naive per-key distinct holds the hot key's whole value set in one
+    reducer (the non-combinable state the skew drill's hottest-reducer
+    column predicts). Phase 1 dedups on (key, value) — the shuffle key
+    INCLUDES the value, so a hot key's state spreads across all reducers;
+    phase 2 is a plain combinable count per key. This is the explicit form
+    of the expand-based rewrite Spark applies to single countDistinct
+    aggregates, usable when composing with other aggregates would force
+    the planner out of it."""
+    return (
+        df.select(*key_cols, value_col)
+        .distinct()
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("distinct_cnt"))
+    )

@@ -70,6 +70,7 @@ _ROUND_PRIORITY = [
     "doc_entropy_filter",
     "hybrid_retrieval_fusion",
     "substring_dup_spans",
+    "embedding_sq8_report",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

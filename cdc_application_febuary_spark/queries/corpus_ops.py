@@ -446,3 +446,101 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dup_frac").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding scalar quantization (SQ8) fidelity report
+# ---------------------------------------------------------------------------
+# The storage tier below PQ: int8 codes with one per-vector scale
+# (code_i = floor(x_i/maxabs*127 + 0.5), reconstruct code_i*maxabs/127 —
+# 64 bytes + 8 per vector instead of 256). Every step is a chain of
+# correctly-rounded IEEE ops (div/mul/floor/abs), so reconstruction error
+# is bit-identical across engines; the MSE routes each squared error
+# through DECIMAL(28,12) so the unordered sums agree exactly.
+_SQ8_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+s AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, v -> abs(v))) AS maxabs
+  FROM e
+),
+r AS (
+  SELECT vec_id % 10 AS bucket, len(x) AS dim,
+         list_transform(x,
+           v -> abs(v - floor(v / maxabs * 127 + 0.5) * maxabs / 127))
+           AS errs
+  FROM s WHERE maxabs > 0
+),
+v AS (
+  SELECT bucket, dim,
+         list_max(errs) AS vec_max_err,
+         list_aggregate(
+           list_transform(errs,
+             e -> CAST(ROUND(e * e, 12) AS DECIMAL(28,12))), 'sum')
+           AS vec_sq_sum
+  FROM r
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MAX(vec_max_err) AS max_abs_err,
+       CAST(SUM(vec_sq_sum) AS DOUBLE) / CAST(SUM(dim) AS DOUBLE) AS mse
+FROM v GROUP BY 1 ORDER BY bucket
+"""
+
+
+@_q("embedding_sq8_report", _SQ8_ORACLE)
+def embedding_sq8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding scalar quantization (SQ8) fidelity: quantize every vector
+    to int8 codes with a per-vector scale, reconstruct, and report
+    max-absolute reconstruction error + MSE per vec_id bucket — the
+    go/no-go report before switching the ANN tier to quantized storage
+    (4x smaller than float32, 32x smaller than the double working set).
+    Pure higher-order array expressions; the error chain is
+    correctly-rounded IEEE ops so both engines agree bitwise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    base = emb.select("vec_id", x.alias("x")).select(
+        "vec_id",
+        "x",
+        F.array_max(F.transform("x", F.abs)).alias("maxabs"),
+    )
+    maxabs = F.col("maxabs")
+    errs = F.transform(
+        "x",
+        lambda v: F.abs(
+            v - F.floor(v / maxabs * 127 + 0.5) * maxabs / 127
+        ),
+    )
+    r = base.where(maxabs > 0).select(
+        (F.col("vec_id") % 10).alias("bucket"),
+        F.size("x").alias("dim"),
+        errs.alias("errs"),
+    )
+    v = r.select(
+        "bucket",
+        "dim",
+        F.array_max("errs").alias("vec_max_err"),
+        F.aggregate(
+            F.transform(
+                "errs", lambda e: F.round(e * e, 12).cast("decimal(28,12)")
+            ),
+            F.lit(0).cast("decimal(28,12)"),
+            # decimal + widens to (29,12); fold state must keep its type —
+            # the cast is lossless here (64 terms, each < 1e-4)
+            lambda acc, t: (acc + t).cast("decimal(28,12)"),
+        ).alias("vec_sq_sum"),
+    )
+    return (
+        v.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max("vec_max_err").alias("max_abs_err"),
+            (
+                F.sum("vec_sq_sum").cast("double")
+                / F.sum("dim").cast("double")
+            ).alias("mse"),
+        )
+        .orderBy("bucket")
+    )

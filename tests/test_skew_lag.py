@@ -146,3 +146,26 @@ def test_topic_pattern(spark):
     mssql = topic_pattern("p1", "sqlserver")
     assert re.match(mssql, "p1.mydb.dbo.orders")
     assert not re.match(mssql, "p1.dbo.orders")
+
+
+def test_two_phase_distinct_count_parity(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.operators.skew import (
+        two_phase_distinct_count,
+    )
+
+    # zipf-ish: key 0 holds most rows, with duplicated values
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 8, 0).otherwise(F.col("id") % 7).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    got = {
+        r["k"]: r["distinct_cnt"]
+        for r in two_phase_distinct_count(df, ["k"], "v").collect()
+    }
+    want = {
+        r["k"]: r["d"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    assert got == want
