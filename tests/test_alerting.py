@@ -93,3 +93,52 @@ def test_rules_side_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # no shuffle at any metrics scale
+
+
+def test_alert_history_sink_streaming(spark, tmp_path):
+    """Per-micro-batch rule evaluation through a real availableNow stream:
+    one alert row per batch that trips the threshold, batch_id-stamped."""
+    import json
+
+    from cdc_application_febuary_spark.streaming.alerting import (
+        alert_history_sink,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1): 3 rows then 1
+    (feed / "a.json").write_text(
+        "\n".join(json.dumps({"id": i, "op": "c"}) for i in range(3)) + "\n"
+    )
+    (feed / "b.json").write_text(json.dumps({"id": 9, "op": "d"}) + "\n")
+
+    rules = spark.createDataFrame(
+        [
+            (1, "volume", "p1", "events_total", "greater_than", 2, "warning", True),
+            (2, "any_delete", "p1", "deletes_total", "greater_than", 0, "critical", True),
+        ],
+        RULES_SCHEMA,
+    )
+    hist = str(tmp_path / "alert_history")
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(feed))
+        .selectExpr("get_json_object(value, '$.op') AS __op")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            alert_history_sink(rules, hist, "p1")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(hist).collect()
+    fired = {(r["rule_id"], r["metric_value"]) for r in rows}
+    # 3-row batch trips the volume rule; 1-row delete batch trips rule 2
+    assert fired == {(1, 3), (2, 1)}
+    assert all(r["status"] == "active" for r in rows)
+    assert {r["batch_id"] for r in rows} == {0, 1}
