@@ -71,6 +71,8 @@ _ROUND_PRIORITY = [
     "hybrid_retrieval_fusion",
     "substring_dup_spans",
     "embedding_sq8_report",
+    "stream_stream_attribution",
+    "stream_dedup_report",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

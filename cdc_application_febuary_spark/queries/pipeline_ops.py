@@ -6590,3 +6590,206 @@ def stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+@_q(
+    "stream_stream_attribution",
+    """
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS pairs,
+       CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS sum_gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+GROUP BY 1
+ORDER BY user_id
+""",
+)
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream x stream interval join, end-to-end as TWO live streams with
+    a value oracle (the in-flight form of the as-of/attribution pattern —
+    reference correlates only after landing, SURVEY §2.3): clicks and
+    purchases replay through separate file streams, joined on user_id
+    where the purchase lands within [click, click + 6h]
+    (`streaming/joins.py:stream_stream_range_join`). Each side is two
+    files -> two micro-batches (maxFilesPerTrigger=1), so matches must
+    bridge batches through the join state store; the 90-day watermark
+    keeps every buffered row live for the whole replay, so the emitted
+    pairs are exactly the batch interval join (inner stream-stream joins
+    emit on match, not on watermark finalization). The returned rows are
+    the per-user pair counts and exact integer gap sums over the emitted
+    pairs."""
+    import tempfile
+
+    from ..streaming.joins import stream_stream_range_join
+
+    work = tempfile.mkdtemp(prefix="ss_join_")
+    ev = load_table(spark, sf_dir, "events")
+    feeds = {}
+    for side, etype, ts_name in (
+        ("clicks", "click", "click_ts"),
+        ("buys", "purchase", "buy_ts"),
+    ):
+        path = f"{work}/{side}"
+        (
+            ev.where(F.col("event_type") == etype)
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("user_id"),
+                        F.unix_micros("ts").alias("ts_us"),
+                    )
+                ).alias("value")
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .text(path)
+        )
+        feeds[side] = (path, ts_name)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+    )
+
+    def read_feed(side: str) -> DataFrame:
+        path, ts_name = feeds[side]
+        return (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(path)
+            .select(F.from_json("value", schema).alias("p"))
+            .select(
+                F.col("p.user_id").alias("user_id"),
+                F.timestamp_micros(F.col("p.ts_us")).alias(ts_name),
+            )
+        )
+
+    joined = stream_stream_range_join(
+        read_feed("clicks"),
+        read_feed("buys"),
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        max_delay="6 hours",
+        watermark="90 days",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        (
+            F.unix_micros(F.col("r.buy_ts"))
+            - F.unix_micros(F.col("l.click_ts"))
+        ).alias("gap_us"),
+    )
+    target = f"{work}/target"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.read.parquet(target)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum("gap_us").alias("sum_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "stream_dedup_report",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys
+FROM events
+GROUP BY 1
+ORDER BY event_type
+""",
+)
+def stream_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream exact dedup with a value oracle
+    (`streaming/joins.py:stream_dedup` -> dropDuplicatesWithinWatermark):
+    the event feed replays with PLANTED exact duplicates — every
+    event_id % 3 == 0 row again in a later file, every % 7 == 0 row a
+    third time — and the dedup state must drop them ACROSS micro-batches
+    (duplicate files arrive after the originals; maxFilesPerTrigger=1
+    keeps them in separate batches, and the 90-day watermark keeps every
+    key's state live for the whole replay, so the dedup is globally
+    exact). Post-dedup per-type row counts must equal the original
+    feed's distinct counts: n_rows == n_keys, any leaked duplicate
+    breaks the hash."""
+    import pathlib
+    import tempfile
+
+    from ..streaming.joins import stream_dedup
+
+    work = tempfile.mkdtemp(prefix="sdedup_")
+    feed = f"{work}/feed"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    payload = F.to_json(
+        F.struct("event_id", "event_type", "ts_us")
+    ).alias("value")
+    ev.select(payload).coalesce(1).write.mode("overwrite").text(feed)
+    for tag, mod in (("z1_dups", 3), ("z2_trips", 7)):
+        stage = f"{work}/{tag}"
+        (
+            ev.where(F.col("event_id") % mod == 0)
+            .select(payload)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(stage)
+        )
+        part = next(pathlib.Path(stage).glob("part-*"))
+        part.rename(pathlib.Path(feed) / f"{tag}.txt")
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(feed)
+        .select(F.from_json("value", schema).alias("p"))
+        .select(
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.event_type").alias("event_type"),
+            F.timestamp_micros(F.col("p.ts_us")).alias("ts"),
+        )
+    )
+    deduped = stream_dedup(
+        stream, keys=["event_id"], ts_col="ts", watermark="90 days"
+    )
+    target = f"{work}/target"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_keys"),
+        )
+        .orderBy("event_type")
+    )

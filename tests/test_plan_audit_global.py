@@ -39,6 +39,8 @@ SKIP_SLOW = {
     "csv_json_roundtrip_report",   # writes csv/json objects at build time
     "vacuum_retention_audit",      # manifest write+delete+vacuum at build
     "stateful_totals_v2",          # runs a transformWithState stream
+    "stream_stream_attribution",   # runs two joined streams to completion
+    "stream_dedup_report",         # runs a dedup stream to completion
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
