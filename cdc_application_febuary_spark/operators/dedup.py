@@ -755,3 +755,122 @@ def dedup_clusters(
         F.col("component").alias("cluster"),
         (F.col("node") == F.col("component")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# --------------------------------------------------------------------------
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iters: int = 8,
+    seed: int = 42,
+    max_train: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + intra-cluster cosine pruning.
+
+    The published recipe, Spark-first: (1) spherical k-means centroids
+    train on a bounded driver-side sample (`similarity._kmeans_sample` —
+    the faiss/IVF trade, O(k x few-hundred) vectors regardless of corpus
+    size); (2) every vector is assigned its nearest centroid in an
+    Arrow-batched matmul UDF; (3) each cluster is pruned independently in
+    one `applyInPandas` task — pairwise cosines over the cluster, chunked
+    so the similarity slab stays bounded, connected components at
+    ``>= threshold`` via in-task union-find, and per duplicate group the
+    kept representative is the member with the LOWEST cosine to its
+    centroid (the paper's choice: keep the "edge" example, drop the
+    redundant near-centroid copies), doc id as the deterministic
+    tiebreak.
+
+    100 TB posture: the only shuffle is the groupBy(cluster); per-task
+    cost is O(|cluster|^2 / chunk) matmuls, so ``n_clusters`` is the dial
+    that bounds cluster size (the paper runs k=50k at web scale so
+    E|cluster| stays in the tens of thousands; here k=16 plays the same
+    role at fixture scale). No all-pairs path exists across clusters —
+    that is the approximation SemDeDup trades for scale.
+
+    Returns (id, cluster, grp, grp_size, cos_centroid, keep): ``grp`` is
+    the min id of the duplicate group (singletons keep themselves),
+    ``keep`` marks survivors.
+    """
+    from .similarity import _assign_cluster_udf, _kmeans_sample
+
+    sample_rows = (
+        emb.select(F.col(vec_col).alias("v")).limit(max_train).collect()
+    )
+    centers = np.asarray(
+        _kmeans_sample([r["v"] for r in sample_rows], n_clusters, iters, seed),
+        dtype="float64",
+    )
+    assign = _assign_cluster_udf(centers)
+    assigned = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["_id"].to_numpy())
+        ids = pdf["_id"].to_numpy()[order]
+        M = np.vstack(pdf["_vec"].to_numpy()[order]).astype("float64")
+        nn = np.linalg.norm(M, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        Mn = M / nn
+        c = int(pdf["cluster"].iloc[0])
+        cos_c = Mn @ centers[c]
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        chunk = 2048  # bounds the sims slab at chunk x |cluster| floats
+        for s in range(0, n, chunk):
+            sims = Mn[s : s + chunk] @ Mn.T
+            ii, jj = np.nonzero(
+                (sims >= threshold)
+                & (np.arange(s, min(s + chunk, n))[:, None] < np.arange(n)[None, :])
+            )
+            for i, j in zip((ii + s).tolist(), jj.tolist()):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+        root = np.array([find(i) for i in range(n)])
+        grp = ids[root]
+        sizes = pd.Series(grp).map(pd.Series(grp).value_counts()).to_numpy()
+        keep = np.ones(n, dtype=bool)
+        for r in np.unique(root[sizes > 1]):
+            members = np.nonzero(root == r)[0]
+            # lowest centroid-cosine survives; ids ascending breaks ties
+            # (members is id-sorted, argmin takes the first minimum)
+            keeper = members[np.argmin(cos_c[members])]
+            keep[members] = False
+            keep[keeper] = True
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cluster": np.full(n, c, dtype="int32"),
+                "grp": grp,
+                "grp_size": sizes.astype("int64"),
+                "cos_centroid": np.round(cos_c, 6),
+                "keep": keep,
+            }
+        )
+
+    parts = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        assigned.repartition(max(parts, n_clusters), "cluster")
+        .groupBy("cluster")
+        .applyInPandas(
+            prune,
+            "id long, cluster int, grp long, grp_size long, "
+            "cos_centroid double, keep boolean",
+        )
+    )

@@ -73,6 +73,7 @@ _ROUND_PRIORITY = [
     "embedding_sq8_report",
     "stream_stream_attribution",
     "stream_dedup_report",
+    "semantic_dedup_report",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

@@ -418,6 +418,39 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+@_q("semantic_dedup_report")  # rows-only: k-means centroids are an
+# iterative float fixpoint (not SQL-expressible); numpy parity + planted-
+# duplicate semantics are pinned in tests/test_semdedup.py.
+def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (k-means + intra-cluster cosine pruning,
+    `operators/dedup.py:semantic_dedup`) over the embeddings table,
+    rolled up per cluster: corpus size, duplicate groups, dropped rows,
+    and the kept-representative count. The fixture corpus is near-
+    orthogonal (max pairwise cosine ~0.51), so the 0.45 threshold plays
+    the role production would give ~0.95 — the same calibration the
+    exact-tier dedup_embedding query documents."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = dedup.semantic_dedup(
+        emb, n_clusters=8, threshold=0.45, seed=42
+    )
+    return (
+        flags.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(
+                F.when(F.col("grp_size") > 1, F.col("grp"))
+            ).alias("n_dup_groups"),
+            F.sum(
+                F.when(~F.col("keep"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
