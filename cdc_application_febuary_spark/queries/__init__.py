@@ -74,6 +74,7 @@ _ROUND_PRIORITY = [
     "stream_stream_attribution",
     "stream_dedup_report",
     "semantic_dedup_report",
+    "dsir_importance_weights",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

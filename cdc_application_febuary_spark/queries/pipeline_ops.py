@@ -6826,3 +6826,65 @@ def stream_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+@_q(
+    "dsir_importance_weights",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+raw_m AS (SELECT w, COUNT(*) AS cr FROM toks GROUP BY 1),
+raw_tot AS (SELECT SUM(cr) AS tr, COUNT(*) AS v FROM raw_m),
+tgt AS (
+  SELECT t.w, COUNT(*) AS ct
+  FROM toks t JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+  GROUP BY 1
+),
+tgt_tot AS (SELECT SUM(ct) AS tt FROM tgt),
+wt AS (
+  SELECT r.w,
+         CAST(ROUND(ln((COALESCE(g.ct, 0) + 1.0) / (tt + v)), 6)
+              AS DECIMAL(18,6))
+         - CAST(ROUND(ln((r.cr + 1.0) / (tr + v)), 6)
+                AS DECIMAL(18,6)) AS lw
+  FROM raw_m r LEFT JOIN tgt g USING (w), raw_tot, tgt_tot
+),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(lw) AS logw
+  FROM toks t JOIN wt USING (w)
+  GROUP BY 1
+)
+SELECT p.doc_id, d.lang, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(p.logw AS DOUBLE) AS logw
+FROM per_doc p JOIN documents d USING (doc_id)
+ORDER BY p.logw DESC, p.doc_id
+LIMIT 100
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (`operators/dsir.py`, arXiv:2302.03169)
+    driver-visible: English documents are the target distribution, the
+    whole corpus is raw; each document's log importance weight is the
+    exact-DECIMAL sum of per-occurrence rounded log-ratios (the lm/BM25
+    portability pattern — no float accumulation), and the query returns
+    the top-100 selection with its language tags, ties broken on doc_id.
+    English documents must dominate the head of the ranking for the
+    method to mean anything; the oracle replays the full model
+    bit-for-bit in SQL."""
+    from ..operators.dsir import dsir_select_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = dsir_select_topk(
+        docs, docs.where(F.col("lang") == "en"), k=100
+    )
+    # ordered on the EXACT decimal; the registry's _hash_stable wrapper
+    # casts the decimal column to double after this orderBy, mirroring
+    # the oracle's final CAST — ordering never happens on floats
+    return (
+        top.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "logw")
+        .orderBy(F.col("logw").desc(), "doc_id")
+    )
