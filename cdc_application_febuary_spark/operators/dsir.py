@@ -107,3 +107,39 @@ def dsir_select_topk(
     handles the global top-k without a single-partition sort."""
     w = dsir_log_weights(docs, target, id_col=id_col, text_col=text_col)
     return w.orderBy(F.col("logw").desc(), F.col(id_col)).limit(k)
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """The paper's actual selection step — importance RESAMPLING, not a
+    hard top-k: draw ``k`` documents without replacement with inclusion
+    probability scaling in exp(logw). Implemented as Gumbel top-k on the
+    log weight: ``key = logw - ln(-ln u)`` with the same deterministic
+    ``u = unit_hash(id, seed)`` every sampler in `operators/sampling.py`
+    uses, so the draw is a pure function of (ids, weights, seed) across
+    runs and partitionings. Ranking by this key is ORDER-IDENTICAL to
+    the Efraimidis-Spirakis ``u^(1/w)`` key at ``w = exp(logw)``
+    (both reduce to ascending Exp_i/w_i), but stays in log space — no
+    exp() under/overflow at extreme weights. Plan: one key expression +
+    distributed top-k (TakeOrderedAndProject); un-sampled rows never
+    shuffle."""
+    from .sampling import _unit_hash
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lw = dsir_log_weights(docs, target, id_col=id_col, text_col=text_col)
+    key = F.col("logw").cast("double") - F.log(
+        -F.log(_unit_hash(id_col, seed))
+    )
+    return (
+        lw.withColumn("__gumbel_key", key)
+        .orderBy(F.desc("__gumbel_key"))
+        .limit(k)
+        .drop("__gumbel_key")
+    )

@@ -78,3 +78,32 @@ def test_fixture_head_is_target_language(spark, sf_dir):
     ).join(docs.select("doc_id", "lang"), "doc_id")
     langs = [r["lang"] for r in top.collect()]
     assert sum(1 for g in langs if g == "en") >= 15, langs
+
+
+def test_resample_reproducible_and_weight_biased(spark):
+    from cdc_application_febuary_spark.operators.dsir import dsir_resample
+
+    # 100 docs: odd ids match the target phrase, even ids don't
+    df = spark.createDataFrame(
+        [
+            (i, "alpha beta" if i % 2 else "gamma delta")
+            for i in range(100)
+        ],
+        "doc_id long, text string",
+    )
+    tgt = df.where(F.col("doc_id") % 2 == 1)
+    a = sorted(
+        r["doc_id"] for r in dsir_resample(df, tgt, k=30, seed=5).collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in dsir_resample(df, tgt, k=30, seed=5).collect()
+    )
+    assert a == b and len(a) == 30
+    # inclusion scales with exp(logw): target-like docs dominate the draw
+    n_odd = sum(1 for i in a if i % 2)
+    assert n_odd >= 25, n_odd
+    # a different seed draws a different sample
+    c = sorted(
+        r["doc_id"] for r in dsir_resample(df, tgt, k=30, seed=6).collect()
+    )
+    assert c != a
