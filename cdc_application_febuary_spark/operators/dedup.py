@@ -799,8 +799,16 @@ def semantic_dedup(
     """
     from .similarity import _assign_cluster_udf, _kmeans_sample
 
+    # deterministic training sample: the max_train LOWEST ids, collected
+    # in id order (TakeOrderedAndProject — distributed top-k, not a bare
+    # limit(), whose row order shifts with partitioning and would train
+    # different centroids on repartitioned input; pinned by
+    # tests/test_semdedup.py::test_partitioning_invariant)
     sample_rows = (
-        emb.select(F.col(vec_col).alias("v")).limit(max_train).collect()
+        emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(max_train)
+        .collect()
     )
     centers = np.asarray(
         _kmeans_sample([r["v"] for r in sample_rows], n_clusters, iters, seed),

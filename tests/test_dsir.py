@@ -107,3 +107,24 @@ def test_resample_reproducible_and_weight_biased(spark):
         r["doc_id"] for r in dsir_resample(df, tgt, k=30, seed=6).collect()
     )
     assert c != a
+
+
+def test_weights_partitioning_invariant(spark):
+    """logw is an exact DECIMAL sum — any partitioning yields identical
+    values (the property the driver hash relies on)."""
+    df = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma") for i in range(60)],
+        "doc_id long, text string",
+    )
+    tgt = df.where(F.col("doc_id") % 3 == 0)
+    a = {
+        r["doc_id"]: str(r["logw"])
+        for r in dsir_log_weights(df, tgt).collect()
+    }
+    b = {
+        r["doc_id"]: str(r["logw"])
+        for r in dsir_log_weights(
+            df.repartition(7, "text"), tgt.repartition(3)
+        ).collect()
+    }
+    assert a == b

@@ -110,12 +110,8 @@ def test_numpy_parity_on_fixture_embeddings(spark, sf_dir):
     ids = [r["vec_id"] for r in rows]
     assert ids == sorted(ids) and ids[0] == 0 and len(ids) == len(set(ids))
     vecs = [r["embedding"] for r in rows]
-    sample = [
-        r["v"]
-        for r in emb.select(F.col("embedding").alias("v"))
-        .limit(4096)
-        .collect()
-    ]
+    # the operator trains on the max_train lowest ids in id order
+    sample = vecs[:4096]
     centers = np.asarray(_kmeans_sample(sample, 8, 8, 42), dtype="float64")
     a_ref, grp_ref, keep_ref = _numpy_semdedup(vecs, centers, 0.45)
     got = {
@@ -153,3 +149,21 @@ def test_groups_never_span_clusters(spark, sf_dir):
         .count()
     )
     assert spans == 0
+
+
+def test_partitioning_invariant(spark, sf_dir):
+    """Same flags regardless of input partitioning: assignment is a pure
+    function of (vector, centroids) and pruning is per-cluster."""
+    from cdc_application_febuary_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = lambda rows: sorted(
+        (r["id"], r["cluster"], r["grp"], r["keep"]) for r in rows
+    )
+    a = key(semantic_dedup(emb, n_clusters=8, threshold=0.45).collect())
+    b = key(
+        semantic_dedup(
+            emb.repartition(11, "vec_id"), n_clusters=8, threshold=0.45
+        ).collect()
+    )
+    assert a == b
