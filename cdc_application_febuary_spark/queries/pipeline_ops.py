@@ -3693,12 +3693,57 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("pii_scan")  # rows-only: planted-PII corpus is generated in-process
+@_q(
+    "pii_scan",
+    """
+WITH corpus AS (
+  SELECT concat('doc ', i, ' body',
+    CASE WHEN i % 3 = 0 THEN concat(' user', i, '@example.com') ELSE '' END,
+    CASE WHEN i % 4 = 0 THEN concat(' 10.0.', i % 256, '.', (i * 7) % 256)
+         ELSE '' END,
+    CASE WHEN i % 5 = 0 THEN concat(' 555-12', i % 10, '-4567') ELSE '' END,
+    CASE WHEN i % 7 = 0 THEN concat(' ', 100 + i, '-45-6789') ELSE '' END
+  ) AS text
+  FROM generate_series(0, 59) t(i)
+),
+-- precedence chain: each category is counted on the text with
+-- higher-precedence categories already redacted (email -> ipv4 ->
+-- ssn -> phone), mirroring functions/text.py:_PII_ORDER
+r1 AS (SELECT text,
+  regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+  AS t1 FROM corpus),
+r2 AS (SELECT *, regexp_replace(t1,
+  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2
+  FROM r1),
+r3 AS (SELECT *, regexp_replace(t2,
+  '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t3 FROM r2),
+r4 AS (SELECT *, regexp_replace(t3,
+  '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t4 FROM r3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+    AS emails,
+  CAST(SUM(len(regexp_extract_all(t1,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS BIGINT) AS ips,
+  CAST(SUM(len(regexp_extract_all(t3,
+    '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b'))) AS BIGINT) AS phones,
+  CAST(SUM(len(regexp_extract_all(t2,
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b'))) AS BIGINT) AS ssns,
+  CAST(SUM(length(text) - length(t4)) AS BIGINT) AS chars_removed
+FROM r4
+""",
+)
 def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub report (`functions/text.py:redact_pii`): a deterministic
     corpus with planted emails/IPs/phones/SSNs is scanned and redacted;
     per-category occurrence counts plus chars-removed prove the scrubber
-    actually fired. Precedence/idempotence pinned in tests/test_pii.py."""
+    actually fired. Precedence/idempotence pinned in tests/test_pii.py.
+    Oracle-paired (upgraded from rows-only in late r5): the PII patterns
+    are deliberately lookaround-free so the SAME pattern strings run on
+    Java regex and RE2, and the planted corpus is pure arithmetic over
+    doc_id — the oracle regenerates it with generate_series and replays
+    the redaction precedence chain in SQL."""
     from ..functions.text import pii_count, redact_pii
 
     rows = []
