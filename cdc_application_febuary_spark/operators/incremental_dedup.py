@@ -311,3 +311,186 @@ def near_dedup_batch(
     return batch.join(
         novel_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SEMANTIC dedup — the SemDeDup tier of the same pattern
+# ---------------------------------------------------------------------------
+def _store_centroids(spark: SparkSession, store_path: str):
+    """Newest commit meta carrying 'centroids', scanning versions
+    newest-first (the frozen-centroid policy `operators/vector_index.py`
+    uses for IVF appends); None when the store has no commits."""
+    import numpy as np
+
+    v = mt.current_version(spark, store_path)
+    while v is not None and v >= 0:
+        meta = mt.read_commit_meta(spark, store_path, v)
+        if "centroids" in meta:
+            return np.asarray(meta["centroids"], dtype="float64")
+        v -= 1
+    return None
+
+
+def semantic_dedup_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iters: int = 8,
+    seed: int = 42,
+    max_train: int = 4096,
+) -> DataFrame | None:
+    """Admit the semantically novel vectors of one batch; persist the
+    survivors — incremental SemDeDup (`operators/dedup.py:semantic_dedup`
+    is the one-shot form, arXiv:2303.09540).
+
+    Store layout: (cluster, id, vec) of every ADMITTED representative,
+    range-clustered by cluster; centroids train ONCE on the first batch
+    (deterministic id-ordered sample) and ride in the commit meta frozen
+    thereafter — later batches assign against them, so cluster ids are
+    stable across the store's life and the probe for each batch cluster
+    reads only that cluster's file range.
+
+    Per batch, inside one cogrouped-applyInPandas task per cluster:
+    in-batch duplicate groups collapse first (union-find at >=threshold,
+    keep the lowest-centroid-cosine member — the paper's rule), then a
+    keeper is dropped when ANY stored survivor of the same cluster sits
+    at >=threshold cosine (that survivor already represents the group).
+    The admitted invariant: no two stored vectors of a cluster are ever
+    within threshold of each other.
+
+    ``batch_id`` rides the exactly-once manifest commit: a replayed batch
+    returns None and leaves the store untouched. Returns the admitted
+    rows as (id_col, cluster)."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _assign_cluster_udf, _kmeans_sample
+
+    spark = batch.sparkSession
+    seen_batch = last_committed_batch(spark, store_path)
+    if seen_batch is not None and batch_id <= seen_batch:
+        return None
+
+    centers = _store_centroids(spark, store_path)
+    first_batch = centers is None
+    if first_batch:
+        sample_rows = (
+            batch.select(
+                F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+            )
+            .orderBy("i")
+            .limit(max_train)
+            .collect()
+        )
+        centers = np.asarray(
+            _kmeans_sample(
+                [r["v"] for r in sample_rows], n_clusters, iters, seed
+            ),
+            dtype="float64",
+        )
+    assign = _assign_cluster_udf(centers)
+    assigned = batch.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    if mt.current_version(spark, store_path) is not None:
+        store = mt.read_table(spark, store_path).select(
+            "cluster", "id", "vec"
+        )
+    else:
+        store = spark.createDataFrame(
+            [], "cluster int, id long, vec array<float>"
+        )
+
+    def admit(key, bpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        if bpdf.empty:
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype="int64"),
+                 "cluster": pd.Series([], dtype="int32"),
+                 "vec": pd.Series([], dtype="object")}
+            )
+        c = int(key[0])
+        order = np.argsort(bpdf["id"].to_numpy())
+        ids = bpdf["id"].to_numpy()[order]
+        M = np.vstack(bpdf["vec"].to_numpy()[order]).astype("float64")
+        nn = np.linalg.norm(M, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        Mn = M / nn
+        cos_c = Mn @ centers[c]
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        chunk = 2048
+        for s in range(0, n, chunk):
+            sims = Mn[s : s + chunk] @ Mn.T
+            ii, jj = np.nonzero(
+                (sims >= threshold)
+                & (
+                    np.arange(s, min(s + chunk, n))[:, None]
+                    < np.arange(n)[None, :]
+                )
+            )
+            for i, j in zip((ii + s).tolist(), jj.tolist()):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+        root = np.array([find(i) for i in range(n)])
+        keep = np.zeros(n, dtype=bool)
+        for r in np.unique(root):
+            members = np.nonzero(root == r)[0]
+            keep[members[np.argmin(cos_c[members])]] = True
+        if not spdf.empty:
+            S = np.vstack(spdf["vec"].to_numpy()).astype("float64")
+            sn = np.linalg.norm(S, axis=1, keepdims=True)
+            sn[sn == 0] = 1.0
+            Sn = S / sn
+            kidx = np.nonzero(keep)[0]
+            for s in range(0, len(kidx), chunk):
+                ks = kidx[s : s + chunk]
+                near = (Mn[ks] @ Sn.T >= threshold).any(axis=1)
+                keep[ks[near]] = False
+        kidx = np.nonzero(keep)[0]
+        # vec must be an OBJECT series even when empty: a bare [] column
+        # defaults to float64, which Arrow cannot convert to list<float>
+        return pd.DataFrame(
+            {
+                "id": pd.Series(ids[kidx], dtype="int64"),
+                "cluster": pd.Series(
+                    np.full(len(kidx), c, dtype="int32")
+                ),
+                "vec": pd.Series(
+                    [M[i].astype("float32").tolist() for i in kidx],
+                    dtype="object",
+                ),
+            }
+        )
+
+    admitted = (
+        assigned.groupBy("cluster")
+        .cogroup(store.groupBy("cluster"))
+        .applyInPandas(admit, "id long, cluster int, vec array<float>")
+        .persist()
+    )
+    meta: dict = {"batch_id": int(batch_id)}
+    if first_batch:
+        meta["n_clusters"] = int(n_clusters)
+        meta["centroids"] = [[float(x) for x in row] for row in centers]
+    mt.write_table(
+        admitted.select("cluster", "id", "vec"),
+        store_path,
+        ["cluster"],
+        mode="append",
+        meta=meta,
+    )
+    return admitted.select(F.col("id").alias(id_col), "cluster")

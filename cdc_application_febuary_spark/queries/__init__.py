@@ -75,6 +75,7 @@ _ROUND_PRIORITY = [
     "stream_dedup_report",
     "semantic_dedup_report",
     "dsir_importance_weights",
+    "incremental_semdedup_fold",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

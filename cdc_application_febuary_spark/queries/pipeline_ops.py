@@ -6933,3 +6933,40 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "logw")
         .orderBy(F.col("logw").desc(), "doc_id")
     )
+
+@_q("incremental_semdedup_fold")  # rows-only: k-means fixpoint + store
+# lifecycle; independence invariant + replay + determinism pinned in
+# tests/test_incremental_semdedup.py.
+def incremental_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup e2e (`operators/incremental_dedup.py:
+    semantic_dedup_batch`): the embedding corpus arrives as three batches
+    against one persistent survivor store — centroids train on batch 1
+    (frozen thereafter, IVF-append policy), each later batch collapses
+    in-batch duplicate groups then probes the store per cluster inside a
+    cogrouped-applyInPandas task. Output: per-batch in/admitted counts,
+    the final store footprint, and a replayed batch proving the
+    exactly-once guard (admitted must be -1 = noop)."""
+    import tempfile
+
+    from ..operators.incremental_dedup import semantic_dedup_batch
+    from ..sources import manifest_table as mt
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = tempfile.mkdtemp(prefix="sem_fold_") + "/kept"
+    rows = []
+    for b in range(3):
+        part = emb.where(F.col("vec_id") % 3 == b)
+        out = semantic_dedup_batch(
+            part, store, b + 1, n_clusters=8, threshold=0.45, seed=42
+        )
+        rows.append((b + 1, part.count(), out.count()))
+    replay = semantic_dedup_batch(
+        emb.where(F.col("vec_id") % 3 == 1), store, 2,
+        n_clusters=8, threshold=0.45, seed=42,
+    )
+    store_rows = mt.read_table(spark, store).count()
+    rows.append((99, 0, -1 if replay is None else replay.count()))
+    return spark.createDataFrame(
+        [(b, n, a, store_rows) for b, n, a in rows],
+        "batch_id int, n_in bigint, admitted bigint, store_rows bigint",
+    ).orderBy("batch_id")

@@ -41,6 +41,7 @@ SKIP_SLOW = {
     "stateful_totals_v2",          # runs a transformWithState stream
     "stream_stream_attribution",   # runs two joined streams to completion
     "stream_dedup_report",         # runs a dedup stream to completion
+    "incremental_semdedup_fold",   # replays a 3-batch store lifecycle
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
