@@ -882,3 +882,103 @@ def semantic_dedup(
             "cos_centroid double, keep boolean",
         )
     )
+
+
+def srp_semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SRP-bucketed semantic dedup with PORTABLE deterministic planes —
+    the oracle-expressible member of the semantic-dedup family.
+
+    `semantic_dedup` (k-means) and `embedding_near_dup_pairs`
+    (seeded-RNG SRP) are rows-only at the driver because their models
+    are not SQL-expressible. This variant swaps the hyperplanes for pure
+    integer arithmetic — plane p, dimension i (1-based) has weight
+    ``((i * 2654435761 + (p+1) * 40503) % 97) - 48`` — and computes each
+    dot product as an exact DECIMAL(18,6) sum of rounded components, so
+    bucket assignment is bit-reproducible in ANY engine and the whole
+    operator (buckets -> intra-bucket cosine pairs -> connected
+    components -> min-id keeper) can be replayed as SQL. Plane quality
+    is mildly worse than seeded-RNG planes (the weights are only
+    pseudo-random), which is the accepted trade for a value oracle; the
+    production tier remains `embedding_near_dup_pairs(use_srp_buckets)`.
+
+    Plan shape: the explode(dim x planes) is pure expressions (no join),
+    bucket assignment is one keyed agg, candidate generation is one
+    bucket equi-self-join verified by the vectorized cosine, and
+    clustering is the shared distributed label propagation. Returns
+    (id, grp, keep) for EVERY input row (singletons keep themselves).
+    """
+    from ..functions.vectors import cosine_pairs
+
+    pl = F.explode(F.array(*[F.lit(p) for p in range(planes)])).alias("p")
+    ex = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("i0", "e"),
+    ).select(
+        "_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("e").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("ev"),
+        pl,
+    )
+    weight = (
+        (F.col("i") * F.lit(2654435761).cast("bigint"))
+        + (F.col("p") + 1) * F.lit(40503)
+    ) % 97 - 48
+    bits = (
+        ex.select("_id", "p", (F.col("ev") * weight).alias("term"))
+        .groupBy("_id", "p")
+        .agg((F.sum("term") >= 0).alias("bit"))
+    )
+    buckets = bits.groupBy("_id").agg(
+        F.sum(
+            # shiftleft's python wrapper wants a literal bit count; the
+            # SQL form accepts the column
+            F.when(F.col("bit"), F.expr("shiftleft(1, p)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("bucket")
+    )
+    withb = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).join(buckets, "_id")
+    a = withb.select(
+        F.col("_id").alias("a"),
+        F.col("_vec").alias("va"),
+        "bucket",
+    )
+    b = withb.select(
+        F.col("_id").alias("b"),
+        F.col("_vec").alias("vb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .where(cosine_pairs(F.col("va"), F.col("vb")) >= threshold)
+        .select("a", "b")
+    )
+    cc = dedup_clusters(pairs)
+    return (
+        emb.select(F.col(id_col).alias("id"))
+        .join(
+            cc.select(
+                F.col("doc_id").alias("id"),
+                F.col("cluster").alias("grp"),
+                "keep",
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("grp"), F.col("id")).alias("grp"),
+            F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -76,6 +76,7 @@ _ROUND_PRIORITY = [
     "semantic_dedup_report",
     "dsir_importance_weights",
     "incremental_semdedup_fold",
+    "srp_semantic_dedup",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

@@ -6970,3 +6970,65 @@ def incremental_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(b, n, a, store_rows) for b, n, a in rows],
         "batch_id int, n_in bigint, admitted bigint, store_rows bigint",
     ).orderBy("batch_id")
+
+@_q(
+    "srp_semantic_dedup",
+    """
+WITH RECURSIVE e AS (
+  SELECT vec_id, i,
+         CAST(ROUND(emb[i], 6) AS DECIMAL(18,6)) AS ev
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+       UNNEST(generate_series(1, len(emb))) AS t(i)
+),
+b AS (
+  SELECT vec_id, p,
+         SUM(ev * (((i * 2654435761) + (p + 1) * 40503) % 97 - 48)) >= 0
+           AS bit
+  FROM e, UNNEST(generate_series(0, 7)) AS pp(p)
+  GROUP BY 1, 2
+),
+bk AS (
+  SELECT vec_id,
+         SUM(CASE WHEN bit THEN 1 << p ELSE 0 END) AS bucket
+  FROM b GROUP BY 1
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+pr AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN v va ON va.vec_id = x.vec_id
+  JOIN v vb ON vb.vec_id = y.vec_id
+  WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.45
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS grp
+         FROM reach GROUP BY src)
+SELECT emb0.vec_id AS id,
+       COALESCE(c.grp, emb0.vec_id) AS grp,
+       (c.vec_id IS NULL OR c.grp = emb0.vec_id) AS keep
+FROM embeddings emb0 LEFT JOIN comp c USING (vec_id)
+ORDER BY id
+""",
+)
+def srp_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-PAIRED member of the semantic-dedup family
+    (`operators/dedup.py:srp_semantic_dedup`): SRP buckets from PORTABLE
+    integer-arithmetic hyperplanes, dot products as exact DECIMAL(18,6)
+    sums (bit-reproducible bucket assignment in any engine), intra-bucket
+    cosine pairs, connected components, min-id keeper. The k-means and
+    seeded-RNG tiers stay rows-only by nature; this query puts a value
+    hash on the bucketed-semantic-dedup SHAPE itself — the oracle
+    replays buckets, pairing, and the transitive closure in recursive
+    SQL."""
+    from ..operators.dedup import srp_semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_semantic_dedup(emb, planes=8, threshold=0.45).orderBy("id")

@@ -42,6 +42,7 @@ SKIP_SLOW = {
     "stream_stream_attribution",   # runs two joined streams to completion
     "stream_dedup_report",         # runs a dedup stream to completion
     "incremental_semdedup_fold",   # replays a 3-batch store lifecycle
+    "srp_semantic_dedup",          # label-prop loop runs at build time
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

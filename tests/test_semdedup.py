@@ -167,3 +167,22 @@ def test_partitioning_invariant(spark, sf_dir):
         ).collect()
     )
     assert a == b
+
+
+def test_srp_semantic_dedup_planted_pair(spark):
+    """Portable-plane SRP tier: a near-identical pair shares every sign
+    bit (same bucket), dedups to the min id; an orthogonal singleton
+    keeps itself."""
+    from cdc_application_febuary_spark.operators.dedup import (
+        srp_semantic_dedup,
+    )
+
+    rng = np.random.RandomState(11)
+    a = (np.eye(16)[0] + 0.01 * rng.randn(16)).tolist()
+    a2 = (np.asarray(a) + 0.0001 * rng.randn(16)).tolist()
+    c = (np.eye(16)[5] + 0.01 * rng.randn(16)).tolist()
+    df = _df_from_vecs(spark, [a, a2, c])
+    got = {r["id"]: r for r in srp_semantic_dedup(df, threshold=0.99).collect()}
+    assert got[0]["grp"] == got[1]["grp"] == 0
+    assert got[0]["keep"] and not got[1]["keep"]
+    assert got[2]["grp"] == 2 and got[2]["keep"]
