@@ -914,37 +914,9 @@ def srp_semantic_dedup(
     (id, grp, keep) for EVERY input row (singletons keep themselves).
     """
     from ..functions.vectors import cosine_pairs
+    from .similarity import portable_srp_buckets
 
-    pl = F.explode(F.array(*[F.lit(p) for p in range(planes)])).alias("p")
-    ex = emb.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.col(vec_col)).alias("i0", "e"),
-    ).select(
-        "_id",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("e").cast("double"), 6)
-        .cast("decimal(18,6)")
-        .alias("ev"),
-        pl,
-    )
-    weight = (
-        (F.col("i") * F.lit(2654435761).cast("bigint"))
-        + (F.col("p") + 1) * F.lit(40503)
-    ) % 97 - 48
-    bits = (
-        ex.select("_id", "p", (F.col("ev") * weight).alias("term"))
-        .groupBy("_id", "p")
-        .agg((F.sum("term") >= 0).alias("bit"))
-    )
-    buckets = bits.groupBy("_id").agg(
-        F.sum(
-            # shiftleft's python wrapper wants a literal bit count; the
-            # SQL form accepts the column
-            F.when(F.col("bit"), F.expr("shiftleft(1, p)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("bucket")
-    )
+    buckets = portable_srp_buckets(emb, id_col, vec_col, planes)
     withb = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
     ).join(buckets, "_id")

@@ -437,3 +437,96 @@ def ivf_topk(
             "query_id", "neighbor_id", "rank", F.round(F.col("sim"), 6).alias("sim")
         )
     )
+
+
+def portable_srp_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+) -> DataFrame:
+    """(_id, bucket) — SRP sign-bit buckets from PORTABLE hyperplanes.
+
+    Plane p, dimension i (1-based) has integer weight
+    ``((i * 2654435761 + (p+1) * 40503) % 97) - 48``; each dot product
+    is an exact DECIMAL(18,6) sum of 6-rounded components, so the sign
+    bits — and hence the bucket id — are bit-reproducible in any engine
+    (the oracle-expressible trade: plane quality is mildly worse than
+    the seeded-RNG planes of `_srp_buckets_udf`, which remain the
+    production tier). Everything is JVM-side expressions: one explode
+    over dim x planes, two keyed aggregations, no Python, no join."""
+    pl = F.explode(F.array(*[F.lit(p) for p in range(planes)])).alias("p")
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("i0", "e"),
+    ).select(
+        "_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("e").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("ev"),
+        pl,
+    )
+    weight = (
+        (F.col("i") * F.lit(2654435761).cast("bigint"))
+        + (F.col("p") + 1) * F.lit(40503)
+    ) % 97 - 48
+    bits = (
+        ex.select("_id", "p", (F.col("ev") * weight).alias("term"))
+        .groupBy("_id", "p")
+        .agg((F.sum("term") >= 0).alias("bit"))
+    )
+    return bits.groupBy("_id").agg(
+        F.sum(
+            F.when(F.col("bit"), F.expr("shiftleft(1, p)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("bucket")
+    )
+
+
+def lsh_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """LSH approximate top-k over PORTABLE SRP buckets — the
+    oracle-expressible twin of `lsh_topk`: candidates are the corpus
+    vectors sharing the query's bucket (recall < 1 by design, the LSH
+    trade), ranked by exact cosine. Because `portable_srp_buckets` is
+    bit-reproducible, the ENTIRE result — candidate set included — can
+    be replayed as SQL, giving the ANN-LSH shape a value-hashed driver
+    verdict. One bucket equi-join, vectorized cosine verify,
+    per-query window top-k."""
+    from ..functions.vectors import cosine_pairs
+
+    cb = portable_srp_buckets(corpus, id_col, vec_col, planes)
+    qb = portable_srp_buckets(queries, id_col, vec_col, planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).join(cb.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).join(qb.withColumnRenamed("_id", "query_id"), "query_id")
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim0", cosine_pairs(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim0").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim0"), 6).alias("sim"),
+        )
+    )

@@ -77,6 +77,7 @@ _ROUND_PRIORITY = [
     "dsir_importance_weights",
     "incremental_semdedup_fold",
     "srp_semantic_dedup",
+    "ann_topk_lsh_portable",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

@@ -7032,3 +7032,60 @@ def srp_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return srp_semantic_dedup(emb, planes=8, threshold=0.45).orderBy("id")
+
+@_q(
+    "ann_topk_lsh_portable",
+    """
+WITH e AS (
+  SELECT vec_id, i,
+         CAST(ROUND(emb[i], 6) AS DECIMAL(18,6)) AS ev
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+       UNNEST(generate_series(1, len(emb))) AS t(i)
+),
+b AS (
+  SELECT vec_id, p,
+         SUM(ev * (((i * 2654435761) + (p + 1) * 40503) % 97 - 48)) >= 0
+           AS bit
+  FROM e, UNNEST(generate_series(0, 3)) AS pp(p)
+  GROUP BY 1, 2
+),
+bk AS (
+  SELECT vec_id,
+         SUM(CASE WHEN bit THEN 1 << p ELSE 0 END) AS bucket
+  FROM b GROUP BY 1
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(qv.emb, cv.emb) AS sim0
+  FROM bk q
+  JOIN bk c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  JOIN v qv ON qv.vec_id = q.vec_id
+  JOIN v cv ON cv.vec_id = c.vec_id
+  WHERE q.vec_id % 10 = 0
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim0, 6) AS sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim0 DESC, neighbor_id ASC)
+               AS rank
+      FROM scored) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def ann_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-LSH with a VALUE oracle (`operators/similarity.py:
+    lsh_topk_portable`): portable integer-arithmetic SRP planes make the
+    bucket assignment — and therefore the candidate set — bit-
+    reproducible, so the approximate result itself hash-checks against
+    SQL (the seeded-RNG `ann_topk_lsh` stays rows-only by nature; this
+    pins the LSH SHAPE: equi-join candidate generation, exact cosine
+    re-rank, per-query top-k)."""
+    from ..operators.similarity import lsh_topk_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return lsh_topk_portable(emb, queries, k=5, planes=4).orderBy(
+        "query_id", "rank"
+    )
