@@ -492,7 +492,6 @@ def lsh_topk_portable(
     planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
 ) -> DataFrame:
     """LSH approximate top-k over PORTABLE SRP buckets — the
     oracle-expressible twin of `lsh_topk`: candidates are the corpus

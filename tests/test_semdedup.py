@@ -186,3 +186,38 @@ def test_srp_semantic_dedup_planted_pair(spark):
     assert got[0]["grp"] == got[1]["grp"] == 0
     assert got[0]["keep"] and not got[1]["keep"]
     assert got[2]["grp"] == 2 and got[2]["keep"]
+
+
+def test_lsh_topk_portable_recall_matches_srp_theory(spark, sf_dir):
+    """Single-table SRP recall is predictable: a pair at angle theta
+    shares all sign bits with probability (1 - theta/pi)^planes. The
+    measured recall@5 of the portable-plane LSH must sit within ±0.1 of
+    the prediction averaged over the TRUE top-5 pairs — the honest
+    statement of the approximate tier's trade (the value oracle pins
+    WHAT it returns; this pins that the recall is the theoretical one,
+    not an implementation accident)."""
+    from cdc_application_febuary_spark.catalog import load_table
+    from cdc_application_febuary_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    qq = q.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, qq, k=5).collect()
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk_portable(emb, q, k=5, planes=4).collect()
+    }
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    measured = len(approx & truth) / len(truth)
+    predicted = float(
+        np.mean(
+            [
+                (1.0 - np.arccos(np.clip(r["sim"], -1, 1)) / np.pi) ** 4
+                for r in exact
+            ]
+        )
+    )
+    assert abs(measured - predicted) < 0.1, (measured, predicted)
