@@ -73,6 +73,9 @@ SCALAR_BROADCAST_OK = {
     # 1-row corpus doc-count broadcast for the IDF denominator
     # (vectorize.py hashed TF-IDF)
     "doc_similarity_tfidf",
+    # two 1-row model totals (raw tr/v, target tt) crossed into the
+    # per-word weight expression (operators/dsir.py)
+    "dsir_importance_weights",
 }
 
 
