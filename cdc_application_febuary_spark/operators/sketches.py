@@ -62,3 +62,99 @@ def distinct_by_shard(
         F.lit("<all>").alias("shard"), "distinct_estimate"
     )
     return per_shard.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency sketch, pure expressions
+# ---------------------------------------------------------------------------
+def cms_shard_sketches(
+    df: DataFrame,
+    value_col: str,
+    shard_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(shard, cms array<bigint> of depth*width counters) — one count-min
+    sketch per shard, the frequency twin of `shard_sketches`: est(x) =
+    min over rows r of counter[r*width + xxhash64(x, r) % width], always
+    >= the true count, and <= true + (e/width)*N with probability
+    1 - exp(-depth) (Cormode-Muthukrishnan). Stored per shard, any
+    rollup is an element-wise array sum (`cms_merge`) with NO rescan —
+    exact over the counter state, so shard-then-merge equals one global
+    pass bit-for-bit (pinned in tests/test_sketches.py).
+
+    Everything is JVM expressions: explode depth rows per item, one
+    grouped count bounded at depth*width rows per shard, then a dense
+    pack via a sequence transform over a map literal. No Python, no
+    driver collect; the shuffle carries (shard, r, c) counts and then
+    KB-sized blobs."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    ex = df.select(
+        F.col(shard_col).alias("shard"), F.col(value_col).alias("v"), rows
+    ).select(
+        "shard",
+        (
+            F.col("r") * width
+            + F.pmod(F.xxhash64(F.col("v"), F.col("r")), F.lit(width))
+        ).alias("pos"),
+    )
+    cnt = ex.groupBy("shard", "pos").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.groupBy("shard")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("pos"), F.collect_list("n")
+            ).alias("m")
+        )
+        .select(
+            "shard",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth * width - 1)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0)).cast(
+                    "bigint"
+                ),
+            ).alias("cms"),
+        )
+    )
+
+
+def cms_merge(sketches: DataFrame, cms_col: str = "cms") -> DataFrame:
+    """Element-wise sum of all sketch rows into one global sketch (the
+    input is one blob per shard; this agg moves KBs)."""
+    ex = sketches.select(
+        F.posexplode(F.col(cms_col)).alias("pos", "n")
+    ).groupBy("pos").agg(F.sum("n").alias("n"))
+    return ex.agg(
+        F.map_from_arrays(
+            F.collect_list("pos"), F.collect_list("n")
+        ).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("m")) - 1),
+            lambda i: F.coalesce(F.col("m")[i], F.lit(0)).cast("bigint"),
+        ).alias("cms")
+    )
+
+
+def cms_estimate(
+    items: DataFrame,
+    cms: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """items x [broadcast 1-row sketch] -> (original columns, cms_est).
+    The estimate is the min over depth counters — pure expressions on a
+    single crossed-in blob (the scalar-broadcast idiom)."""
+    est = F.least(
+        *[
+            F.col("cms")[
+                r * width
+                + F.pmod(
+                    F.xxhash64(F.col(value_col), F.lit(r)), F.lit(width)
+                )
+            ]
+            for r in range(depth)
+        ]
+    ).alias("cms_est")
+    return items.crossJoin(F.broadcast(cms)).select(*items.columns, est)

@@ -78,6 +78,7 @@ _ROUND_PRIORITY = [
     "incremental_semdedup_fold",
     "srp_semantic_dedup",
     "ann_topk_lsh_portable",
+    "cms_user_counts",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

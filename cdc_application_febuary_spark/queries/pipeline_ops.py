@@ -7089,3 +7089,35 @@ def ann_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_portable(emb, queries, k=5, planes=4).orderBy(
         "query_id", "rank"
     )
+
+@_q("cms_user_counts")  # rows-only: xxhash64-seeded counters (the hash
+# has no DuckDB twin); never-underestimates + eps-bound + shard-merge==
+# global pinned in tests/test_sketches.py.
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch driver-visible (`operators/sketches.py:
+    cms_shard_sketches/cms_merge/cms_estimate`): per-event-type sketches
+    of user activity merge element-wise into one global sketch (KBs
+    moved, no rescan — the stored-sketch rollup pattern shared with the
+    HLL family), then the top-20 exact-heaviest users read their
+    estimates off the merged blob. Output carries the exact count next
+    to the estimate so the overestimate discipline is visible in the
+    result itself."""
+    from ..operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    merged = SK.cms_merge(
+        SK.cms_shard_sketches(ev, "user_id", "event_type")
+    )
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(20)
+    )
+    return (
+        SK.cms_estimate(truth, merged, "user_id")
+        .select("user_id", "true_cnt", "cms_est")
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+    )

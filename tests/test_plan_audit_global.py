@@ -76,6 +76,9 @@ SCALAR_BROADCAST_OK = {
     # two 1-row model totals (raw tr/v, target tt) crossed into the
     # per-word weight expression (operators/dsir.py)
     "dsir_importance_weights",
+    # 1-row merged CMS blob crossed into the estimate expression
+    # (operators/sketches.py:cms_estimate)
+    "cms_user_counts",
 }
 
 

@@ -65,3 +65,42 @@ def test_shuffle_carries_blobs_not_values(spark, values):
         .toString()
     )
     assert "hll_union_agg" in plan
+
+
+def test_cms_never_underestimates_and_bounds_error(spark, sf_dir):
+    """Count-min guarantees est >= true always; with depth 4 x width 256
+    over the fixture's event users the overestimate stays far below the
+    eps*N bound."""
+    from cdc_application_febuary_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    sk = sketches.cms_shard_sketches(
+        ev, "user_id", "event_type", depth=4, width=256
+    )
+    merged = sketches.cms_merge(sk)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketches.cms_estimate(truth, merged, "user_id").collect()
+    n_total = ev.count()
+    assert est, "no estimates"
+    for r in est:
+        assert r["cms_est"] >= r["true_cnt"], r
+        # e/width * N, the standard eps bound
+        assert r["cms_est"] - r["true_cnt"] <= (2.72 / 256) * n_total, r
+
+
+def test_cms_shard_merge_equals_global_build(spark, sf_dir):
+    """Element-wise merging per-type sketches must equal one global
+    sketch bit-for-bit — counters are exact, sharding loses nothing."""
+    from cdc_application_febuary_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    merged = sketches.cms_merge(
+        sketches.cms_shard_sketches(ev, "user_id", "event_type")
+    ).first()["cms"]
+    single = sketches.cms_merge(
+        sketches.cms_shard_sketches(
+            ev.withColumn("one", F.lit("g")), "user_id", "one"
+        )
+    ).first()["cms"]
+    assert merged == single
+    assert sum(merged) == 4 * ev.count()  # every row lands in all 4 rows
