@@ -221,3 +221,42 @@ def test_lsh_topk_portable_recall_matches_srp_theory(spark, sf_dir):
         )
     )
     assert abs(measured - predicted) < 0.1, (measured, predicted)
+
+
+def test_portable_buckets_bit_exact_vs_python_reference(spark):
+    """portable_srp_buckets must equal a from-scratch python reference
+    (decimal arithmetic, same weight formula) on arbitrary float32
+    vectors — the property the SQL oracles lean on — and be invariant
+    to input partitioning (exact DECIMAL sums)."""
+    from decimal import Decimal
+
+    from cdc_application_febuary_spark.operators.similarity import (
+        portable_srp_buckets,
+    )
+
+    rng = np.random.RandomState(23)
+    vecs = [np.float32(rng.randn(12)).tolist() for _ in range(40)]
+    df = _df_from_vecs(spark, vecs)
+
+    def ref_bucket(v, planes=8):
+        b = 0
+        for p in range(planes):
+            s = Decimal(0)
+            for i, e in enumerate(v, start=1):
+                w = ((i * 2654435761) + (p + 1) * 40503) % 97 - 48
+                s += Decimal(f"{float(np.float32(e)):.6f}") * w
+            if s >= 0:
+                b |= 1 << p
+        return b
+
+    expect = {i: ref_bucket(v) for i, v in enumerate(vecs)}
+    got = {
+        r["_id"]: r["bucket"]
+        for r in portable_srp_buckets(df).collect()
+    }
+    assert got == expect
+    got_rep = {
+        r["_id"]: r["bucket"]
+        for r in portable_srp_buckets(df.repartition(7)).collect()
+    }
+    assert got_rep == expect
