@@ -79,6 +79,7 @@ _ROUND_PRIORITY = [
     "srp_semantic_dedup",
     "ann_topk_lsh_portable",
     "cms_user_counts",
+    "stream_stream_left_outer",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

@@ -7121,3 +7121,148 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "true_cnt", "cms_est")
         .orderBy(F.col("true_cnt").desc(), "user_id")
     )
+
+@_q(
+    "stream_stream_left_outer",
+    """
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(b.user_id) AS BIGINT) AS n_matched,
+       CAST(COUNT(*) - COUNT(b.user_id) AS BIGINT) AS n_unmatched,
+       CAST(COALESCE(SUM(epoch_us(b.ts) - epoch_us(a.ts)), 0) AS BIGINT)
+         AS sum_gap_us
+FROM (SELECT user_id, ts FROM events
+      WHERE event_type = 'click'
+        AND ts < TIMESTAMP '2024-01-08 00:00:00') a
+LEFT JOIN (SELECT user_id, ts FROM events
+           WHERE event_type = 'purchase'
+             AND ts < TIMESTAMP '2024-01-08 00:00:00') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+GROUP BY 1
+ORDER BY user_id
+""",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream x stream LEFT OUTER interval join with watermark-finalized
+    null emission — the semantics `stream_stream_attribution` (inner,
+    emit-on-match) cannot show: an unmatched click may only emit once
+    the watermark PROVES no purchase can still arrive, so the output is
+    a statement about state finalization, value-checked against the
+    batch LEFT JOIN.
+
+    Feed discipline that makes the stream exact: each side's files are
+    split AT AN EVENT-TIME BOUNDARY (not coalesce — an arbitrary split
+    lets a match arrive after its click was already evicted and
+    null-emitted, diverging from batch), so under the 30-minute
+    watermark no click within the 2-hour bound of the boundary can be
+    finalized before its candidate purchases arrive. Two out-of-band
+    sentinel files per SIDE (global watermark = min across sources)
+    push the watermark past the horizon and trigger the flush batch;
+    the sentinels' own clicks never finalize and never appear."""
+    import json as _json
+    import pathlib
+    import tempfile
+
+    from ..streaming.joins import stream_stream_range_join
+
+    work = tempfile.mkdtemp(prefix="ss_outer_")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    halves = [
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"),
+        F.col("ts") >= F.lit("2024-01-04 00:00:00").cast("timestamp"),
+    ]
+    feeds = {}
+    for side, etype, ts_name in (
+        ("clicks", "click", "click_ts"),
+        ("buys", "purchase", "buy_ts"),
+    ):
+        path = pathlib.Path(work, side)
+        path.mkdir()
+        for hi, cond in enumerate(halves):
+            stage = f"{work}/{side}_h{hi}"
+            (
+                ev.where((F.col("event_type") == etype) & cond)
+                .select(
+                    F.to_json(
+                        F.struct(
+                            F.col("user_id"),
+                            F.unix_micros("ts").alias("ts_us"),
+                        )
+                    ).alias("value")
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .text(stage)
+            )
+            part = next(pathlib.Path(stage).glob("part-*"))
+            part.rename(path / f"h{hi}.txt")
+        # sentinels: 2024-01-12 00:00 and 00:10 UTC in epoch-micros —
+        # neither advances far enough to finalize ITSELF (needs
+        # watermark > own ts + 2h), so sentinel clicks never emit
+        for zi, ts_us in (("z1", 1705017600_000_000), ("z2", 1705018200_000_000)):
+            (path / f"{zi}.txt").write_text(
+                _json.dumps({"user_id": -1, "ts_us": ts_us}) + "\n"
+            )
+        feeds[side] = (str(path), ts_name)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+    )
+
+    def read_feed(side: str) -> DataFrame:
+        path, ts_name = feeds[side]
+        return (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(path)
+            .select(F.from_json("value", schema).alias("p"))
+            .select(
+                F.col("p.user_id").alias("user_id"),
+                F.timestamp_micros(F.col("p.ts_us")).alias(ts_name),
+            )
+        )
+
+    joined = stream_stream_range_join(
+        read_feed("clicks"),
+        read_feed("buys"),
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        max_delay="2 hours",
+        watermark="30 minutes",
+        how="leftOuter",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        (
+            F.unix_micros(F.col("r.buy_ts"))
+            - F.unix_micros(F.col("l.click_ts"))
+        ).alias("gap_us"),
+    )
+    target = f"{work}/target"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.read.parquet(target)
+        .where(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("gap_us").alias("n_matched"),
+            F.sum(F.col("gap_us").isNull().cast("bigint")).alias(
+                "n_unmatched"
+            ),
+            F.coalesce(F.sum("gap_us"), F.lit(0)).alias("sum_gap_us"),
+        )
+        .orderBy("user_id")
+    )

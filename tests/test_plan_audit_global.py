@@ -43,6 +43,7 @@ SKIP_SLOW = {
     "stream_dedup_report",         # runs a dedup stream to completion
     "incremental_semdedup_fold",   # replays a 3-batch store lifecycle
     "srp_semantic_dedup",          # label-prop loop runs at build time
+    "stream_stream_left_outer",    # runs an outer-join stream to completion
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

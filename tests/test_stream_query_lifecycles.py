@@ -69,3 +69,54 @@ def test_stream_dedup_report_drops_planted_duplicates(spark, sf_dir):
         .collect()
     }
     assert {r["event_type"]: r["n_rows"] for r in rows} == truth
+
+
+def test_stream_stream_left_outer_matches_batch(spark, sf_dir):
+    """Watermark-finalized null emission equals the batch LEFT JOIN:
+    same per-user row/matched/unmatched counts and exact gap sums."""
+    from cdc_application_febuary_spark.catalog import load_table
+    from cdc_application_febuary_spark.queries.pipeline_ops import (
+        stream_stream_left_outer,
+    )
+
+    got = {r["user_id"]: r.asDict() for r in
+           stream_stream_left_outer(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts")
+    )
+    batch = (
+        clicks.join(
+            buys,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (
+                F.col("buy_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")
+            ),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("buy_ts").alias("n_matched"),
+            F.sum(F.col("buy_ts").isNull().cast("bigint")).alias(
+                "n_unmatched"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.unix_micros("buy_ts") - F.unix_micros("click_ts")
+                ),
+                F.lit(0),
+            ).alias("sum_gap_us"),
+        )
+        .collect()
+    )
+    expect = {r["user_id"]: r.asDict() for r in batch}
+    assert got == expect
+    assert any(r["n_unmatched"] > 0 for r in got.values())
