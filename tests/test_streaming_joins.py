@@ -162,3 +162,58 @@ def test_running_counts_transform_with_state(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_dedup_horizon_expiry_readmits(spark, tmp_path):
+    """The documented trade of watermark-bounded dedup, pinned as a
+    POSITIVE test: once the watermark passes a key's event time plus the
+    delay, its state evicts — a duplicate arriving later (by event time)
+    is re-admitted. Bounded state means bounded memory at 100 TB, not a
+    full-history set; this test keeps the docstring honest."""
+    import os
+    import time
+
+    from cdc_application_febuary_spark.streaming.joins import stream_dedup
+
+    feed = tmp_path / "hfeed"
+    # batch 1: key a at 00:00 under a 10-minute watermark
+    _feed(feed, [{"k": "a", "ts": "2024-01-01T00:00:00", "v": 1}])
+    # batch 2: event time jumps 2 hours -> after this batch the
+    # watermark is 01:50, past a's 00:10 expiry
+    _feed(feed, [{"k": "w", "ts": "2024-01-01T02:00:00", "v": 2}])
+    # batch 3: w's duplicate is WITHIN its horizon (dropped); the z row
+    # pushes the watermark further AND gives the batch boundary at which
+    # a's expired state is actually swept (eviction applies at batch
+    # end, one batch after the watermark passes)
+    _feed(feed, [
+        {"k": "w", "ts": "2024-01-01T02:05:00", "v": 4},
+        {"k": "z", "ts": "2024-01-01T03:00:00", "v": 9},
+    ])
+    # batch 4: a's LATE duplicate re-admits — its state is gone
+    _feed(feed, [{"k": "a", "ts": "2024-01-01T03:01:00", "v": 3}])
+    # the file source orders batches by mtime — same-millisecond writes
+    # tie and scramble arrival order (seen: w's file first, making a's
+    # 00:00 row late-below-watermark and silently dropped); stamp
+    # strictly increasing mtimes so arrival order is the written order
+    base = time.time()
+    for i, name in enumerate(["b0.json", "b1.json", "b2.json", "b3.json"]):
+        os.utime(feed / name, (base + i, base + i))
+    stream = spark.readStream.schema("k string, ts timestamp, v long").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(feed))
+    out = stream_dedup(stream, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("hdd")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["k"], r["v"]) for r in spark.sql("SELECT * FROM hdd").collect())
+    assert ("a", 1) in got and ("w", 2) in got and ("z", 9) in got
+    assert ("w", 4) not in got, "within-horizon duplicate leaked"
+    assert ("a", 3) in got, (
+        "expected horizon re-admission — if this starts failing, Spark "
+        "extended state retention and the docstring trade needs rewording"
+    )
