@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StructField, StructType
 
-from ..functions.text import fingerprint, word_shingles
+from ..functions.text import fingerprint, tokens, word_shingles
 
 
 # --------------------------------------------------------------------------
@@ -954,3 +954,111 @@ def srp_semantic_dedup(
             F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def simhash_portable_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-pairs with a PORTABLE feature hash — the
+    oracle-expressible member of the simhash family (`simhash` /
+    `simhash_near_pairs` use xxhash64 and stay rows-only at the driver).
+
+    Feature value per token: the first four characters' code points
+    folded base-131 then mixed with the Knuth multiplicative constant —
+    pure integer arithmetic both Spark and any SQL engine reproduce
+    bit-for-bit (ascii(substr(t,i,1)) with '' -> 0 on both). Tokens
+    sharing a 4-char prefix collide, the accepted trade for
+    replayability; the production tier keeps full-token xxhash64.
+
+    Shape is the classic simhash pipeline, all JVM expressions: explode
+    tokens (multiplicity = weight), vote ±1 per fingerprint bit, sign
+    of the per-bit sum builds the fingerprint, chunk-banding
+    (``bands`` equi-join keys of ``bits/bands`` bits) generates
+    candidates — two fingerprints within ``max_hamming`` bits must
+    agree on at least one chunk when ``max_hamming < bands`` — and the
+    exact Hamming distance (``bit_count(a ^ b)``) verifies. Returns
+    (a, b, hamming), a < b."""
+    assert bits % bands == 0
+    chunk_bits = bits // bands
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    )
+    v = sum(
+        (
+            F.ascii(F.substring(F.col("t"), i + 1, 1)).cast("bigint")
+            * (131 ** (3 - i))
+            for i in range(4)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    h = (v * F.lit(2654435761).cast("bigint")) % F.lit(2**bits).cast(
+        "bigint"
+    )
+    bitcol = F.explode(
+        F.array(*[F.lit(b) for b in range(bits)])
+    ).alias("b")
+    votes = (
+        tok.select("_id", h.alias("h"), bitcol)
+        .select(
+            "_id",
+            "b",
+            # SQL form: the python shiftright wrapper wants a literal
+            # bit count, not a column
+            F.when(F.expr("shiftright(h, b)") % 2 == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("vote"),
+        )
+        .groupBy("_id", "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    fp = votes.groupBy("_id").agg(
+        F.sum(
+            # bigint base: shiftleft(1, 31) overflows INT to negative
+            F.when(
+                F.col("s") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("fp")
+    )
+    banded = fp.select(
+        "_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        (
+                            F.shiftright(F.col("fp"), band * chunk_bits)
+                            % (1 << chunk_bits)
+                        ).alias("chunk"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("_id", "fp", "bc.band", "bc.chunk")
+    a = banded.select(
+        F.col("_id").alias("a"), F.col("fp").alias("fa"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("_id").alias("b"), F.col("fp").alias("fb"), "band", "chunk"
+    )
+    pairs = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr("bit_count(fa ^ fb)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs

@@ -80,6 +80,7 @@ _ROUND_PRIORITY = [
     "ann_topk_lsh_portable",
     "cms_user_counts",
     "stream_stream_left_outer",
+    "dedup_simhash_portable",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",

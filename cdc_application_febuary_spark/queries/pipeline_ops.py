@@ -7266,3 +7266,62 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+@_q(
+    "dedup_simhash_portable",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+hv AS (
+  SELECT doc_id,
+    ((ascii(substr(t, 1, 1)) * 2248091
+    + ascii(substr(t, 2, 1)) * 17161
+    + ascii(substr(t, 3, 1)) * 131
+    + ascii(substr(t, 4, 1))) * 2654435761) % 4294967296 AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hv, UNNEST(generate_series(0, 31)) AS bb(b)
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE 0 END) AS BIGINT) AS fp
+  FROM votes GROUP BY 1
+),
+banded AS (
+  SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS chunk
+  FROM fp, UNNEST(generate_series(0, 3)) AS bd(band)
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.fp, y.fp)) AS hamming
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+) p
+WHERE hamming <= 3
+ORDER BY a, b
+""",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs with a VALUE oracle
+    (`operators/dedup.py:simhash_portable_pairs`) — completing the
+    portable-oracle trio (SRP semantic dedup, portable ANN-LSH, and now
+    simhash): the token feature is the base-131 fold of the first four
+    code points mixed with the Knuth constant, pure integer arithmetic
+    either engine replays bit-for-bit, so fingerprints, chunk-banded
+    candidates, and exact Hamming verification all hash-check in SQL.
+    The xxhash64 production tier (`dedup_simhash`) stays rows-only by
+    nature."""
+    from ..operators.dedup import simhash_portable_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_portable_pairs(docs).orderBy("a", "b")

@@ -181,3 +181,28 @@ def test_duplicated_span_stats(spark):
     assert s2 == {
         k: (v["n_windows"], v["dup_windows"]) for k, v in out.items()
     }
+
+
+def test_simhash_portable_pairs_planted(spark):
+    """Portable-feature simhash: a doc and its near-copy (one token
+    changed) land within the hamming budget; a disjoint-vocabulary doc
+    pairs with neither."""
+    from cdc_application_febuary_spark.operators.dedup import (
+        simhash_portable_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (0, base + "alpha"),
+            (1, base + "omega"),  # near-copy: one trailing token differs
+            (2, "zzz yyy xxx www vvv uuu ttt sss rrr qqq " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_portable_pairs(docs, max_hamming=3).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] <= 3
+    assert not any(2 in p for p in got), got
