@@ -247,11 +247,19 @@ def write_avro(df, path: str, codec: str = "deflate") -> None:
         import uuid
 
         rows = ({c: r[c] for c in cols} for r in it)
-        # unique name per partition+attempt: task retries never collide
-        fname = f"{path}/part-{idx:05d}-{uuid.uuid4().hex}.avro"
-        n = write_avro_file(fname, schema, rows, codec=codec)
+        # write-then-rename commit: the attempt writes to a hidden staging
+        # name and renames only on success, so a failed/retried or
+        # speculative attempt never leaves a partial container in the
+        # listing (readers skip dotfiles); rename is atomic on POSIX and
+        # the uuid keeps concurrent attempts from colliding.
+        token = uuid.uuid4().hex
+        final = f"{path}/part-{idx:05d}-{token}.avro"
+        staging = f"{path}/.part-{idx:05d}-{token}.avro.tmp"
+        n = write_avro_file(staging, schema, rows, codec=codec)
         if n == 0:
-            os.remove(fname)  # no empty containers
+            os.remove(staging)  # no empty containers
+        else:
+            os.rename(staging, final)
         return iter(())
 
     df.rdd.mapPartitionsWithIndex(write_partition).count()

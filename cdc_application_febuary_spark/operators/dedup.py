@@ -288,7 +288,7 @@ def duplicated_span_stats(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("dup_windows"))
     )
-    return (
+    out = (
         totals.join(dups, "id", "left")
         .select(
             "id",
@@ -300,6 +300,14 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+    # the exploded window table is the module's largest intermediate
+    # (rows = total corpus token count): materialize the small per-doc
+    # result (localCheckpoint cuts the lineage back to `wins`), then
+    # release the cache immediately instead of leaking it for the
+    # process lifetime.
+    out = out.localCheckpoint(eager=True)
+    wins.unpersist()
+    return out
 
 
 def sig_pair_similarity(

@@ -493,4 +493,11 @@ def semantic_dedup_batch(
         mode="append",
         meta=meta,
     )
-    return admitted.select(F.col("id").alias(id_col), "cluster")
+    # the store append above materialized `admitted`; checkpoint the small
+    # (id, cluster) projection and release the cached vectors rather than
+    # leaking the block for the process lifetime.
+    out = admitted.select(F.col("id").alias(id_col), "cluster").localCheckpoint(
+        eager=True
+    )
+    admitted.unpersist()
+    return out

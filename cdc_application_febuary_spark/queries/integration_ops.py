@@ -174,14 +174,16 @@ def consumer_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(100)
     )
     offsets = (
-        ev.groupBy(
-            F.col("event_type"), (F.col("user_id") % 4).alias("pid")
-        )
+        # pid is a REAL column (not a grouping alias resolved inside agg):
+        # alias-in-agg resolution is a fragile path Spark rejects in SQL
+        # form (ADVICE r5).
+        ev.withColumn("pid", F.col("user_id") % 4)
+        .groupBy("event_type", "pid")
         .agg(
             F.count(F.lit(1)).alias("end_offset"),
             (
                 F.count(F.when(F.col("event_id") % modulus != 0, 1))
-                + F.when(F.col("pid") % 4 == 3, 5).otherwise(0)
+                + F.when(F.col("pid") == 3, 5).otherwise(0)
             ).alias("committed_offset"),
         )
         .select(

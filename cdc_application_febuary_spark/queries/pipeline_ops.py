@@ -6876,9 +6876,11 @@ def stream_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_importance_weights",
     """
 WITH toks AS (
-  SELECT doc_id,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-  FROM documents
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
 ),
 raw_m AS (SELECT w, COUNT(*) AS cr FROM toks GROUP BY 1),
 raw_tot AS (SELECT SUM(cr) AS tr, COUNT(*) AS v FROM raw_m),
@@ -7271,9 +7273,11 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_portable",
     """
 WITH tok AS (
-  SELECT doc_id,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-  FROM documents
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
 ),
 hv AS (
   SELECT doc_id,
