@@ -214,3 +214,118 @@ def leakage_safe_split(
             F.lit("valid")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable (engine-parity) samplers: md5-based 32-bit unit hash
+# ---------------------------------------------------------------------------
+# The xxhash64 samplers above are the cheap production tier (one JVM hash
+# per row, no string materialization). The portable tier below hashes the
+# DECIMAL STRING of the id through md5 and takes the leading 32 bits —
+# reproducible bit-for-bit in any engine with md5 (DuckDB:
+# ``('0x' || substr(md5(x), 1, 8))::BIGINT``), the property that lets a
+# SQL oracle replay the exact draw. Thresholds are INTEGERS on the
+# [0, 2^32) hash line (never float fractions), so membership is pure
+# integer comparison on both engines. Cost note: md5-of-string is ~5x an
+# xxhash64 — still a map-only filter that pushes down and shuffles
+# nothing, so the 100 TB shape is unchanged.
+
+_HASH_SPAN = 1 << 32  # md5 leading 8 hex chars
+
+
+def portable_unit_hash32(id_col: str, seed: int = 0):
+    """BIGINT in [0, 2^32): leading 32 bits of md5("<id>:<seed>")."""
+    key = F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+    )
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+
+def portable_unit_hash32_sql(id_expr: str, seed: int = 0) -> str:
+    """The DuckDB twin of :func:`portable_unit_hash32` (same bits)."""
+    return (
+        f"('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || ':{int(seed)}'),"
+        " 1, 8))::BIGINT"
+    )
+
+
+def split_thresholds(fractions: Mapping[str, float]) -> list[tuple[str, int]]:
+    """(name, cumulative-integer-threshold) pairs on the 2^32 hash line,
+    computed once driver-side in exact Python arithmetic; the final split
+    absorbs the rounding remainder (thresholds cover [0, 2^32) exactly)."""
+    total = float(sum(fractions.values()))
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, edge = [], 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        edge += fractions[name]
+        out.append((name, int(edge * _HASH_SPAN)))
+    out.append((names[-1], _HASH_SPAN))
+    return out
+
+
+def train_val_test_split_portable(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float] | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """:func:`train_val_test_split` with the portable hash: identical
+    stability/disjointness/incremental-arrival properties, plus
+    engine-parity — a SQL oracle reproduces every assignment."""
+    fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+    h = portable_unit_hash32(id_col, seed)
+    expr = None
+    for name, thr in split_thresholds(fractions)[:-1]:
+        clause_val = F.lit(name)
+        expr = (
+            F.when(h < F.lit(thr), clause_val)
+            if expr is None
+            else expr.when(h < F.lit(thr), clause_val)
+        )
+    last = F.lit(list(fractions)[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def mixture_portable(
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, int],
+    id_col: str,
+    seed: int = 0,
+    counts: Mapping[str, int] | None = None,
+) -> DataFrame:
+    """:func:`mixture` with INTEGER weights and the portable hash: the
+    per-source keep-threshold is the exact rational
+    ``(w_k / cnt_k) / (w_a / cnt_a)`` scaled to the 2^32 hash line and
+    floored in arbitrary-precision Python ints (no float in the decision
+    path), where the anchor ``a`` maximizes ``w/cnt`` (ties break on the
+    source name — deterministic). A SQL oracle recomputes the same
+    counts, anchor, and thresholds and replays the exact draw."""
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must cover the same keys")
+    if any(int(w) != w or w <= 0 for w in weights.values()):
+        raise ValueError("mixture_portable needs positive integer weights")
+    if counts is None:
+        counts = {k: df.count() for k, df in sources.items()}
+    elif set(counts) != set(sources):
+        raise ValueError("counts must cover the same keys as sources")
+    if any(c == 0 for c in counts.values()):
+        empty = [k for k, c in counts.items() if c == 0]
+        raise ValueError(f"empty mixture source(s): {empty}")
+    # anchor = max w/cnt == min cnt/w; ties on name for determinism
+    anchor = min(sorted(counts), key=lambda k: (counts[k] / weights[k], k))
+    wa, ca = int(weights[anchor]), int(counts[anchor])
+    out = None
+    for k in sorted(sources):
+        # frac_k = (w_k * cnt_a) / (w_a * cnt_k), anchor gets exactly 1.0
+        thr = (_HASH_SPAN * int(weights[k]) * ca) // (wa * int(counts[k]))
+        part = (
+            sources[k]
+            .where(portable_unit_hash32(id_col, seed) < F.lit(min(thr, _HASH_SPAN)))
+            .withColumn("__mix_source", F.lit(k))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

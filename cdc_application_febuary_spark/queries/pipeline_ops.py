@@ -1989,24 +1989,49 @@ def part_name_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("documents_mixture")  # rows-only: xxhash64 sampling has no DuckDB twin
+@_q(
+    "documents_mixture",
+    """
+WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+a AS (SELECT cnt AS ca FROM c ORDER BY cnt ASC, source ASC LIMIT 1),
+thr AS (
+  SELECT c.source,
+         CAST((CAST(4294967296 AS HUGEINT) * ca) // cnt AS BIGINT) AS thr
+  FROM c, a
+),
+kept AS (
+  SELECT d.source, d.text
+  FROM documents d JOIN thr t ON t.source = d.source
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+        < t.thr
+)
+SELECT source AS __mix_source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS chars
+FROM kept GROUP BY 1 ORDER BY 1
+""",
+)
 def documents_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture construction over the documents table: split by
     source, rebalance to equal weights via deterministic hash sampling
     (the scarcest source anchors at 1.0 — never upsampled), report the
-    resulting composition. Rows-only: the draw is a pure function of
-    (doc_id, seed) through xxhash64, reproducible across runs and
-    partitionings but not expressible in DuckDB."""
-    from ..operators.sampling import mixture
+    resulting composition. Upgraded rows-only -> oracle-paired in r6:
+    `operators/sampling.py:mixture_portable` draws through the md5-based
+    32-bit unit hash with exact-integer keep-thresholds
+    ((2^32 * w_k * cnt_a) div (w_a * cnt_k), arbitrary-precision Python
+    ints), so the oracle recomputes the counts, anchor, and thresholds in
+    SQL and replays the exact draw (the xxhash64 `mixture` remains the
+    cheap production tier)."""
+    from ..operators.sampling import mixture_portable
 
     docs = load_table(spark, sf_dir, "documents")
     counts = {
         r["source"]: r["cnt"]
         for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
     }
-    out = mixture(
+    out = mixture_portable(
         {s: docs.where(F.col("source") == s) for s in sorted(counts)},
-        {s: 1.0 for s in counts},
+        {s: 1 for s in counts},
         id_col="doc_id",
         seed=42,
         counts=counts,
@@ -3246,19 +3271,44 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("corpus_splits")  # rows-only: xxhash64 unit interval has no SQL twin
+def _corpus_split_case_sql(seed: int) -> str:
+    """CASE expression over the same integer thresholds the Spark side
+    uses (split_thresholds is the single source of the constants)."""
+    from ..operators.sampling import portable_unit_hash32_sql, split_thresholds
+
+    thrs = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    h = portable_unit_hash32_sql("doc_id", seed)
+    whens = " ".join(
+        f"WHEN {h} < {thr} THEN '{name}'" for name, thr in thrs[:-1]
+    )
+    return f"CASE {whens} ELSE '{thrs[-1][0]}' END"
+
+
+@_q(
+    "corpus_splits",
+    f"""
+SELECT source, {_corpus_split_case_sql(7)} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY source, split
+""",
+)
 def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
-    (`operators/sampling.py:train_val_test_split`): a pure function of
-    (doc_id, seed), so new arrivals join splits without moving old rows
-    and near-dups can be pinned together by splitting on the cluster id.
-    Reports per-(source, split) counts; disjoint-exhaustive and
-    stability invariants pinned in tests/test_split.py."""
-    from ..operators.sampling import train_val_test_split
+    (`operators/sampling.py:train_val_test_split_portable`): a pure
+    function of (doc_id, seed) through the PORTABLE md5-based 32-bit unit
+    hash, so new arrivals join splits without moving old rows, near-dups
+    can be pinned together by splitting on the cluster id, AND the exact
+    assignment replays in any engine with md5 — the draw itself is
+    oracle-verified (upgraded from rows-only in r6; the xxhash64 tier
+    stays as the cheap production hash, invariants pinned in
+    tests/test_split.py). Reports per-(source, split) counts."""
+    from ..operators.sampling import train_val_test_split_portable
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        train_val_test_split(docs, "doc_id", seed=7)
+        train_val_test_split_portable(docs, "doc_id", seed=7)
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")
