@@ -195,3 +195,80 @@ def pagerank(
         )
         contrib.unpersist()
     return ranks
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    iterations: int = 8,
+    scale: int = 10**12,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in EXACT fixed-point integer arithmetic — the
+    oracle-expressible member of the iterative family (same structure as
+    :func:`pagerank`; damping d = damping_num/damping_den, default 0.85).
+
+    Ranks are BIGINTs in units of 1/scale of the total mass. Every step:
+
+        r'(v) = (den-num)*scale div (den*N)
+                + num * (dangling div N + inflow(v)) div den
+        inflow(v) = sum over u->v of (r(u) div deg(u))
+        dangling  = sum(r) - sum(inflow)   [parked + div-truncation residue]
+
+    Because every operation is integer division/multiplication/addition,
+    the result is BIT-IDENTICAL on any engine — no float summation-order
+    sensitivity, no last-ulp rounding hazards — so a fixed-unroll SQL
+    replay hash-matches (the float :func:`pagerank` stays as the numpy-
+    parity tier). At scale=1e12 the per-step quantization error is
+    ~1e-12 per node, far below any ranking-relevant signal; determinism
+    across platforms is a feature at 100 TB, where a re-run on different
+    partitioning must reproduce the published ranks.
+
+    Scale posture is unchanged from :func:`pagerank`: one join + one
+    keyed aggregation per step, localCheckpoint lineage cuts, two bounded
+    driver scalars (flowing mass, current total) per iteration."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    ).persist()
+    n = nodes.count()
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("dst")
+    ).join(deg.select(F.col(src_col).alias("node"), "deg"), "node").persist()
+    out_edges.count()
+
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            out_edges.join(ranks, "node")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+            .persist()
+        )
+        flowing = contrib.agg(F.sum("inflow")).first()[0] or 0
+        total = ranks.agg(F.sum("rank")).first()[0]
+        share = (int(total) - int(flowing)) // n  # dangling mass per node
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + ({damping_num} * ({share} + "
+                    f"coalesce(inflow, CAST(0 AS BIGINT)))) div {damping_den} "
+                    "AS BIGINT)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        contrib.unpersist()
+    nodes.unpersist()
+    out_edges.unpersist()
+    return ranks

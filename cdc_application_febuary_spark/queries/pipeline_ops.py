@@ -6358,17 +6358,77 @@ def part_price_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("pagerank_parts")
+def _pagerank_oracle(iters: int = 8, scale: int = 10**12) -> str:
+    """Unrolled fixed-point power iteration — the SQL replay of
+    `graph.pagerank_fixedpoint` (every op is integer div/mul/add, so the
+    ranks are bit-identical; CTEs read >1 time are MATERIALIZED per the
+    recursive-CTE discipline in CLAUDE.md)."""
+    head = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+und AS (
+  SELECT DISTINCT a.i AS u, b.i AS v
+  FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und
+),
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank FROM nodes, nn
+)"""
+    steps = []
+    prev = "r0"
+    for i in range(iters):
+        nxt = f"r{i + 1}"
+        steps.append(f"""
+inflow{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS inflow
+  FROM {prev} r
+  JOIN deg d ON d.node = r.node
+  JOIN edges e ON e.src = r.node
+  GROUP BY 1
+),
+m{i} AS (
+  SELECT CAST((SELECT SUM(rank) FROM {prev})
+         - COALESCE((SELECT SUM(inflow) FROM inflow{i}), 0) AS BIGINT)
+         AS dangling
+),
+{nxt} AS MATERIALIZED (
+  SELECT n2.node,
+         CAST((3 * {scale}) // (20 * nn.n)
+              + (17 * ((m.dangling // nn.n) + COALESCE(i.inflow, 0))) // 20
+              AS BIGINT) AS rank
+  FROM nodes n2
+  LEFT JOIN inflow{i} i ON i.node = n2.node
+  CROSS JOIN m{i} m CROSS JOIN nn
+)""")
+        prev = nxt
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT node, rank AS rank_x1e12 FROM {prev}
+ORDER BY rank DESC, node ASC LIMIT 20
+"""
+    )
+
+
+@_q("pagerank_parts", _pagerank_oracle())
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase part graph (`operators/graph.
-    pagerank`): parts bought in the same order are linked both ways;
-    power iteration (8 fixed steps, d=0.85) with uniform dangling
+    pagerank_fixedpoint`): parts bought in the same order are linked both
+    ways; power iteration (8 fixed steps, d=17/20) with uniform dangling
     redistribution — the iterative-algorithm representative alongside the
-    distributed logistic regression. Rows-only by design (iterative float
-    fixpoints are not SQL-expressible); numpy transition-matrix parity is
-    pinned in tests/test_graph_cumsum.py. Output: top 20 parts by rounded
-    rank."""
-    from ..operators.graph import cooccurrence_edges, pagerank
+    distributed logistic regression. Upgraded rows-only -> oracle-paired
+    in r6: EXACT fixed-point integer ranks (units of 1e-12) make the
+    whole power iteration bit-reproducible, so an 8-step unrolled SQL
+    replay hash-matches (the float `graph.pagerank` keeps its numpy
+    transition-matrix parity pin in tests/test_graph_cumsum.py). Output:
+    top 20 parts by integer rank."""
+    from ..operators.graph import cooccurrence_edges, pagerank_fixedpoint
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -6377,10 +6437,10 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    pr = pagerank(edges, iterations=8)
+    pr = pagerank_fixedpoint(edges, iterations=8)
     return (
-        pr.select("node", F.round("rank", 9).alias("rank"))
-        .orderBy(F.col("rank").desc(), "node")
+        pr.select("node", F.col("rank").alias("rank_x1e12"))
+        .orderBy(F.col("rank_x1e12").desc(), "node")
         .limit(20)
     )
 

@@ -143,3 +143,55 @@ def test_pagerank_dangling_mass_redistributes(spark):
     }
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[2] > got[1] > got[0]
+
+
+def test_pagerank_fixedpoint_matches_python_integer_reference(spark):
+    """The fixed-point recurrence is pure integer arithmetic: a 30-line
+    Python replay must agree BIT-FOR-BIT (same contract the unrolled SQL
+    oracle of pagerank_parts relies on)."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    scale, iters = 10**12, 8
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank_fixedpoint(df, iterations=iters).collect()
+    }
+
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = {v: scale // n for v in nodes}
+    base = (3 * scale) // (20 * n)
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for u, v in edges:
+            inflow[v] += r[u] // deg[u]
+        flowing = sum(inflow.values())
+        dangling = sum(r.values()) - flowing
+        share = dangling // n
+        r = {v: base + (17 * (share + inflow[v])) // 20 for v in nodes}
+    assert got == r
+
+
+def test_pagerank_fixedpoint_tracks_float_pagerank(spark):
+    """At scale=1e12 the quantization is ~1e-12/step — fixed-point ranks
+    divided by the scale must match the float tier to ~1e-9."""
+    import random
+
+    rnd = random.Random(5)
+    edges = list({(rnd.randrange(30), rnd.randrange(30)) for _ in range(120)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fx = {
+        r["node"]: r["rank"] / 1e12
+        for r in graph.pagerank_fixedpoint(df, iterations=6).collect()
+    }
+    fl = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(df, iterations=6).collect()
+    }
+    assert set(fx) == set(fl)
+    for k in fx:
+        assert abs(fx[k] - fl[k]) < 1e-8
