@@ -485,6 +485,78 @@ def portable_srp_buckets(
     )
 
 
+def ivf_topk_srp(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with a PORTABLE SRP coarse quantizer — the
+    oracle-expressible member of the IVF family (`ivf_topk` keeps the
+    sampled-kmeans cells as the recall-tuned production tier).
+
+    The inverted file is keyed on the 2^planes SRP cells of
+    `portable_srp_buckets` instead of kmeans centroids; each query probes
+    its own cell plus every Hamming-1 neighbor (flip one sign bit —
+    exactly the cells on the far side of ONE hyperplane, the SRP analog
+    of kmeans' next-nearest centroids), so `n_probe = planes + 1` of
+    2^planes cells (5/16 at the default — ~31% of brute-force work per
+    query). Because cell assignment is integer arithmetic over exact
+    DECIMAL dot products, the probed candidate set — and therefore the
+    approximate result itself — is bit-reproducible in SQL.
+
+    Same scale shape as `ivf_topk`: the corpus shuffles once by cell,
+    probed queries explode planes+1 rows and join on the cell key; exact
+    cosine re-rank; per-query window top-k. A candidate's cell is unique,
+    so multi-probe never duplicates a candidate."""
+    from ..functions.vectors import cosine_pairs
+
+    if planes == 0:
+        # degenerate single-cell file: exact brute force (pinned in tests)
+        cb = corpus.select(F.col(id_col).alias("_id"), F.lit(0).alias("bucket"))
+        qb = queries.select(F.col(id_col).alias("_id"), F.lit(0).alias("bucket"))
+    else:
+        cb = portable_srp_buckets(corpus, id_col, vec_col, planes)
+        qb = portable_srp_buckets(queries, id_col, vec_col, planes)
+    masks = F.array(F.lit(0), *[F.lit(1 << j) for j in range(planes)])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).join(cb.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .join(qb.withColumnRenamed("_id", "query_id"), "query_id")
+        .withColumn("probe", F.explode(masks))
+        .select(
+            "query_id",
+            "qvec",
+            F.col("bucket").bitwiseXOR(F.col("probe")).alias("cell"),
+        )
+    )
+    scored = (
+        c.withColumnRenamed("bucket", "cell")
+        .join(q, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim0", cosine_pairs(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim0").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim0"), 6).alias("sim"),
+        )
+    )
+
+
 def lsh_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,

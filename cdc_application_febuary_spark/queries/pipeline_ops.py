@@ -504,19 +504,62 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@_q("ann_topk_ivf")  # rows-only: IVF probing is approximate by design
+@_q(
+    "ann_topk_ivf",
+    """
+WITH e AS (
+  SELECT vec_id, i,
+         CAST(ROUND(emb[i], 6) AS DECIMAL(18,6)) AS ev
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+       UNNEST(generate_series(1, len(emb))) AS t(i)
+),
+b AS (
+  SELECT vec_id, p,
+         SUM(ev * (((i * 2654435761) + (p + 1) * 40503) % 97 - 48)) >= 0
+           AS bit
+  FROM e, UNNEST(generate_series(0, 3)) AS pp(p)
+  GROUP BY 1, 2
+),
+bk AS MATERIALIZED (
+  SELECT vec_id,
+         SUM(CASE WHEN bit THEN 1 << p ELSE 0 END) AS cell
+  FROM b GROUP BY 1
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(qv.emb, cv.emb) AS sim0
+  FROM bk q, UNNEST([0, 1, 2, 4, 8]) AS pr(m)
+  JOIN bk c ON c.cell = xor(q.cell, pr.m) AND c.vec_id <> q.vec_id
+  JOIN v qv ON qv.vec_id = q.vec_id
+  JOIN v cv ON cv.vec_id = c.vec_id
+  WHERE q.vec_id % 10 = 0
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim0, 6) AS sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim0 DESC, neighbor_id ASC)
+               AS rank
+      FROM scored) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over the embeddings fixture: sampled-kmeans cells, 6-of-16
-    cluster probing (~37% of brute-force work per query, ~0.77 recall@5 on
-    the sf0.01 fixture)."""
+    """IVF ANN over the embeddings fixture, upgraded rows-only ->
+    oracle-paired in r6 (`operators/similarity.py:ivf_topk_srp`): the
+    inverted file is keyed on PORTABLE SRP cells (integer-arithmetic
+    hyperplanes + exact-DECIMAL dots) and each query probes its cell +
+    all Hamming-1 neighbors — 5-of-16 cells (~31% of brute-force work
+    per query), the same recall/cost point as the old 6-of-16 kmeans
+    setup, but with a candidate set the oracle replays bit-exactly. The
+    sampled-kmeans tier (`ivf_topk`) remains driver-visible through the
+    persisted-index queries (build/append/PQ) and its recall tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.ivf_topk_srp(emb, queries, k=5, planes=4).orderBy(
+        "query_id", "rank"
     )
-    return similarity.ivf_topk(
-        emb, queries, k=5, n_centroids=16, n_probe=6, dim=64,
-        query_id_col="query_id",
-    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

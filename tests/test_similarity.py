@@ -210,3 +210,56 @@ def test_ivf_partial_probe_recall(spark):
     assert len(found) / len(exact_rows) >= 0.6
     for r in found:
         assert abs(r["sim"] - exact_sims[(r["query_id"], r["neighbor_id"])]) < 1e-9
+
+
+def test_ivf_srp_zero_planes_equals_exact(spark):
+    """planes=0 => one cell, probe list [0] => the inverted file
+    degenerates to exact brute force."""
+    from cdc_application_febuary_spark.operators.similarity import ivf_topk_srp
+
+    import random
+
+    random.seed(21)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = corpus.where("vec_id % 30 = 0")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(
+            corpus,
+            qs.selectExpr("vec_id AS query_id", "embedding"),
+            k=5,
+        ).collect()
+    }
+    srp = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk_srp(corpus, qs, k=5, planes=0).collect()
+    }
+    assert srp == exact
+
+
+def test_ivf_srp_multiprobe_recall_and_agreement(spark):
+    """Hamming-1 multiprobe (5/16 cells) keeps most true neighbors on a
+    random corpus, and every returned sim agrees with the exact scan."""
+    from cdc_application_febuary_spark.operators.similarity import ivf_topk_srp
+
+    import random
+
+    random.seed(22)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = corpus.where("vec_id % 20 = 0")
+    exact_rows = cosine_topk(
+        corpus, qs.selectExpr("vec_id AS query_id", "embedding"), k=5
+    ).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in exact_rows
+    }
+    approx = ivf_topk_srp(corpus, qs, k=5, planes=4).collect()
+    found = [
+        r for r in approx if (r["query_id"], r["neighbor_id"]) in exact_pairs
+    ]
+    assert len(found) / len(exact_rows) >= 0.5
+    for r in found:
+        assert abs(r["sim"] - exact_sims[(r["query_id"], r["neighbor_id"])]) < 1e-9
