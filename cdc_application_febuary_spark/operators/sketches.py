@@ -67,12 +67,31 @@ def distinct_by_shard(
 # ---------------------------------------------------------------------------
 # Count-min sketch — mergeable frequency sketch, pure expressions
 # ---------------------------------------------------------------------------
+def _cms_bucket(value_col, r_col, width: int, hash: str):
+    """Row-r counter bucket for a value: xxhash64 (cheap production tier)
+    or md5 leading-32-bits (engine-portable tier — DuckDB replays it as
+    ``('0x' || substr(md5(v || ':' || r), 1, 8))::BIGINT % width``, so a
+    SQL oracle can reconstruct the counters bit-for-bit)."""
+    if hash == "xxhash64":
+        return F.pmod(F.xxhash64(value_col, r_col), F.lit(width))
+    if hash == "md5":
+        key = F.concat_ws(
+            ":", value_col.cast("string"), r_col.cast("string")
+        )
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+            % width
+        )
+    raise ValueError(f"unknown cms hash tier: {hash!r}")
+
+
 def cms_shard_sketches(
     df: DataFrame,
     value_col: str,
     shard_col: str,
     depth: int = 4,
     width: int = 256,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """(shard, cms array<bigint> of depth*width counters) — one count-min
     sketch per shard, the frequency twin of `shard_sketches`: est(x) =
@@ -95,7 +114,7 @@ def cms_shard_sketches(
         "shard",
         (
             F.col("r") * width
-            + F.pmod(F.xxhash64(F.col("v"), F.col("r")), F.lit(width))
+            + _cms_bucket(F.col("v"), F.col("r"), width, hash)
         ).alias("pos"),
     )
     cnt = ex.groupBy("shard", "pos").agg(F.count(F.lit(1)).alias("n"))
@@ -142,17 +161,17 @@ def cms_estimate(
     value_col: str,
     depth: int = 4,
     width: int = 256,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """items x [broadcast 1-row sketch] -> (original columns, cms_est).
     The estimate is the min over depth counters — pure expressions on a
-    single crossed-in blob (the scalar-broadcast idiom)."""
+    single crossed-in blob (the scalar-broadcast idiom). ``hash`` must
+    match the tier the sketch was built with."""
     est = F.least(
         *[
             F.col("cms")[
                 r * width
-                + F.pmod(
-                    F.xxhash64(F.col(value_col), F.lit(r)), F.lit(width)
-                )
+                + _cms_bucket(F.col(value_col), F.lit(r), width, hash)
             ]
             for r in range(depth)
         ]

@@ -7448,9 +7448,33 @@ def ann_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rank"
     )
 
-@_q("cms_user_counts")  # rows-only: xxhash64-seeded counters (the hash
-# has no DuckDB twin); never-underestimates + eps-bound + shard-merge==
-# global pinned in tests/test_sketches.py.
+_CMS_B_SQL = (
+    "('0x' || substr(md5(CAST({v} AS VARCHAR) || ':' ||"
+    " CAST({r} AS VARCHAR)), 1, 8))::BIGINT % 256"
+)
+
+
+@_q(
+    "cms_user_counts",
+    f"""
+WITH pos AS MATERIALIZED (
+  SELECT r, {_CMS_B_SQL.format(v="user_id", r="r")} AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, UNNEST(generate_series(0, 3)) AS t(r)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY 1
+  ORDER BY true_cnt DESC, user_id LIMIT 20
+)
+SELECT t.user_id, t.true_cnt, CAST(MIN(p.n) AS BIGINT) AS cms_est
+FROM top t JOIN pos p
+  ON p.b = {_CMS_B_SQL.format(v="t.user_id", r="p.r")}
+GROUP BY 1, 2
+ORDER BY true_cnt DESC, user_id
+""",
+)
 def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch driver-visible (`operators/sketches.py:
     cms_shard_sketches/cms_merge/cms_estimate`): per-event-type sketches
@@ -7459,14 +7483,20 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL family), then the top-20 exact-heaviest users read their
     estimates off the merged blob. Output carries the exact count next
     to the estimate so the overestimate discipline is visible in the
-    result itself."""
+    result itself. Upgraded rows-only -> oracle-paired in r6: the
+    sketches run the PORTABLE md5 bucket tier, so the oracle rebuilds
+    the exact counter state in SQL (merge is exact, so the global
+    reconstruction equals the per-type merge bit-for-bit) and the
+    estimates hash-match (the xxhash64 tier remains the cheap production
+    hash; never-underestimates + eps bound + merge==global stay pinned
+    in tests/test_sketches.py)."""
     from ..operators import sketches as SK
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type"
     )
     merged = SK.cms_merge(
-        SK.cms_shard_sketches(ev, "user_id", "event_type")
+        SK.cms_shard_sketches(ev, "user_id", "event_type", hash="md5")
     )
     truth = (
         ev.groupBy("user_id")
@@ -7475,7 +7505,7 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return (
-        SK.cms_estimate(truth, merged, "user_id")
+        SK.cms_estimate(truth, merged, "user_id", hash="md5")
         .select("user_id", "true_cnt", "cms_est")
         .orderBy(F.col("true_cnt").desc(), "user_id")
     )

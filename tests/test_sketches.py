@@ -104,3 +104,46 @@ def test_cms_shard_merge_equals_global_build(spark, sf_dir):
     ).first()["cms"]
     assert merged == single
     assert sum(merged) == 4 * ev.count()  # every row lands in all 4 rows
+
+
+def test_cms_md5_tier_matches_python_reference(spark):
+    """The portable bucket is md5's leading 32 bits of "<v>:<r>" mod
+    width — the exact contract the cms_user_counts oracle replays; the
+    never-underestimate guarantee is hash-independent."""
+    import hashlib
+
+    vals = [(i % 7,) for i in range(200)]
+    df = spark.createDataFrame(vals, "v long").withColumn(
+        "shard", F.lit("s")
+    )
+    merged = sketches.cms_merge(
+        sketches.cms_shard_sketches(df, "v", "shard", hash="md5")
+    )
+    cms = merged.first()["cms"]
+    truth = df.groupBy("v").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = {
+        r["v"]: r["cms_est"]
+        for r in sketches.cms_estimate(truth, merged, "v", hash="md5").collect()
+    }
+
+    def bucket(v, r):
+        return int(hashlib.md5(f"{v}:{r}".encode()).hexdigest()[:8], 16) % 256
+
+    # reference counters
+    ref = [0] * (4 * 256)
+    for (v,) in vals:
+        for r in range(4):
+            ref[r * 256 + bucket(v, r)] += 1
+    assert list(cms) == ref
+    for v in {x for (x,) in vals}:
+        ref_est = min(ref[r * 256 + bucket(v, r)] for r in range(4))
+        assert est[v] == ref_est
+        assert est[v] >= sum(1 for (x,) in vals if x == v)
+
+
+def test_cms_rejects_unknown_hash(spark):
+    df = spark.createDataFrame([(1,)], "v long").withColumn("shard", F.lit("s"))
+    import pytest
+
+    with pytest.raises(ValueError):
+        sketches.cms_shard_sketches(df, "v", "shard", hash="sha9")
