@@ -2764,18 +2764,57 @@ def contamination_check_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "bench_id")
 
 
-@_q("hll_shard_distinct")  # rows-only: DataSketches HLL registers aren't in SQL
+@_q(
+    "hll_shard_distinct",
+    """
+SELECT shard, exact_distinct, in_band FROM (
+  SELECT event_type AS shard,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+         TRUE AS in_band
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT '<all>', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+) t ORDER BY shard
+""",
+)
 def hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-once/merge-forever distinct users (`operators/sketches.py`):
-    one fixed-size HLL per event_type, global rollup as a register union of
-    those blobs — the re-aggregation never rescans events. Rows-only by
-    design (DataSketches registers have no SQL twin); merge==single-pass
-    exactness and error bounds are pinned in tests/test_sketches.py."""
+    one fixed-size HLL per event_type, global rollup as a register union
+    of those blobs — the re-aggregation never rescans events. Upgraded
+    rows-only -> oracle-paired in r6 with a TOLERANCE-BANDED verdict:
+    DataSketches registers have no SQL twin, but the error contract does
+    — each shard's (and the merged '<all>') estimate must sit within 10%
+    of the exact distinct count (~6 sigma at lg_k=12's ~1.6% rsd;
+    deterministic for a fixed dataset). The oracle recomputes the exact
+    counts and asserts the verdicts; register-merge==single-pass
+    exactness stays pinned in tests/test_sketches.py."""
     from ..operators import sketches
 
     ev = load_table(spark, sf_dir, "events")
-    return sketches.distinct_by_shard(ev, "user_id", "event_type").orderBy(
-        "shard"
+    est = sketches.distinct_by_shard(ev, "user_id", "event_type")
+    exact = (
+        ev.groupBy(F.col("event_type").alias("shard"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.countDistinct("user_id").alias("exact_distinct")
+            ).select(F.lit("<all>").alias("shard"), "exact_distinct")
+        )
+    )
+    return (
+        est.join(exact, "shard")
+        .select(
+            "shard",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            (
+                F.abs(
+                    F.col("distinct_estimate").cast("double")
+                    - F.col("exact_distinct")
+                )
+                <= 0.10 * F.col("exact_distinct")
+            ).alias("in_band"),
+        )
+        .orderBy("shard")
     )
 
 
