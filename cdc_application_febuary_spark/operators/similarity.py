@@ -403,8 +403,14 @@ def ivf_topk(
     Recall/cost dial: recall grows with n_probe (cost ~ n_probe/n_centroids
     of brute force per query).
     """
+    # deterministic sample order — a bare limit() shifts with input
+    # partitioning and silently retrains different centroids (the
+    # semantic_dedup trap pinned in CLAUDE.md)
     sample_rows = (
-        corpus.select(F.col(vec_col).alias("v")).limit(max_train).collect()
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(max_train)
+        .collect()
     )
     centers = _kmeans_sample([r["v"] for r in sample_rows], n_centroids, iters, seed)
     centers = np.asarray(centers, dtype="float64")

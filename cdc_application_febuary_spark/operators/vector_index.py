@@ -57,8 +57,15 @@ def build_ivf_index(
     compact cluster range; raising ``files_per_cluster_group`` produces
     more, smaller files and therefore finer search-time pruning (the usual
     file-count vs pruning-granularity trade)."""
+    # deterministic sample order (orderBy + limit = TakeOrderedAndProject):
+    # a bare limit() shifts with input partitioning and would silently
+    # retrain different centroids on repartitioned input (the
+    # semantic_dedup trap pinned in CLAUDE.md / tests/test_semdedup.py)
     sample_rows = (
-        corpus.select(F.col(vec_col).alias("v")).limit(max_train).collect()
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(max_train)
+        .collect()
     )
     centers = np.asarray(
         _kmeans_sample([r["v"] for r in sample_rows], n_centroids, iters, seed),
@@ -285,8 +292,15 @@ def build_ivf_pq_index(
     the big embedding column on disk unless a rerank asks for it."""
     from .pq import encode_pq, train_pq_matrix
 
+    # deterministic sample order (orderBy + limit = TakeOrderedAndProject):
+    # a bare limit() shifts with input partitioning and would silently
+    # retrain different centroids on repartitioned input (the
+    # semantic_dedup trap pinned in CLAUDE.md / tests/test_semdedup.py)
     sample_rows = (
-        corpus.select(F.col(vec_col).alias("v")).limit(max_train).collect()
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(max_train)
+        .collect()
     )
     sample = np.asarray([r["v"] for r in sample_rows], dtype="float64")
     centers = np.asarray(
