@@ -134,6 +134,42 @@ def run_sustained(spark, payload) -> dict:
     lat = sorted(
         seen_ts[k] - write_ts[k] for k in range(n_ticks) if k in seen_ts
     )
+
+    # VALUE CHECK (VERDICT r5 item 6): the replay lifecycles prove
+    # "replay exact"; this proves "LIVE-RATE exact" — after the sustained
+    # run, the SCD2 target must equal a batch recompute of the very feed
+    # files the run wrote. Pure inserts with distinct ids => current
+    # state == every (id, name) fed. Compared via count + a commutative
+    # per-row hash sum (order-independent, no sort; summed in
+    # DECIMAL(38,0) because a long sum of 64-bit hashes overflows ANSI).
+    def idname_fingerprint(df) -> tuple[int, int]:
+        # xxhash64 is input-TYPE-sensitive (int32 vs int64 hash apart):
+        # normalize id to long on both sides before hashing.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(
+                        F.col("id").cast("long"), F.col("name")
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    fed = (
+        spark.read.text(str(feed))
+        .select(F.get_json_object("value", "$.payload.after.id")
+                .cast("long").alias("id"),
+                F.get_json_object("value", "$.payload.after.name")
+                .alias("name"))
+        .where(F.col("id").isNotNull())
+    )
+    exp_n, exp_h = idname_fingerprint(fed)
+    got_n, got_h = idname_fingerprint(
+        spark.read.parquet(cfg.target_path).select("id", "name")
+    )
     out = {
         "rate_eps": rate,
         "duration_s": secs,
@@ -144,6 +180,11 @@ def run_sustained(spark, payload) -> dict:
         "max_s": round(lat[-1], 3) if lat else None,
         "checkpoint_mb": _dir_mb(str(work / "ckpt")),
         "target_mb": _dir_mb(str(work / "target")),
+        "value_check": {
+            "rows_match": got_n == exp_n,
+            "hash_match": got_h == exp_h,
+            "rows": got_n,
+        },
     }
     shutil.rmtree(work, ignore_errors=True)
     return out
