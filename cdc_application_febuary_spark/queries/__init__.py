@@ -40,26 +40,42 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 
 
 # The round driver checks the first ~50 registry entries per round, so
-# ordering is evidence curation. Round 3 window (exactly 50): (1) the
-# tpch_q12 oracle-cast fix re-verified, (2) two r2-green sentinels
-# (q10, corpus_prep_funnel_v2) guarding against systemic regressions,
-# (3) all 47 oracle-paired queries that never had a driver verdict
-# (VERDICT r2 item 2). New round-3 queries and the 18 rows-only shapes
-# sit right after slot 50 — they head the round-4 rotation; already-
-# verdicted r1/r2 queries fill the back.
+# ordering is evidence curation: lead with whatever this round added or
+# changed, then sentinels; every query keeps at least one green verdict
+# across rounds (zero rotation debt since r5).
 _ROUND_PRIORITY = [
-    # Round-5 window (the driver checks the first ~50 registry entries):
-    # every pre-r5 query already has a driver verdict (VERDICT r4), so the
-    # window leads with the NEW round-5 queries — url_domain_dedup first
-    # (VERDICT r4 "What's wrong" item 1: previously unregistered dead
-    # code), then the new oracle-paired evidence for previously unit-only
-    # §2 rows (A12 lag, J3 lineage, F9 inference, alert rules, Derby
-    # lifecycle, Avro leg) — followed by green sentinels from every
-    # query family; r1-r4-verdicted greens fill the back.
+    # Round-6 window (the driver checks the first ~50 registry entries):
+    # zero rotation debt carries in (VERDICT r5), so the window leads with
+    # what round 6 ADDED — the IVF re-cluster lifecycle — and the NINE
+    # rows-only -> oracle-paired conversions (fixed-point pagerank,
+    # SRP-cell IVF, portable md5 samplers/CMS, tolerance-banded sketch
+    # verdicts), then the queries whose oracles/operators the r6 ADVICE
+    # fixes touched, then r5-green sentinels from every family; the
+    # remaining rows-only pool and verdicted greens fill the back.
+    "gopher_repetition_report",
+    "ann_topk_ivf_recluster",
+    "pagerank_parts",
+    "ann_topk_ivf",
+    "corpus_splits",
+    "documents_mixture",
+    "value_percentiles_approx",
+    "profile_approx_distinct",
+    "value_quantile_sketch",
+    "cms_user_counts",
+    "hll_shard_distinct",
+    # ADVICE-r5-touched (oracle token guards, consumer_lag pid, avro
+    # commit, dedup/semdedup unpersist)
+    "dsir_importance_weights",
+    "dedup_simhash_portable",
+    "consumer_lag_report",
+    "substring_dup_spans",
+    "csv_json_roundtrip_report",
+    "incremental_semdedup_fold",
+    "semantic_dedup_report",
+    # r5-green sentinels across families
     "url_domain_dedup",
     # --- new round-5 queries (registered as they land) ---
     "alert_rules_fired",
-    "consumer_lag_report",
     "fk_lineage_report",
     "type_inference_report",
     "pipeline_lifecycle_derby",
@@ -69,18 +85,12 @@ _ROUND_PRIORITY = [
     "quantile_bucket_auc",
     "doc_entropy_filter",
     "hybrid_retrieval_fusion",
-    "substring_dup_spans",
     "embedding_sq8_report",
     "stream_stream_attribution",
     "stream_dedup_report",
-    "semantic_dedup_report",
-    "dsir_importance_weights",
-    "incremental_semdedup_fold",
     "srp_semantic_dedup",
     "ann_topk_lsh_portable",
-    "cms_user_counts",
     "stream_stream_left_outer",
-    "dedup_simhash_portable",
     # --- green sentinels (r4-verdicted) ---
     "gdpr_delete_audit",
     "lm_perplexity_profile",
@@ -93,14 +103,10 @@ _ROUND_PRIORITY = [
     # Slots 9-28: the rows-only shapes (weaker rows-only verdict by
     # design — non-SQL-expressible lifecycles, sketches, multimodal).
     "bpe_token_stats",
-    "corpus_splits",
     "pii_scan",
     "dedup_embedding_srp",
-    "hll_shard_distinct",
     "embedding_pca_variance",
     "audio_decode",
-    "value_percentiles_approx",
-    "value_quantile_sketch",
     "ann_topk_pq",
     "ann_topk_ivf_pq",
     "near_dedup_fold",
@@ -110,7 +116,6 @@ _ROUND_PRIORITY = [
     "video_probe",
     "video_frame_index",
     "quality_classifier",
-    "documents_mixture",
     "documents_weighted_sample",
     # Slots 29+: new round-4 queries (all oracle-paired — including the
     # streaming enrichment, the first stream query with a value oracle).
@@ -122,9 +127,7 @@ _ROUND_PRIORITY = [
     "stream_join_enrichment",
     "bm25_topk",
     "part_price_twap",
-    "pagerank_parts",
     "stream_windowed_counts",
-    "csv_json_roundtrip_report",
     "vacuum_retention_audit",
     "stateful_totals_v2",
     # Green sentinels (r1/r2/r3-verdicted) guarding systemic regressions.

@@ -544,3 +544,162 @@ def embedding_sq8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (Rae et al. 2021, arXiv:2112.11446 Table A1)
+# ---------------------------------------------------------------------------
+# operators/gopher.py over the real documents text, with deterministic
+# planted repetition so every rule path fires: docs with doc_id % 10 == 0
+# get an 8-token sentence appended five times (pure string arithmetic,
+# identical in both engines) — that plants duplicate lines (period == line
+# width, so alignment doesn't matter), duplicate 5/10-grams, and pushes the
+# shorter planted docs over the 30%-duplicate-line threshold while longer
+# ones stay under it. All counters are integer character/line counts and
+# every threshold is applied by cross-multiplication, so the whole report
+# value-hashes across engines.
+_GOPHER_SENTENCE = " quick brown fox jumps over the lazy dog"
+
+_GOPHER_ORACLE = f"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || repeat('{_GOPHER_SENTENCE}', 5)
+              ELSE text END AS text
+  FROM documents
+),
+base AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM aug
+),
+meta AS MATERIALIZED (
+  SELECT doc_id, len(toks) AS ntok,
+         length(COALESCE(array_to_string(toks, ' '), '')) AS total_chars,
+         toks
+  FROM base
+),
+line_idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(ntok/8.0) AS BIGINT))) AS c
+  FROM meta
+),
+line_vals AS (
+  SELECT doc_id, array_to_string(toks[c*8+1 : c*8+8], ' ') AS line
+  FROM line_idx
+),
+gram_idx AS (
+  SELECT doc_id, toks, n,
+         unnest(range(1, GREATEST(ntok - n + 2, 1))) AS i
+  FROM meta, (SELECT unnest([2,3,5,10]) AS n) ns
+),
+gram_vals AS (
+  SELECT doc_id, n, array_to_string(toks[i : i+n-1], ' ') AS g
+  FROM gram_idx
+),
+gcnt AS (SELECT doc_id, n, g, COUNT(*) AS cnt FROM gram_vals GROUP BY 1,2,3),
+gagg AS (
+  SELECT doc_id,
+    COALESCE(MAX(CASE WHEN n=2 THEN cnt*length(g) END), 0) AS top2_cover,
+    COALESCE(MAX(CASE WHEN n=3 THEN cnt*length(g) END), 0) AS top3_cover,
+    COALESCE(SUM(CASE WHEN n=5 AND cnt>1 THEN cnt*length(g) END), 0) AS dup5_cover,
+    COALESCE(SUM(CASE WHEN n=10 AND cnt>1 THEN cnt*length(g) END), 0) AS dup10_cover
+  FROM gcnt GROUP BY 1
+),
+lcnt AS (SELECT doc_id, line, COUNT(*) AS cnt FROM line_vals GROUP BY 1,2),
+lagg AS (
+  SELECT doc_id, SUM(cnt) AS total_lines,
+         COALESCE(SUM(CASE WHEN cnt>1 THEN cnt END),0) AS dup_lines,
+         COALESCE(SUM(CASE WHEN cnt>1 THEN cnt*length(line) END),0) AS dup_line_chars
+  FROM lcnt GROUP BY 1
+),
+docstats AS (
+  SELECT m.doc_id, m.total_chars,
+         COALESCE(l.total_lines,0) AS total_lines,
+         COALESCE(l.dup_lines,0) AS dup_lines,
+         COALESCE(l.dup_line_chars,0) AS dup_line_chars,
+         COALESCE(g.top2_cover,0) AS top2_cover,
+         COALESCE(g.top3_cover,0) AS top3_cover,
+         COALESCE(g.dup5_cover,0) AS dup5_cover,
+         COALESCE(g.dup10_cover,0) AS dup10_cover
+  FROM meta m LEFT JOIN lagg l USING(doc_id) LEFT JOIN gagg g USING(doc_id)
+),
+flags AS (
+  SELECT *,
+    10*dup_lines > 3*total_lines AS fail_dup_line,
+    5*dup_line_chars > total_chars AS fail_dup_line_chars,
+    5*top2_cover > total_chars AS fail_top2,
+    50*top3_cover > 9*total_chars AS fail_top3,
+    20*dup5_cover > 3*total_chars AS fail_dup5,
+    10*dup10_cover > total_chars AS fail_dup10
+  FROM docstats
+)
+SELECT fail_dup_line, fail_dup_line_chars, fail_top2, fail_top3,
+       fail_dup5, fail_dup10,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(dup_lines) AS BIGINT) AS dup_lines,
+  CAST(SUM(dup_line_chars) AS BIGINT) AS dup_line_chars,
+  CAST(SUM(top2_cover) AS BIGINT) AS top2_cover,
+  CAST(SUM(top3_cover) AS BIGINT) AS top3_cover,
+  CAST(SUM(dup5_cover) AS BIGINT) AS dup5_cover,
+  CAST(SUM(dup10_cover) AS BIGINT) AS dup10_cover,
+  CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM flags GROUP BY 1,2,3,4,5,6 ORDER BY 1,2,3,4,5,6
+"""
+
+
+@_q("gopher_repetition_report", _GOPHER_ORACLE)
+def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (`operators/gopher.py`): duplicate-line
+    fraction, duplicate-line character fraction, top-{2,3}-gram character
+    coverage, duplicate-{5,10}-gram coverage — each thresholded per the
+    published Table A1 rules via integer cross-multiplication, grouped by
+    the six-flag rule signature. Planted repetition (every 10th doc gets a
+    5x-repeated sentence) exercises every rule path; the unplanted corpus
+    exercises the never-fire paths. Reference: extends the profiling
+    surface (reference backend/ingestion has no repetition filter); recipe
+    from Rae et al. 2021.
+    """
+    from ..functions.text import tokens
+    from ..operators.gopher import repetition_flags, repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.repeat(F.lit(_GOPHER_SENTENCE), 5)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    flags = repetition_flags(
+        repetition_stats(toked, id_col="doc_id", tokens_col="toks")
+    )
+    flag_cols = [
+        "fail_dup_line",
+        "fail_dup_line_chars",
+        "fail_top2",
+        "fail_top3",
+        "fail_dup5",
+        "fail_dup10",
+    ]
+    return (
+        flags.groupBy(*flag_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dup_lines").cast("long").alias("dup_lines"),
+            F.sum("dup_line_chars").cast("long").alias("dup_line_chars"),
+            F.sum("top2_cover").cast("long").alias("top2_cover"),
+            F.sum("top3_cover").cast("long").alias("top3_cover"),
+            F.sum("dup5_cover").cast("long").alias("dup5_cover"),
+            F.sum("dup10_cover").cast("long").alias("dup10_cover"),
+            F.sum("total_chars").cast("long").alias("total_chars"),
+            F.min("id").cast("long").alias("min_doc"),
+            F.max("id").cast("long").alias("max_doc"),
+        )
+        .orderBy(*flag_cols)
+    )
