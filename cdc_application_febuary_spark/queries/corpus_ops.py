@@ -703,3 +703,120 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(*flag_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact covariance moments — the distributed heart of PCA, value-hashed
+# ---------------------------------------------------------------------------
+# `embedding_pca_variance` stays rows-only because a 64x64 eigendecomposition
+# has no SQL twin — but everything DISTRIBUTED about PCA is the moment
+# accumulation, and that part CAN be value-hashed: quantize each coordinate
+# with one correctly-rounded IEEE chain (double-cast, *4096, floor — the
+# SQ8 pattern), then every variance / covariance numerator is pure integer
+# arithmetic: var_num(d)   = n*sum(q_d^2)   - sum(q_d)^2
+#             cov_num(d,+1)= n*sum(q_d*q_{d+1}) - sum(q_d)*sum(q_{d+1}).
+# Products go through DECIMAL(38,0) on the Spark side (DuckDB's BIGINT sums
+# are HUGEINT already); the final columns fit BIGINT exactly at any fixture
+# scale (q <= 2^12, so var_num <= n^2 * 2^24 — overflow needs n > 2^19.5
+# BILLION rows, and the decimal intermediate is exact far beyond that).
+_COV_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 4096) AS BIGINT)) AS q
+  FROM embeddings
+),
+t AS (
+  SELECT q, unnest(range(1, len(q) + 1)) AS pos FROM e
+),
+terms AS (
+  SELECT pos - 1 AS dim, q[pos] AS qi,
+         CASE WHEN pos < len(q) THEN q[pos] * q[pos + 1] END AS pnext
+  FROM t
+),
+agg AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qi) AS BIGINT) AS sum_q,
+         CAST(SUM(qi * qi) AS BIGINT) AS sum_q2,
+         CAST(SUM(pnext) AS BIGINT) AS sum_pnext
+  FROM terms GROUP BY 1
+),
+w AS (
+  SELECT *, LEAD(sum_q) OVER (ORDER BY dim) AS sum_q_next FROM agg
+)
+SELECT CAST(dim AS INT) AS dim, n, sum_q, sum_q2,
+       CAST(CAST(n AS HUGEINT) * sum_q2
+            - CAST(sum_q AS HUGEINT) * sum_q AS BIGINT) AS var_num,
+       CAST(CAST(n AS HUGEINT) * sum_pnext
+            - CAST(sum_q AS HUGEINT) * sum_q_next AS BIGINT) AS cov_next_num
+FROM w ORDER BY dim
+"""
+
+
+@_q("embedding_covariance_report", _COV_ORACLE)
+def embedding_covariance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer covariance moments over the embedding corpus: per
+    dimension, count / sum / sum-of-squares of the 4096-quantized
+    coordinates plus the variance numerator and the adjacent-dimension
+    covariance numerator. This is the distributed accumulation that
+    `operators/pca.py` feeds its 64x64 driver-side eigh — value-hashed
+    here end-to-end, leaving only the (driver-local, numpy-parity-pinned)
+    eigendecomposition outside the oracle. One explode + one keyed groupBy;
+    the 64-row LEAD window is bounded by the dimensionality."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * 4096).cast("long"),
+    )
+    base = emb.select(q.alias("q"))
+    terms = F.transform(
+        F.sequence(F.lit(0), F.size("q") - 1),
+        lambda i: F.struct(
+            i.alias("dim"),
+            F.element_at(F.col("q"), i + 1).alias("qi"),
+            F.when(
+                i < F.size("q") - 1,
+                F.element_at(F.col("q"), i + 1)
+                * F.element_at(F.col("q"), i + 2),
+            ).alias("pnext"),
+        ),
+    )
+    agg = (
+        base.select(F.explode(terms).alias("t"))
+        .select("t.dim", "t.qi", "t.pnext")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qi").cast("long").alias("sum_q"),
+            F.sum(F.col("qi") * F.col("qi")).cast("long").alias("sum_q2"),
+            F.sum("pnext").cast("long").alias("sum_pnext"),
+        )
+    )
+    # 64-row aggregate: the global LEAD window is bounded by the embedding
+    # dimensionality, not the corpus (single-partition audit: 64 rows).
+    nxt = Window.orderBy("dim")
+    dec = "decimal(38,0)"
+    return (
+        agg.withColumn("sum_q_next", F.lead("sum_q").over(nxt))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "sum_q",
+            "sum_q2",
+            (
+                F.col("n").cast(dec) * F.col("sum_q2").cast(dec)
+                - F.col("sum_q").cast(dec) * F.col("sum_q").cast(dec)
+            )
+            .cast("long")
+            .alias("var_num"),
+            (
+                F.col("n").cast(dec) * F.col("sum_pnext").cast(dec)
+                - F.col("sum_q").cast(dec) * F.col("sum_q_next").cast(dec)
+            )
+            .cast("long")
+            .alias("cov_next_num"),
+        )
+        .orderBy("dim")
+    )

@@ -2825,7 +2825,9 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance; the corpus is never collected. Emits the top-8 explained
     variance ratios. Rows-only by design; numerical equivalence to
     in-memory PCA and partitioning-invariance are pinned in
-    tests/test_pca.py."""
+    tests/test_pca.py — and the DISTRIBUTED part (moment accumulation)
+    is value-hashed by the oracle-paired `embedding_covariance_report`
+    (corpus_ops), leaving only the 64x64 driver eigh outside an oracle."""
     from ..operators import pca as P
 
     emb = load_table(spark, sf_dir, "embeddings")
