@@ -1,0 +1,108 @@
+"""C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) — the
+other canonical published filter stack beside Gopher's repetition rules
+(`operators/gopher.py`), re-expressed as pure column expressions.
+
+Line-level rules (C4 keeps a line only if ALL hold):
+
+* ends in terminal punctuation (``. ! ? "``);
+* has at least ``min_words`` words (paper: 5);
+* does not contain the word "javascript" (case-insensitive).
+
+Document-level rules (drop the whole document if ANY holds):
+
+* fewer than ``min_kept_lines`` surviving lines (paper: 3 sentences);
+* contains "lorem ipsum" (case-insensitive);
+* contains a curly brace ``{`` (code marker);
+* contains a blocklisted word (the paper uses the "List of Dirty, Naughty
+  …" list; the operator takes the list as a parameter — policy data, not
+  code — and defaults to a tiny placeholder).
+
+Everything is string predicates + one keyed aggregation (lines ->
+per-document counts), so the whole report value-hashes across engines.
+No reference analog (the reference backend has no corpus filters); recipe
+from the published paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TERMINAL_PUNCT = (".", "!", "?", '"')
+DEFAULT_BLOCKLIST = ("badword1", "badword2")
+
+
+def line_keep_flags(
+    line: Column, min_words: int = 5
+) -> dict[str, Column]:
+    """Per-line C4 rule outcomes (True = rule VIOLATED)."""
+    words = F.size(F.split(F.trim(line), r"\s+"))
+    return {
+        "no_terminal_punct": ~line.rlike(r'[.!?"]\s*$'),
+        "too_few_words": words < min_words,
+        "has_javascript": F.lower(line).rlike(r"\bjavascript\b"),
+    }
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+) -> DataFrame:
+    """Apply the C4 stack to ``df[id_col, lines_col: array<string>]``.
+
+    Returns one row per document: BIGINT counters ``n_lines, kept_lines,
+    drop_punct, drop_short, drop_js`` (a line is charged to the FIRST rule
+    it violates, in the order punct -> short -> javascript, so the
+    counters partition the dropped lines) and booleans ``doc_lorem,
+    doc_brace, doc_blocklist, doc_too_few_lines, doc_dropped``.
+    """
+    lines = F.explode(F.col(lines_col)).alias("line")
+    flags = line_keep_flags(F.col("line"), min_words)
+    per_line = df.select(F.col(id_col).alias("id"), lines).select(
+        "id",
+        "line",
+        flags["no_terminal_punct"].alias("v_punct"),
+        flags["too_few_words"].alias("v_short"),
+        flags["has_javascript"].alias("v_js"),
+    )
+    counts = per_line.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            (~F.col("v_punct") & ~F.col("v_short") & ~F.col("v_js")).cast(
+                "long"
+            )
+        ).alias("kept_lines"),
+        F.sum(F.col("v_punct").cast("long")).alias("drop_punct"),
+        F.sum((~F.col("v_punct") & F.col("v_short")).cast("long")).alias(
+            "drop_short"
+        ),
+        F.sum(
+            (~F.col("v_punct") & ~F.col("v_short") & F.col("v_js")).cast(
+                "long"
+            )
+        ).alias("drop_js"),
+    )
+    body = F.lower(F.concat_ws("\n", F.col(lines_col)))
+    block_re = "|".join(blocklist)
+    doc_flags = df.select(
+        F.col(id_col).alias("id"),
+        body.contains("lorem ipsum").alias("doc_lorem"),
+        body.contains("{").alias("doc_brace"),
+        F.lower(F.concat_ws("\n", F.col(lines_col)))
+        .rlike(rf"\b({block_re})\b")
+        .alias("doc_blocklist"),
+    )
+    out = counts.join(doc_flags, "id")
+    return out.select(
+        "*",
+        (F.col("kept_lines") < min_kept_lines).alias("doc_too_few_lines"),
+        (
+            (F.col("kept_lines") < min_kept_lines)
+            | F.col("doc_lorem")
+            | F.col("doc_brace")
+            | F.col("doc_blocklist")
+        ).alias("doc_dropped"),
+    )

@@ -53,6 +53,7 @@ _ROUND_PRIORITY = [
     # fixes touched, then r5-green sentinels from every family; the
     # remaining rows-only pool and verdicted greens fill the back.
     "gopher_repetition_report",
+    "c4_filter_report",
     "embedding_covariance_report",
     "ann_topk_ivf_recluster",
     "pagerank_parts",

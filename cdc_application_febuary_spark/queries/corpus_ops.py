@@ -820,3 +820,171 @@ def embedding_covariance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# ---------------------------------------------------------------------------
+# operators/c4.py over the fixture corpus, re-lined into 8-token chunks
+# with deterministically planted rule triggers (pure doc_id arithmetic,
+# identical in both engines): 2 of 3 lines get terminal punctuation, every
+# 17th doc gets "javascript" injected into line 1, every 23rd/29th/31st doc
+# gets an extra lorem-ipsum / curly-brace / blocklisted line. A line is
+# charged to the FIRST rule it violates (punct -> short -> javascript) so
+# the drop counters partition exactly; doc verdicts group the report.
+_C4_ORACLE = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, len(toks) AS ntok, toks FROM base
+),
+line_idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(ntok/8.0) AS BIGINT))) AS c
+  FROM meta
+),
+plines AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 17 = 0 AND c = 1
+               THEN array_to_string(toks[c*8+1 : c*8+8], ' ') || ' javascript'
+               ELSE array_to_string(toks[c*8+1 : c*8+8], ' ') END)
+         || (CASE WHEN (doc_id + c) % 3 = 0 THEN '' ELSE '.' END) AS line
+  FROM line_idx
+),
+extras AS (
+  SELECT doc_id, 'this text has lorem ipsum inside.' AS line
+  FROM documents WHERE doc_id % 23 = 0
+  UNION ALL
+  SELECT doc_id, 'sample code block { return x }.' FROM documents
+  WHERE doc_id % 29 = 0
+  UNION ALL
+  SELECT doc_id, 'this line mentions badword1 openly.' FROM documents
+  WHERE doc_id % 31 = 0
+),
+alllines AS (
+  SELECT doc_id, line FROM plines
+  UNION ALL SELECT doc_id, line FROM extras
+),
+lflags AS (
+  SELECT doc_id, line,
+         NOT regexp_matches(line, '[.!?"]\s*$') AS v_punct,
+         len(string_split_regex(trim(line), '\s+')) < 5 AS v_short,
+         regexp_matches(lower(line), '\bjavascript\b') AS v_js,
+         contains(lower(line), 'lorem ipsum') AS l_lorem,
+         contains(line, '{') AS l_brace,
+         regexp_matches(lower(line), '\b(badword1|badword2)\b') AS l_block
+  FROM alllines
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN NOT v_punct AND NOT v_short AND NOT v_js
+                       THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+         CAST(SUM(CASE WHEN v_punct THEN 1 ELSE 0 END) AS BIGINT)
+           AS drop_punct,
+         CAST(SUM(CASE WHEN NOT v_punct AND v_short THEN 1 ELSE 0 END)
+              AS BIGINT) AS drop_short,
+         CAST(SUM(CASE WHEN NOT v_punct AND NOT v_short AND v_js
+                       THEN 1 ELSE 0 END) AS BIGINT) AS drop_js,
+         BOOL_OR(l_lorem) AS doc_lorem,
+         BOOL_OR(l_brace) AS doc_brace,
+         BOOL_OR(l_block) AS doc_blocklist
+  FROM lflags GROUP BY 1
+),
+final AS (
+  SELECT *,
+         kept_lines < 3 AS doc_too_few_lines,
+         (kept_lines < 3) OR doc_lorem OR doc_brace OR doc_blocklist
+           AS doc_dropped
+  FROM agg
+)
+SELECT doc_dropped, doc_too_few_lines, doc_lorem, doc_brace, doc_blocklist,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(kept_lines) AS BIGINT) AS kept_lines,
+       CAST(SUM(drop_punct) AS BIGINT) AS drop_punct,
+       CAST(SUM(drop_short) AS BIGINT) AS drop_short,
+       CAST(SUM(drop_js) AS BIGINT) AS drop_js,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM final
+GROUP BY 1,2,3,4,5 ORDER BY 1,2,3,4,5
+"""
+
+
+@_q("c4_filter_report", _C4_ORACLE)
+def c4_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning stack (`operators/c4.py`): line rules (terminal
+    punctuation, >=5 words, no 'javascript') partition every dropped line
+    into exactly one counter; document rules (>=3 surviving lines, no
+    lorem ipsum / curly brace / blocklisted word) decide the doc verdict.
+    Planted triggers exercise every rule and the never-fire paths; the
+    report groups by the five doc-level verdict flags."""
+    from ..functions.text import tokens
+    from ..operators.c4 import c4_line_filter
+    from ..operators.gopher import _lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    raw = docs.select("doc_id", _lines(F.col("toks"), 8).alias("l0"))
+    # NB two-parameter transform lambda receives (element, index) — used
+    # deliberately here, c IS the line index.
+    lines = F.transform(
+        F.col("l0"),
+        lambda l, c: F.concat(
+            F.when(
+                (F.col("doc_id") % 17 == 0) & (c == F.lit(1)),
+                F.concat(l, F.lit(" javascript")),
+            ).otherwise(l),
+            F.when((F.col("doc_id") + c) % 3 == 0, F.lit("")).otherwise(
+                F.lit(".")
+            ),
+        ),
+    )
+    extras = F.filter(
+        F.array(
+            F.when(
+                F.col("doc_id") % 23 == 0,
+                F.lit("this text has lorem ipsum inside."),
+            ),
+            F.when(
+                F.col("doc_id") % 29 == 0,
+                F.lit("sample code block { return x }."),
+            ),
+            F.when(
+                F.col("doc_id") % 31 == 0,
+                F.lit("this line mentions badword1 openly."),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    with_lines = raw.select(
+        "doc_id", F.concat(lines, extras).alias("lines")
+    )
+    rep = c4_line_filter(with_lines, id_col="doc_id", lines_col="lines")
+    gcols = [
+        "doc_dropped",
+        "doc_too_few_lines",
+        "doc_lorem",
+        "doc_brace",
+        "doc_blocklist",
+    ]
+    return (
+        rep.groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("kept_lines").cast("long").alias("kept_lines"),
+            F.sum("drop_punct").cast("long").alias("drop_punct"),
+            F.sum("drop_short").cast("long").alias("drop_short"),
+            F.sum("drop_js").cast("long").alias("drop_js"),
+            F.min("id").cast("long").alias("min_doc"),
+            F.max("id").cast("long").alias("max_doc"),
+        )
+        .orderBy(*gcols)
+    )
