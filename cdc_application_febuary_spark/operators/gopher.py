@@ -107,8 +107,15 @@ def repetition_stats(
     gram_arrays = F.flatten(
         F.array(*[_tagged(n) for n in (*top_ns, *dup_ns)])
     )
+    # explode_outer + null guard, NOT plain explode: the optimizer's
+    # InferFiltersFromGenerate would otherwise plant a Filter(size>0)
+    # below the Generate whose pushdown inlines the whole gram-build
+    # expression with the source tokenization re-evaluated per lambda
+    # element — O(grams x doc_length) per row (see operators/c4.py for
+    # the measured 20x cliff on long documents).
     gram_counts = (
-        base.select("id", F.explode(gram_arrays).alias("ng"))
+        base.select("id", F.explode_outer(gram_arrays).alias("ng"))
+        .where(F.col("ng").isNotNull())
         .groupBy("id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -129,8 +136,12 @@ def repetition_stats(
 
     line_counts = (
         base.select(
-            "id", F.explode(_lines(F.col("_toks"), line_width)).alias("line")
+            "id",
+            F.explode_outer(_lines(F.col("_toks"), line_width)).alias(
+                "line"
+            ),
         )
+        .where(F.col("line").isNotNull())
         .groupBy("id", "line")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
