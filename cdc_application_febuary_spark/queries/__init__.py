@@ -55,6 +55,7 @@ _ROUND_PRIORITY = [
     "gopher_repetition_report",
     "c4_filter_report",
     "embedding_covariance_report",
+    "split_distribution_shift",
     "ann_topk_ivf_recluster",
     "pagerank_parts",
     "ann_topk_ivf",

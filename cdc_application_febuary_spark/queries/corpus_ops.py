@@ -988,3 +988,156 @@ def c4_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(*gcols)
     )
+
+
+# ---------------------------------------------------------------------------
+# Split distribution shift: OOV + smoothed KL between train/val unigrams
+# ---------------------------------------------------------------------------
+# The QA step after splitting: did the (hash-based, content-blind) split
+# leave train and val distributionally comparable? Uses the r6 portable
+# md5 split (`sampling.train_val_test_split_portable`, 80/20, seed 13 —
+# threshold int(0.8*2^32) = 3435973836 on both sides), then reports
+# out-of-vocabulary val tokens and add-1-smoothed KL in BOTH directions
+# over the union vocabulary. Hash-safety: each ln is rounded to
+# DECIMAL(18,6) per term (the DSIR/LM/BM25 pattern), multiplied by an
+# INTEGER count and summed exactly; the result is emitted as an exact
+# (numerator, denominator) pair — no double division anywhere
+# (KL = num / den, with num = sum (c+1)*(ln p_a - ln p_b), den = t_a+V).
+_SHIFT_ORACLE = r"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, text,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13'),
+                                   1, 8))::BIGINT < 3435973836
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT split, w FROM (
+    SELECT split,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM s
+  ) WHERE w <> ''
+),
+counts AS MATERIALIZED (
+  SELECT w,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ctr,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv
+  FROM tok GROUP BY 1
+),
+tot AS (
+  SELECT SUM(ctr) AS tt, SUM(cv) AS tv, COUNT(*) AS v,
+         SUM(CASE WHEN ctr > 0 THEN 1 ELSE 0 END) AS dt,
+         SUM(CASE WHEN cv > 0 THEN 1 ELSE 0 END) AS dv
+  FROM counts
+),
+terms AS (
+  SELECT
+    (cv + 1) * (CAST(ROUND(LN((cv + 1.0) / (tv + v)), 6) AS DECIMAL(18,6))
+                - CAST(ROUND(LN((ctr + 1.0) / (tt + v)), 6)
+                       AS DECIMAL(18,6))) AS t_vt,
+    (ctr + 1) * (CAST(ROUND(LN((ctr + 1.0) / (tt + v)), 6)
+                      AS DECIMAL(18,6))
+                 - CAST(ROUND(LN((cv + 1.0) / (tv + v)), 6)
+                        AS DECIMAL(18,6))) AS t_tv
+  FROM counts CROSS JOIN tot
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM s WHERE split = 'train') AS BIGINT)
+    AS train_docs,
+  CAST((SELECT COUNT(*) FROM s WHERE split = 'val') AS BIGINT) AS val_docs,
+  CAST(tot.tt AS BIGINT) AS train_tokens,
+  CAST(tot.tv AS BIGINT) AS val_tokens,
+  CAST(tot.dt AS BIGINT) AS train_vocab,
+  CAST(tot.dv AS BIGINT) AS val_vocab,
+  CAST(tot.v AS BIGINT) AS union_vocab,
+  CAST((SELECT COALESCE(SUM(cv), 0) FROM counts WHERE ctr = 0) AS BIGINT)
+    AS oov_val_tokens,
+  CAST((SELECT SUM(t_vt) FROM terms) AS DOUBLE) AS kl_vt_num,
+  CAST(tot.tv + tot.v AS BIGINT) AS kl_vt_den,
+  CAST((SELECT SUM(t_tv) FROM terms) AS DOUBLE) AS kl_tv_num,
+  CAST(tot.tt + tot.v AS BIGINT) AS kl_tv_den
+FROM tot
+"""
+
+
+@_q("split_distribution_shift", _SHIFT_ORACLE)
+def split_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution parity between portable train/val splits
+    (`sampling.train_val_test_split_portable` + the DSIR decimal-log
+    pattern): union-vocabulary unigram models, out-of-vocabulary val
+    mass, and add-1-smoothed KL in both directions as exact
+    (numerator, denominator) pairs — the dataset-card check that a
+    content-blind hash split did not shear the distribution."""
+    from ..operators.sampling import train_val_test_split_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = train_val_test_split_portable(
+        docs, "doc_id", {"train": 0.8, "val": 0.2}, seed=13
+    )
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = (
+        s.select("split", F.explode(w).alias("w"))
+        .where(F.col("w") != "")
+    )
+    counts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "ctr"
+        ),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cv"),
+    )
+    tot = counts.agg(
+        F.sum("ctr").alias("tt"),
+        F.sum("cv").alias("tv"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.when(F.col("ctr") > 0, 1).otherwise(0)).alias("dt"),
+        F.sum(F.when(F.col("cv") > 0, 1).otherwise(0)).alias("dv"),
+    )
+    # 1-row scalar broadcast (the allowed crossJoin pattern)
+    ct = counts.crossJoin(F.broadcast(tot))
+
+    def lp(c, t):
+        return F.round(
+            F.log((c + F.lit(1.0)) / (t + F.col("v"))), 6
+        ).cast("decimal(18,6)")
+
+    terms = ct.select(
+        ((F.col("cv") + 1) * (lp(F.col("cv"), F.col("tv"))
+                              - lp(F.col("ctr"), F.col("tt")))).alias("t_vt"),
+        ((F.col("ctr") + 1) * (lp(F.col("ctr"), F.col("tt"))
+                               - lp(F.col("cv"), F.col("tv")))).alias("t_tv"),
+        "ctr",
+        "cv",
+    )
+    sums = terms.agg(
+        F.sum("t_vt").alias("kl_vt_num_d"),
+        F.sum("t_tv").alias("kl_tv_num_d"),
+        F.sum(F.when(F.col("ctr") == 0, F.col("cv")).otherwise(0)).alias(
+            "oov"
+        ),
+    )
+    splits = s.groupBy().agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "train_docs"
+        ),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+            "val_docs"
+        ),
+    )
+    return (
+        splits.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            F.col("train_docs").cast("long").alias("train_docs"),
+            F.col("val_docs").cast("long").alias("val_docs"),
+            F.col("tt").cast("long").alias("train_tokens"),
+            F.col("tv").cast("long").alias("val_tokens"),
+            F.col("dt").cast("long").alias("train_vocab"),
+            F.col("dv").cast("long").alias("val_vocab"),
+            F.col("v").cast("long").alias("union_vocab"),
+            F.col("oov").cast("long").alias("oov_val_tokens"),
+            F.col("kl_vt_num_d").cast("double").alias("kl_vt_num"),
+            (F.col("tv") + F.col("v")).cast("long").alias("kl_vt_den"),
+            F.col("kl_tv_num_d").cast("double").alias("kl_tv_num"),
+            (F.col("tt") + F.col("v")).cast("long").alias("kl_tv_den"),
+        )
+    )
