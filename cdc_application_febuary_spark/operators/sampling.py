@@ -329,3 +329,48 @@ def mixture_portable(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def weighted_sample_portable(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sample without replacement of ``k`` rows via PRIORITY
+    SAMPLING (Duffield-Lund-Thorup, JACM 2007): priority = w/u with
+    u ~ U(0,1], take the top-k priorities. Unlike the A-ES key u^(1/w)
+    (:func:`weighted_sample`, irrational — no exact cross-engine order),
+    the priority ORDER is decidable in integer arithmetic:
+    w1/u1 > w2/u2  <=>  w1*u2 > w2*u1. We materialize it as the exact
+    integer key ``(w << 44) div u`` with u the md5 32-bit unit hash
+    (+1, avoiding 0) — floor quantization is deterministic and identical
+    in any engine, and ties (same floored key) break on id, so the drawn
+    set is a pure function of (id set, integer weights, seed) in BOTH
+    Spark and SQL. Integer weights up to 2^19 (=524288) keep w * 2^44
+    inside BIGINT — guarded with a clear error; same top-k plan shape as
+    the A-ES tier."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("long")
+    u = portable_unit_hash32(id_col, seed) + F.lit(1)
+    key = F.expr(
+        f"(CAST({weight_col} AS BIGINT) * 17592186044416) div (__psp_u)"
+    )
+    # ANSI overflow on w > 2^19 would be a cryptic task error — fail the
+    # plan with the contract instead.
+    guard = F.when(
+        w > F.lit(1 << 19),
+        F.raise_error(
+            F.lit("weighted_sample_portable: weight exceeds 2^19")
+        ),
+    ).otherwise(F.lit(1))
+    return (
+        df.where(w.isNotNull() & (w > 0) & (guard == 1))
+        .withColumn("__psp_u", u)
+        .withColumn("__psp_key", key)
+        .orderBy(F.desc("__psp_key"), F.col(id_col))
+        .limit(k)
+        .drop("__psp_u", "__psp_key")
+    )

@@ -56,6 +56,7 @@ _ROUND_PRIORITY = [
     "c4_filter_report",
     "embedding_covariance_report",
     "split_distribution_shift",
+    "documents_weighted_sample",
     "ann_topk_ivf_recluster",
     "pagerank_parts",
     "ann_topk_ivf",
@@ -119,7 +120,6 @@ _ROUND_PRIORITY = [
     "video_probe",
     "video_frame_index",
     "quality_classifier",
-    "documents_weighted_sample",
     # Slots 29+: new round-4 queries (all oracle-paired — including the
     # streaming enrichment, the first stream query with a value oracle).
     "golden_record_users",

@@ -5121,19 +5121,43 @@ def changelog_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("documents_weighted_sample")  # rows-only: hash-seeded draw
+@_q(
+    "documents_weighted_sample",
+    """
+WITH w AS (
+  SELECT doc_id, length(text) AS w,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+           + 1 AS u
+  FROM documents WHERE length(text) > 0
+),
+keyed AS (
+  SELECT doc_id, w,
+         CAST((CAST(w AS HUGEINT) * 17592186044416) // u AS BIGINT) AS k
+  FROM w
+),
+pick AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 200)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(w AS DECIMAL(18,2))) AS DOUBLE) AS sampled_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM pick
+""",
+)
 def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-weighted corpus sampling (`sampling.weighted_sample`,
-    Efraimidis-Spirakis keys): documents drawn proportionally to their
-    text length — the 'sample more of what's substantial' mixture step.
-    Deterministic for a fixed seed; plan is key-expression + distributed
-    top-k, no shuffle of the unsampled corpus."""
-    from ..operators.sampling import weighted_sample
+    """Quality-weighted corpus sampling, PORTABLE tier
+    (`sampling.weighted_sample_portable` — priority sampling,
+    Duffield-Lund-Thorup 2007): documents drawn ~proportionally to text
+    length via top-k of the exact integer priority key (w<<44) div u, so
+    the drawn SET replays in SQL (upgraded rows-only -> oracle-paired in
+    r6; the float A-ES tier `sampling.weighted_sample` remains, pinned by
+    tests/test_sampling.py). Plan is key-expression + distributed top-k,
+    no shuffle of the unsampled corpus."""
+    from ..operators.sampling import weighted_sample_portable
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "w", F.length("text").cast("double")
+        "w", F.length("text")
     )
-    picked = weighted_sample(docs, "w", 200, "doc_id", seed=7)
+    picked = weighted_sample_portable(docs, "w", 200, "doc_id", seed=7)
     return picked.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("w").cast("decimal(18,2)")).cast("double").alias("sampled_chars"),
