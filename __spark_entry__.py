@@ -18,13 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the complete
-    training-data pipeline as one checkable funnel — quality -> language
-    -> exact dedup -> near-dup cluster keep-one -> benchmark
-    decontamination -> token-budget packing, reported as per-stage
-    surviving docs + token budget + packed bin count."""
+    training-data pipeline as one checkable funnel — quality -> Gopher
+    repetition gate -> language -> exact dedup -> near-dup cluster
+    keep-one -> benchmark decontamination -> token-budget packing,
+    reported as per-stage surviving docs + token budget + packed bins."""
     from cdc_application_febuary_spark.queries import pipeline_ops
 
-    return pipeline_ops.corpus_prep_funnel_v2(spark, "/root/testdata/sf0.001")
+    return pipeline_ops.corpus_prep_funnel_v3(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -57,6 +57,7 @@ _ROUND_PRIORITY = [
     "embedding_covariance_report",
     "split_distribution_shift",
     "documents_weighted_sample",
+    "corpus_prep_funnel_v3",
     "ann_topk_ivf_recluster",
     "pagerank_parts",
     "ann_topk_ivf",

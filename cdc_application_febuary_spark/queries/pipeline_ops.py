@@ -7878,3 +7878,197 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_portable_pairs(docs).orderBy("a", "b")
+
+
+def _funnel_v3_oracle() -> str:
+    """corpus_prep_funnel_v3 oracle: the v2 staged chain with the Gopher
+    repetition gate inserted after quality — the gate fragment is the
+    proven `gopher_repetition_report` oracle restricted to the q2
+    survivor set (no planted repetition here: the REAL corpus loses docs
+    to the top-gram rules)."""
+    v2 = _funnel_v2_oracle()
+    gate = """
+rtok AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM q2
+),
+rmeta AS MATERIALIZED (
+  SELECT doc_id, len(toks) AS ntok,
+         length(COALESCE(array_to_string(toks, ' '), '')) AS total_chars,
+         toks
+  FROM rtok
+),
+rline AS (
+  SELECT doc_id, array_to_string(toks[c*8+1 : c*8+8], ' ') AS line
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(ntok/8.0) AS BIGINT))) AS c
+        FROM rmeta)
+),
+rgram AS (
+  SELECT doc_id, n, array_to_string(toks[i : i+n-1], ' ') AS g
+  FROM (SELECT doc_id, toks, n,
+               unnest(range(1, GREATEST(ntok - n + 2, 1))) AS i
+        FROM rmeta, (SELECT unnest([2,3,5,10]) AS n) ns)
+),
+rgagg AS (
+  SELECT doc_id,
+    COALESCE(MAX(CASE WHEN n=2 THEN cnt*length(g) END), 0) AS top2_cover,
+    COALESCE(MAX(CASE WHEN n=3 THEN cnt*length(g) END), 0) AS top3_cover,
+    COALESCE(SUM(CASE WHEN n=5 AND cnt>1 THEN cnt*length(g) END), 0) AS dup5_cover,
+    COALESCE(SUM(CASE WHEN n=10 AND cnt>1 THEN cnt*length(g) END), 0) AS dup10_cover
+  FROM (SELECT doc_id, n, g, COUNT(*) AS cnt FROM rgram GROUP BY 1,2,3)
+  GROUP BY 1
+),
+rlagg AS (
+  SELECT doc_id, SUM(cnt) AS total_lines,
+         COALESCE(SUM(CASE WHEN cnt>1 THEN cnt END),0) AS dup_lines,
+         COALESCE(SUM(CASE WHEN cnt>1 THEN cnt*length(line) END),0)
+           AS dup_line_chars
+  FROM (SELECT doc_id, line, COUNT(*) AS cnt FROM rline GROUP BY 1,2)
+  GROUP BY 1
+),
+rfail AS MATERIALIZED (
+  SELECT m.doc_id
+  FROM rmeta m LEFT JOIN rlagg l USING (doc_id)
+       LEFT JOIN rgagg g USING (doc_id)
+  WHERE 10*COALESCE(l.dup_lines,0) > 3*COALESCE(l.total_lines,0)
+     OR 5*COALESCE(l.dup_line_chars,0) > m.total_chars
+     OR 5*COALESCE(g.top2_cover,0) > m.total_chars
+     OR 50*COALESCE(g.top3_cover,0) > 9*m.total_chars
+     OR 20*COALESCE(g.dup5_cover,0) > 3*m.total_chars
+     OR 10*COALESCE(g.dup10_cover,0) > m.total_chars
+),
+q2b AS MATERIALIZED (
+  SELECT q2.* FROM q2 LEFT JOIN rfail USING (doc_id)
+  WHERE rfail.doc_id IS NULL
+),
+"""
+    s = v2.replace(
+        "q3 AS (SELECT * FROM q2 WHERE lp <> 'und'),",
+        gate.strip() + "\nq3 AS (SELECT * FROM q2b WHERE lp <> 'und'),",
+    )
+    # renumber stages 3..7 -> 4..8 and splice the repetition stage in
+    s = s.replace(
+        "SELECT 7, 'packed'", "SELECT 8, 'packed'"
+    ).replace(
+        "SELECT 6, 'decontaminated'", "SELECT 7, 'decontaminated'"
+    ).replace(
+        "SELECT 5, 'near_dedup'", "SELECT 6, 'near_dedup'"
+    ).replace(
+        "SELECT 4, 'exact_dedup'", "SELECT 5, 'exact_dedup'"
+    ).replace(
+        "SELECT 3, 'language'",
+        "SELECT 3, 'repetition', CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(tok) AS BIGINT),\n         0 FROM q2b\n  UNION ALL\n"
+        "  SELECT 4, 'language'",
+    )
+    assert "q2b" in s and "SELECT 8, 'packed'" in s
+    return s
+
+
+@_q("corpus_prep_funnel_v3", _funnel_v3_oracle())
+def corpus_prep_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 flagship funnel with the published Gopher repetition gate
+    (`operators/gopher.py`, Rae et al. 2021) inserted after quality:
+    quality -> REPETITION -> language -> exact dedup -> near-dup keep-one
+    -> decontamination -> packing, one checkable plan. The gate is real
+    attrition on the REAL corpus (no planting — short low-entropy docs
+    fail the top-2/3-gram coverage rules). v2 remains as the
+    gate-free lineage; every fragment restates an already-proven
+    single-op oracle."""
+    from pyspark.sql import Window
+
+    from ..operators import contamination as C
+    from ..operators import dedup as D
+    from ..operators import packing as P
+    from ..operators.gopher import repetition_flags, repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    base = corpus.select(
+        "doc_id",
+        "source",
+        "text",
+        T.token_count("text").alias("tok"),
+        T.quality_score("text").alias("q"),
+        T.lang_id("text").alias("lp"),
+        T.fingerprint("text").alias("fp"),
+    ).persist()
+    q2 = base.where(F.col("q") >= 0.3)
+    rep = repetition_flags(
+        repetition_stats(
+            q2.select("doc_id", T.tokens(F.col("text")).alias("toks")),
+            id_col="doc_id",
+            tokens_col="toks",
+        )
+    )
+    rep_fail = rep.where(
+        F.col("fail_dup_line")
+        | F.col("fail_dup_line_chars")
+        | F.col("fail_top2")
+        | F.col("fail_top3")
+        | F.col("fail_dup5")
+        | F.col("fail_dup10")
+    ).select(F.col("id").alias("doc_id"))
+    q2b = q2.join(rep_fail, "doc_id", "left_anti").persist()
+    q3 = q2b.where(F.col("lp") != "und")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    q4 = (
+        q3.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    pairs = D.jaccard_pairs(q4.select("doc_id", "text"), threshold=0.8)
+    losers = D.dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
+    q5 = q4.join(losers, "doc_id", "left_anti").persist()
+    contam = (
+        C.ngram_overlap(q5.select("doc_id", "text"), bench, n=5)
+        .where(F.col("overlap_frac") >= 0.5)
+        .select("doc_id")
+        .distinct()
+    )
+    q6 = q5.join(contam, "doc_id", "left_anti")
+    packed = P.pack_documents(q6.select("doc_id", "source", "text"), budget=256)
+
+    def stage(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.lit(0).cast("bigint").alias("n_bins"),
+        ).select("stage", "name", "n_docs", "total_tokens", "n_bins")
+
+    final = (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_tokens").alias("nt"),
+            (F.max("bin_id") + 1).alias("nb"),
+        )
+        .agg(
+            F.lit(8).alias("stage"),
+            F.lit("packed").alias("name"),
+            F.sum("nd").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.sum("nb").cast("bigint").alias("n_bins"),
+        )
+        .select("stage", "name", "n_docs", "total_tokens", "n_bins")
+    )
+    return (
+        stage(base, 1, "raw")
+        .unionByName(stage(q2, 2, "quality"))
+        .unionByName(stage(q2b, 3, "repetition"))
+        .unionByName(stage(q3, 4, "language"))
+        .unionByName(stage(q4, 5, "exact_dedup"))
+        .unionByName(stage(q5, 6, "near_dedup"))
+        .unionByName(stage(q6, 7, "decontaminated"))
+        .unionByName(final)
+        .orderBy("stage")
+    )
