@@ -80,6 +80,13 @@ SCALAR_BROADCAST_OK = {
     # 1-row merged CMS blob crossed into the estimate expression
     # (operators/sketches.py:cms_estimate)
     "cms_user_counts",
+    # 1-row wide frame of merged quantile estimates crossed into the
+    # rank-count verify pass (r6 tolerance-banded oracle; the builder
+    # labels it "the allowlisted scalar-broadcast shape")
+    "value_quantile_sketch",
+    # three 1-row aggregates (model totals, KL numerators, split doc
+    # counts) crossed into the single-row shift report (corpus_ops)
+    "split_distribution_shift",
 }
 
 
