@@ -58,6 +58,7 @@ _ROUND_PRIORITY = [
     "split_distribution_shift",
     "documents_weighted_sample",
     "corpus_prep_funnel_v3",
+    "stream_quality_gate",
     "ann_topk_ivf_recluster",
     "pagerank_parts",
     "ann_topk_ivf",

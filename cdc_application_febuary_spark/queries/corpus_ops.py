@@ -832,7 +832,8 @@ def embedding_covariance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gets an extra lorem-ipsum / curly-brace / blocklisted line. A line is
 # charged to the FIRST rule it violates (punct -> short -> javascript) so
 # the drop counters partition exactly; doc verdicts group the report.
-_C4_ORACLE = r"""
+_C4_CHAIN = r"""
+
 WITH base AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
@@ -902,6 +903,9 @@ final AS (
            AS doc_dropped
   FROM agg
 )
+"""
+
+_C4_ORACLE = _C4_CHAIN + """
 SELECT doc_dropped, doc_too_few_lines, doc_lorem, doc_brace, doc_blocklist,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_lines) AS BIGINT) AS n_lines,
@@ -916,22 +920,17 @@ GROUP BY 1,2,3,4,5 ORDER BY 1,2,3,4,5
 """
 
 
-@_q("c4_filter_report", _C4_ORACLE)
-def c4_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 cleaning stack (`operators/c4.py`): line rules (terminal
-    punctuation, >=5 words, no 'javascript') partition every dropped line
-    into exactly one counter; document rules (>=3 surviving lines, no
-    lorem ipsum / curly brace / blocklisted word) decide the doc verdict.
-    Planted triggers exercise every rule and the never-fire paths; the
-    report groups by the five doc-level verdict flags."""
+def _c4_planted_lines(docs: DataFrame) -> DataFrame:
+    """Shared planted-trigger line construction for the C4 queries (the
+    Spark twin of _C4_CHAIN's plines/extras CTEs): 8-token chunks, 2 of 3
+    lines get terminal punctuation, every 17th doc gets javascript in
+    line 1, every 23rd/29th/31st doc gets an extra lorem/brace/blocklist
+    line. Input df needs (doc_id, text)."""
     from ..functions.text import tokens
-    from ..operators.c4 import c4_line_filter
     from ..operators.gopher import _lines
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    )
-    raw = docs.select("doc_id", _lines(F.col("toks"), 8).alias("l0"))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    raw = toked.select("doc_id", _lines(F.col("toks"), 8).alias("l0"))
     # NB two-parameter transform lambda receives (element, index) — used
     # deliberately here, c IS the line index.
     lines = F.transform(
@@ -963,10 +962,25 @@ def c4_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    with_lines = raw.select(
-        "doc_id", F.concat(lines, extras).alias("lines")
+    return raw.select("doc_id", F.concat(lines, extras).alias("lines"))
+
+
+@_q("c4_filter_report", _C4_ORACLE)
+def c4_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning stack (`operators/c4.py`): line rules (terminal
+    punctuation, >=5 words, no 'javascript') partition every dropped line
+    into exactly one counter; document rules (>=3 surviving lines, no
+    lorem ipsum / curly brace / blocklisted word) decide the doc verdict.
+    Planted triggers exercise every rule and the never-fire paths; the
+    report groups by the five doc-level verdict flags."""
+    from ..functions.text import tokens
+    from ..operators.c4 import c4_line_filter
+    from ..operators.gopher import _lines
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = c4_line_filter(
+        _c4_planted_lines(docs), id_col="doc_id", lines_col="lines"
     )
-    rep = c4_line_filter(with_lines, id_col="doc_id", lines_col="lines")
     gcols = [
         "doc_dropped",
         "doc_too_few_lines",
@@ -1140,4 +1154,98 @@ def split_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kl_tv_num_d").cast("double").alias("kl_tv_num"),
             (F.col("tt") + F.col("v")).cast("long").alias("kl_tv_den"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate: the C4 stack applied IN-FLIGHT, value-checked
+# ---------------------------------------------------------------------------
+# The production shape for corpus filtering: documents arrive as a stream
+# and the filter runs per micro-batch (the doc verdict is per-row
+# independent, so batch-wise application == global application), with the
+# kept set appended exactly-once under a checkpoint. The oracle is the
+# SAME _C4_CHAIN the batch report uses, aggregated over the kept docs —
+# so the stream path must value-equal a pure SQL replay of the filter.
+_GATE_ORACLE = _C4_CHAIN + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(kept_lines) AS BIGINT) AS kept_lines,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM final WHERE NOT doc_dropped
+"""
+
+
+@_q("stream_quality_gate", _GATE_ORACLE)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning applied to a LIVE document stream (`operators/c4.py`
+    inside foreachBatch): the corpus replays as three JSON feed files
+    (maxFilesPerTrigger=1 -> three micro-batches), each batch runs the
+    full line+doc rule stack and appends only surviving documents to the
+    target. The final target must value-equal the batch SQL replay of
+    the same filter — kept-doc count, line counters, and an id checksum
+    all hash-compared."""
+    import pathlib
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.c4 import c4_line_filter
+
+    work = tempfile.mkdtemp(prefix="squality_")
+    feed = f"{work}/feed"
+    pathlib.Path(feed).mkdir()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payload = F.to_json(F.struct("doc_id", "text")).alias("value")
+    for i in range(3):
+        stage = f"{work}/stage{i}"
+        (
+            docs.where(F.col("doc_id") % 3 == i)
+            .select(payload)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(stage)
+        )
+        part = next(pathlib.Path(stage).glob("part-*"))
+        part.rename(pathlib.Path(feed) / f"b{i}.txt")
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(feed)
+        .select(F.from_json("value", schema).alias("p"))
+        .select("p.doc_id", "p.text")
+    )
+    target = f"{work}/target"
+
+    def gate(batch_df, batch_id):
+        rep = c4_line_filter(
+            _c4_planted_lines(batch_df), id_col="doc_id", lines_col="lines"
+        )
+        (
+            rep.where(~F.col("doc_dropped"))
+            .select("id", "n_lines", "kept_lines")
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(target).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("kept_lines").cast("long").alias("kept_lines"),
+        F.sum("id").cast("long").alias("id_checksum"),
     )

@@ -56,6 +56,7 @@ SKIP = {
     "incremental_dedup_fold",
     "near_dedup_fold",
     "ann_topk_ivf_recluster",
+    "stream_quality_gate",
 }
 
 _NODE_RE = re.compile(r"^[\s:+\-*>()\d]*([A-Za-z][A-Za-z0-9]*)")

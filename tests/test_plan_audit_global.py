@@ -44,6 +44,9 @@ SKIP_SLOW = {
     "incremental_semdedup_fold",   # replays a 3-batch store lifecycle
     "srp_semantic_dedup",          # label-prop loop runs at build time
     "stream_stream_left_outer",    # runs an outer-join stream to completion
+    "stream_quality_gate",         # runs the C4 gate stream to completion
+    "ann_topk_ivf_recluster",      # full build/append/rebuild lifecycle
+    "corpus_prep_funnel_v3",       # same persist-heavy funnel as v2
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
