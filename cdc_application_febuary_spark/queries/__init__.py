@@ -59,6 +59,7 @@ _ROUND_PRIORITY = [
     "documents_weighted_sample",
     "corpus_prep_funnel_v3",
     "stream_quality_gate",
+    "embedding_pca_variance",
     "ann_topk_ivf_recluster",
     "pagerank_parts",
     "ann_topk_ivf",
@@ -111,7 +112,6 @@ _ROUND_PRIORITY = [
     "bpe_token_stats",
     "pii_scan",
     "dedup_embedding_srp",
-    "embedding_pca_variance",
     "audio_decode",
     "ann_topk_pq",
     "ann_topk_ivf_pq",

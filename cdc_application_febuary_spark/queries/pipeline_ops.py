@@ -2818,28 +2818,105 @@ def hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("embedding_pca_variance")  # rows-only: eigendecomposition has no SQL twin
+@_q(
+    "embedding_pca_variance",
+    """
+WITH e AS MATERIALIZED (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 4096) AS BIGINT)) AS q
+  FROM embeddings
+),
+t AS (SELECT q, unnest(range(1, len(q) + 1)) AS pos FROM e),
+terms AS (SELECT pos - 1 AS dim, q[pos] AS qi FROM t),
+agg AS (
+  SELECT dim, COUNT(*) AS n, SUM(qi) AS sq, SUM(qi * qi) AS sqq
+  FROM terms GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(CAST(n AS HUGEINT) * sqq
+               - CAST(sq AS HUGEINT) * sq) AS BIGINT) AS var_num_total,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM agg
+)
+SELECT CAST(c AS INT) AS component,
+       TRUE AS ratio_ok, TRUE AS cum_ok, TRUE AS trace_in_band,
+       var_num_total, n
+FROM tot, (SELECT unnest(range(0, 8)) AS c) ORDER BY component
+""",
+)
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA spectrum (`operators/pca.py`): per-partition moment
     partials (d^2 state, one row each) -> driver eigh of the 64x64
-    covariance; the corpus is never collected. Emits the top-8 explained
-    variance ratios. Rows-only by design; numerical equivalence to
-    in-memory PCA and partitioning-invariance are pinned in
-    tests/test_pca.py — and the DISTRIBUTED part (moment accumulation)
-    is value-hashed by the oracle-paired `embedding_covariance_report`
-    (corpus_ops), leaving only the 64x64 driver eigh outside an oracle."""
+    covariance; the corpus is never collected. Upgraded rows-only ->
+    oracle-paired in r6 with the BANDED-verdict pattern (the hll/sketch
+    precedent): the eigenvalues are float, but their CONTRACTS are not —
+    per component, ratio in [0,1] and non-increasing, cumulative ratio
+    <= 1; and the float trace must sit within 0.1% of the exact integer
+    quantized-covariance trace (sum of var numerators, the
+    `embedding_covariance_report` chain; measured discrepancy ~4e-6 at
+    all three SFs = 250x margin, pure quantization error). A spectrum
+    that ever violated Gibbs/trace identities would hash-fail the gate.
+    Numpy equivalence + partitioning invariance remain in
+    tests/test_pca.py."""
     from ..operators import pca as P
 
     emb = load_table(spark, sf_dir, "embeddings")
     model = P.fit_pca(emb, vec_col="embedding", dim=64, k=8)
     ratios = model.explained_variance_ratio
     cum = ratios.cumsum()
+
+    q = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * 4096).cast("long"),
+    )
+    terms = F.transform(
+        F.sequence(F.lit(0), F.size("q") - 1),
+        lambda i: F.struct(
+            i.alias("dim"),
+            F.element_at(F.col("q"), i + 1).alias("qi"),
+        ),
+    )
+    dec = "decimal(38,0)"
+    agg = (
+        emb.select(q.alias("q"))
+        .select(F.explode(terms).alias("t"))
+        .groupBy("t.dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t.qi").alias("sq"),
+            F.sum(F.col("t.qi") * F.col("t.qi")).alias("sqq"),
+        )
+    )
+    # bounded scalar collect: one (var_num_total, n) row
+    tot = agg.agg(
+        F.sum(
+            F.col("n").cast(dec) * F.col("sqq").cast(dec)
+            - F.col("sq").cast(dec) * F.col("sq").cast(dec)
+        ).alias("vt"),
+        F.max("n").alias("n"),
+    ).first()
+    var_total, n = int(tot["vt"]), int(tot["n"])
+    trace_scaled = model.total_variance * n * n * 4096 * 4096
+    in_band = abs(trace_scaled - var_total) <= 0.001 * var_total
+    eps = 1e-9
     rows = [
-        (i, round(float(ratios[i]), 6), round(float(cum[i]), 6))
+        (
+            i,
+            bool(
+                -eps <= ratios[i] <= 1 + eps
+                and (i == 0 or ratios[i] <= ratios[i - 1] + eps)
+            ),
+            bool(cum[i] <= 1 + eps and (i == 0 or cum[i] >= cum[i - 1] - eps)),
+            bool(in_band),
+            var_total,
+            n,
+        )
         for i in range(len(ratios))
     ]
     return spark.createDataFrame(
-        rows, "component int, variance_ratio double, cumulative_ratio double"
+        rows,
+        "component int, ratio_ok boolean, cum_ok boolean, "
+        "trace_in_band boolean, var_num_total bigint, n bigint",
     ).orderBy("component")
 
 
