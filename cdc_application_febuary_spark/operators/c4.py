@@ -25,6 +25,8 @@ from the published paper.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 TERMINAL_PUNCT = (".", "!", "?", '"')
@@ -53,11 +55,15 @@ def c4_line_filter(
 ) -> DataFrame:
     """Apply the C4 stack to ``df[id_col, lines_col: array<string>]``.
 
-    Returns one row per document: BIGINT counters ``n_lines, kept_lines,
-    drop_punct, drop_short, drop_js`` (a line is charged to the FIRST rule
-    it violates, in the order punct -> short -> javascript, so the
-    counters partition the dropped lines) and booleans ``doc_lorem,
-    doc_brace, doc_blocklist, doc_too_few_lines, doc_dropped``.
+    Returns one row per document — INCLUDING documents whose lines array
+    is empty or null, which surface with all counters 0 and
+    ``doc_dropped`` true (ADVICE r6: the per-line aggregate can't see
+    them, so doc flags are the join spine, not the counts): BIGINT
+    counters ``n_lines, kept_lines, drop_punct, drop_short, drop_js``
+    (a line is charged to the FIRST rule it violates, in the order
+    punct -> short -> javascript, so the counters partition the dropped
+    lines) and booleans ``doc_lorem, doc_brace, doc_blocklist,
+    doc_too_few_lines, doc_dropped``.
     """
     # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
     # explode into a pre-Generate Filter(size(arr)>0) whose pushdown
@@ -98,16 +104,41 @@ def c4_line_filter(
         ).alias("drop_js"),
     )
     body = F.lower(F.concat_ws("\n", F.col(lines_col)))
-    block_re = "|".join(blocklist)
+    # Blocklist terms are DATA, not regex: escape metacharacters (a term
+    # like "c++" must not corrupt the pattern), and an empty blocklist
+    # means "never fires" — \b()\b would match EVERY document.
+    if blocklist:
+        block_re = "|".join(re.escape(t) for t in blocklist)
+        # negative lookarounds, not \b: \b is defined relative to word
+        # chars, so a term EDGED by a non-word char (e.g. "c++") can
+        # never match \b-wrapped. For all-word-char terms the two are
+        # equivalent (which keeps the DuckDB oracle's \b form valid).
+        block_flag = body.rlike(
+            rf"(?<![A-Za-z0-9_])({block_re})(?![A-Za-z0-9_])"
+        )
+    else:
+        block_flag = F.lit(False)
     doc_flags = df.select(
         F.col(id_col).alias("id"),
         body.contains("lorem ipsum").alias("doc_lorem"),
         body.contains("{").alias("doc_brace"),
-        F.lower(F.concat_ws("\n", F.col(lines_col)))
-        .rlike(rf"\b({block_re})\b")
-        .alias("doc_blocklist"),
+        block_flag.alias("doc_blocklist"),
     )
-    out = counts.join(doc_flags, "id")
+    # doc_flags covers every input document; counts only covers docs with
+    # >=1 line. Left-join + coalesce so empty documents surface with
+    # kept_lines=0 (and therefore doc_dropped=true) instead of vanishing.
+    zero = F.lit(0).cast("long")
+    out = doc_flags.join(counts, "id", "left").select(
+        "id",
+        F.coalesce("n_lines", zero).alias("n_lines"),
+        F.coalesce("kept_lines", zero).alias("kept_lines"),
+        F.coalesce("drop_punct", zero).alias("drop_punct"),
+        F.coalesce("drop_short", zero).alias("drop_short"),
+        F.coalesce("drop_js", zero).alias("drop_js"),
+        "doc_lorem",
+        "doc_brace",
+        "doc_blocklist",
+    )
     return out.select(
         "*",
         (F.col("kept_lines") < min_kept_lines).alias("doc_too_few_lines"),

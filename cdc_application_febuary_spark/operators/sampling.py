@@ -349,8 +349,9 @@ def weighted_sample_portable(
     in any engine, and ties (same floored key) break on id, so the drawn
     set is a pure function of (id set, integer weights, seed) in BOTH
     Spark and SQL. Integer weights up to 2^19 (=524288) keep w * 2^44
-    inside BIGINT — guarded with a clear error; same top-k plan shape as
-    the A-ES tier."""
+    inside BIGINT — guarded with a clear error (w must stay STRICTLY
+    below 2^19: w == 2^19 makes w * 2^44 = 2^63, which already overflows
+    signed BIGINT); same top-k plan shape as the A-ES tier."""
     if k < 1:
         raise ValueError("k must be >= 1")
     w = F.col(weight_col).cast("long")
@@ -358,12 +359,14 @@ def weighted_sample_portable(
     key = F.expr(
         f"(CAST({weight_col} AS BIGINT) * 17592186044416) div (__psp_u)"
     )
-    # ANSI overflow on w > 2^19 would be a cryptic task error — fail the
-    # plan with the contract instead.
+    # ANSI overflow on w >= 2^19 would be a cryptic task error (and
+    # non-ANSI silently wraps w * 2^44 = 2^63 to a negative key) — fail
+    # the plan with the contract instead. w == 2^19 exactly is already
+    # out of range: 2^19 * 2^44 = 2^63 > BIGINT max.
     guard = F.when(
-        w > F.lit(1 << 19),
+        w >= F.lit(1 << 19),
         F.raise_error(
-            F.lit("weighted_sample_portable: weight exceeds 2^19")
+            F.lit("weighted_sample_portable: weight must be < 2^19")
         ),
     ).otherwise(F.lit(1))
     return (

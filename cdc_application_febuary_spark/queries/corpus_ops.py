@@ -880,7 +880,7 @@ lflags AS (
          regexp_matches(lower(line), '\b(badword1|badword2)\b') AS l_block
   FROM alllines
 ),
-agg AS (
+agg0 AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_lines,
          CAST(SUM(CASE WHEN NOT v_punct AND NOT v_short AND NOT v_js
@@ -895,6 +895,20 @@ agg AS (
          BOOL_OR(l_brace) AS doc_brace,
          BOOL_OR(l_block) AS doc_blocklist
   FROM lflags GROUP BY 1
+),
+agg AS (
+  -- every input document surfaces, even those with zero lines
+  -- (ADVICE r6): the doc spine is the documents table, not the lines
+  SELECT d.doc_id,
+         COALESCE(a.n_lines, 0) AS n_lines,
+         COALESCE(a.kept_lines, 0) AS kept_lines,
+         COALESCE(a.drop_punct, 0) AS drop_punct,
+         COALESCE(a.drop_short, 0) AS drop_short,
+         COALESCE(a.drop_js, 0) AS drop_js,
+         COALESCE(a.doc_lorem, FALSE) AS doc_lorem,
+         COALESCE(a.doc_brace, FALSE) AS doc_brace,
+         COALESCE(a.doc_blocklist, FALSE) AS doc_blocklist
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN agg0 a USING (doc_id)
 ),
 final AS (
   SELECT *,
@@ -1066,9 +1080,9 @@ SELECT
   CAST(tot.v AS BIGINT) AS union_vocab,
   CAST((SELECT COALESCE(SUM(cv), 0) FROM counts WHERE ctr = 0) AS BIGINT)
     AS oov_val_tokens,
-  CAST((SELECT SUM(t_vt) FROM terms) AS DOUBLE) AS kl_vt_num,
+  CAST((SELECT SUM(t_vt) FROM terms) * 1000000 AS BIGINT) AS kl_vt_num_e6,
   CAST(tot.tv + tot.v AS BIGINT) AS kl_vt_den,
-  CAST((SELECT SUM(t_tv) FROM terms) AS DOUBLE) AS kl_tv_num,
+  CAST((SELECT SUM(t_tv) FROM terms) * 1000000 AS BIGINT) AS kl_tv_num_e6,
   CAST(tot.tt + tot.v AS BIGINT) AS kl_tv_den
 FROM tot
 """
@@ -1149,9 +1163,12 @@ def split_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dv").cast("long").alias("val_vocab"),
             F.col("v").cast("long").alias("union_vocab"),
             F.col("oov").cast("long").alias("oov_val_tokens"),
-            F.col("kl_vt_num_d").cast("double").alias("kl_vt_num"),
+            # exact scale-6 integers (ADVICE r6): DuckDB's decimal->double
+            # cast is not correctly rounded, so the hash-compared numerators
+            # stay in integer arithmetic end-to-end.
+            (F.col("kl_vt_num_d") * 1000000).cast("long").alias("kl_vt_num_e6"),
             (F.col("tv") + F.col("v")).cast("long").alias("kl_vt_den"),
-            F.col("kl_tv_num_d").cast("double").alias("kl_tv_num"),
+            (F.col("kl_tv_num_d") * 1000000).cast("long").alias("kl_tv_num_e6"),
             (F.col("tt") + F.col("v")).cast("long").alias("kl_tv_den"),
         )
     )
@@ -1181,9 +1198,16 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside foreachBatch): the corpus replays as three JSON feed files
     (maxFilesPerTrigger=1 -> three micro-batches), each batch runs the
     full line+doc rule stack and appends only surviving documents to the
-    target. The final target must value-equal the batch SQL replay of
-    the same filter — kept-doc count, line counters, and an id checksum
-    all hash-compared."""
+    target. The sink is idempotent per micro-batch (each batch overwrites
+    its own ``__batch_id=N`` partition directory, the same discipline as
+    `streaming/manifest_sink.py` — a retried batch replaces, never
+    double-appends), and the query PROVES it by replaying one committed
+    batch after the stream finishes: the aggregate the oracle hashes is
+    computed over the post-replay target, so an at-least-once regression
+    hash-fails the gate. The final target must value-equal the batch SQL
+    replay of the same filter — kept-doc count, line counters, and an id
+    checksum all hash-compared."""
+    import os
     import pathlib
     import tempfile
 
@@ -1211,7 +1235,13 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .text(stage)
         )
         part = next(pathlib.Path(stage).glob("part-*"))
-        part.rename(pathlib.Path(feed) / f"b{i}.txt")
+        dest = pathlib.Path(feed) / f"b{i}.txt"
+        part.rename(dest)
+        # strictly increasing mtimes pin file -> micro-batch order (the
+        # file source orders by modification time; same-millisecond
+        # writes tie and scramble arrival) — required below where the
+        # double-commit simulation replays batch 2 BY ID.
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
 
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("text", StringType())]
@@ -1229,11 +1259,14 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = c4_line_filter(
             _c4_planted_lines(batch_df), id_col="doc_id", lines_col="lines"
         )
+        # exactly-once: each micro-batch owns (and on retry, REPLACES)
+        # its batch_id-keyed partition directory — a plain append here
+        # would duplicate kept docs on a retried batch.
         (
             rep.where(~F.col("doc_dropped"))
             .select("id", "n_lines", "kept_lines")
-            .write.mode("append")
-            .parquet(target)
+            .write.mode("overwrite")
+            .parquet(f"{target}/__batch_id={int(batch_id)}")
         )
 
     q = (
@@ -1243,7 +1276,19 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    return spark.read.parquet(target).agg(
+    # Simulated double-commit: replay batch 2 (feed file b2.txt, the
+    # third micro-batch by pinned mtime order) through the same sink
+    # with the SAME batch_id. The idempotent sink overwrites the
+    # partition in place; the oracle-hashed aggregate below therefore
+    # only matches if the replay did NOT change the target.
+    replay = (
+        spark.read.format("text")
+        .load(f"{feed}/b2.txt")
+        .select(F.from_json("value", schema).alias("p"))
+        .select("p.doc_id", "p.text")
+    )
+    gate(replay, 2)
+    return spark.read.parquet(target).drop("__batch_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
         F.sum("n_lines").cast("long").alias("n_lines"),
         F.sum("kept_lines").cast("long").alias("kept_lines"),

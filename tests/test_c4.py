@@ -87,3 +87,46 @@ def test_partitioning_invariance(spark):
         for r in c4_line_filter(df.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_empty_docs_surface(spark):
+    """ADVICE r6: a document with zero lines (empty or NULL array) must
+    surface with all counters 0 and doc_dropped=true, not vanish."""
+    df = spark.createDataFrame(
+        [
+            (0, ["one fine line of text."] * 3),
+            (1, []),
+            (2, None),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    rows = {r["id"]: r.asDict() for r in c4_line_filter(df).collect()}
+    assert set(rows) == {0, 1, 2}
+    for i in (1, 2):
+        r = rows[i]
+        assert r["n_lines"] == 0 and r["kept_lines"] == 0
+        assert r["doc_too_few_lines"] and r["doc_dropped"]
+        assert not (r["doc_lorem"] or r["doc_brace"] or r["doc_blocklist"])
+    assert not rows[0]["doc_dropped"]
+
+
+def test_blocklist_is_data_not_regex(spark):
+    """ADVICE r6: blocklist terms with regex metacharacters must be
+    escaped, and an empty blocklist must never fire."""
+    df = spark.createDataFrame(
+        [
+            (0, ["we write c++ code all day."] * 3),
+            (1, ["plain words only over here."] * 3),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    rows = {
+        r["id"]: r.asDict()
+        for r in c4_line_filter(df, blocklist=("c++",)).collect()
+    }
+    assert rows[0]["doc_blocklist"] and not rows[1]["doc_blocklist"]
+    empty = {
+        r["id"]: r.asDict()
+        for r in c4_line_filter(df, blocklist=()).collect()
+    }
+    assert not any(r["doc_blocklist"] for r in empty.values())

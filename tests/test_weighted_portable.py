@@ -96,3 +96,22 @@ def test_topk_plan_shape(spark):
         df, "w", 10, "doc_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weight_boundary_guard(spark):
+    """w == 2^19 exactly gives w * 2^44 = 2^63, which overflows signed
+    BIGINT — the guard must fire AT the boundary, not just above it
+    (ADVICE r6). 2^19 - 1 is the largest admissible weight."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(0, 1 << 19), (1, 1)], "doc_id long, w long"
+    )
+    with pytest.raises(Exception, match="must be < 2\\^19"):
+        weighted_sample_portable(bad, "w", 1, "doc_id").collect()
+
+    ok = spark.createDataFrame(
+        [(0, (1 << 19) - 1), (1, 1)], "doc_id long, w long"
+    )
+    got = weighted_sample_portable(ok, "w", 1, "doc_id").collect()
+    assert len(got) == 1
