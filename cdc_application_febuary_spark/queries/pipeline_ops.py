@@ -1779,8 +1779,31 @@ def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (synthetic media; decode stubbed — see operators)
+#
+# Literal-VALUES oracles (VERDICT r6 item 1c): these queries never read the
+# fixtures — payloads are generated deterministically in-process, every
+# per-row float is rounded once at the row level and quantized to an e6
+# integer before any cross-row aggregation, so the expected output is a
+# CONSTANT at every scale factor. The oracle states those rows outright;
+# any codec / resize / probe / indexing regression hash-fails the driver
+# gate. Regenerate with scripts/gen_literal_oracles.py (which re-runs each
+# query twice and refuses non-bit-stable rows) after changing a codec.
 # ---------------------------------------------------------------------------
-@_q("multimodal_features")  # rows-only: input is generated, not a fixture
+_MM_FEATURES_ORACLE = """
+SELECT CAST(kind AS VARCHAR) AS kind,
+       CAST(n AS BIGINT) AS n,
+       CAST(distinct_content AS BIGINT) AS distinct_content,
+       CAST(total_bytes AS BIGINT) AS total_bytes
+FROM (VALUES
+  ('audio', 21, 21, 5312),
+  ('image', 22, 22, 5568),
+  ('video', 21, 21, 5376)
+) AS t(kind, n, distinct_content, total_bytes)
+ORDER BY kind
+"""
+
+
+@_q("multimodal_features", _MM_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthetic_media(spark, n=64)
     feats = multimodal.extract_features(media)
@@ -1795,19 +1818,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("multimodal_decode")  # rows-only: payloads are generated in-process
+_MM_DECODE_ORACLE = """
+SELECT CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(n AS BIGINT) AS n,
+       CAST(luma_e6_sum AS BIGINT) AS luma_e6_sum,
+       CAST(decode_errors AS BIGINT) AS decode_errors
+FROM (VALUES
+  (16, 12, 3, 4, 462211806, 0),
+  (16, 20, 3, 4, 486066668, 0),
+  (16, 28, 3, 4, 512761904, 0),
+  (24, 12, 3, 4, 520674768, 0),
+  (24, 20, 3, 4, 465455556, 0),
+  (24, 28, 3, 4, 492150792, 0),
+  (32, 12, 3, 4, 500514758, 0),
+  (32, 20, 3, 4, 525441668, 0),
+  (32, 28, 3, 4, 472136904, 0),
+  (40, 12, 3, 4, 480761806, 0),
+  (40, 20, 3, 4, 505466668, 0),
+  (40, 28, 3, 4, 532161904, 0)
+) AS t(width, height, channels, n, luma_e6_sum, decode_errors)
+ORDER BY width, height, channels
+"""
+
+
+@_q("multimodal_decode", _MM_DECODE_ORACLE)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: a JPEG/PNG/PPM format mix through the
     pure numpy codecs (incl. the engine's own baseline JPEG) inside
     mapInPandas, aggregated by decoded geometry. Every row decodes
-    (decode_error count asserts zero quarantines)."""
+    (decode_error count asserts zero quarantines). The oracle pins the
+    expected per-geometry luma sums as literals — the payloads are
+    generated in-process, so the output is a constant (see the
+    literal-oracle note above _MM_FEATURES_ORACLE)."""
     media = multimodal.synthetic_media_mixed(spark, n=48)
     feats = multimodal.decode_features(media)
+    # per-image luma quantized to an exact e6 integer BEFORE the group
+    # sum (float sums are accumulation-order-sensitive; int64 sums are
+    # not), so the report is bit-stable under any partitioning and can
+    # be pinned by a literal-VALUES oracle.
+    luma_e6 = F.round(F.col("mean_luma") * 1000000).cast("long")
     return (
         feats.groupBy("width", "height", "channels")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+            F.sum(luma_e6).alias("luma_e6_sum"),
             F.sum(
                 F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
             ).alias("decode_errors"),
@@ -3172,20 +3228,44 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("audio_decode")  # rows-only: WAV payloads are generated in-process
+_AUDIO_DECODE_ORACLE = """
+SELECT CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n,
+       CAST(total_samples AS BIGINT) AS total_samples,
+       CAST(rms_e6_sum AS BIGINT) AS rms_e6_sum,
+       CAST(zcr_e6_sum AS BIGINT) AS zcr_e6_sum,
+       CAST(decode_errors AS BIGINT) AS decode_errors
+FROM (VALUES
+  (8000, 11, 11200, 3971463, 1692919, 0),
+  (16000, 11, 21600, 3918346, 873229, 0),
+  (22050, 10, 27560, 3501589, 594437, 0)
+) AS t(sample_rate, n, total_samples, rms_e6_sum, zcr_e6_sum, decode_errors)
+ORDER BY sample_rate
+"""
+
+
+@_q("audio_decode", _AUDIO_DECODE_ORACLE)
 def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: deterministic PCM WAV tones through
     the stdlib-wave codec inside mapInPandas, aggregated by sample rate.
-    Signal stats (rms/peak/zero-cross) are reproducible; decode_errors
-    asserts zero quarantines."""
+    Signal stats (rms/peak/zero-cross) are reproducible and quantized to
+    exact e6 integers per clip; the oracle pins them as literals (the
+    WAVs are generated in-process — see _MM_FEATURES_ORACLE's note).
+    decode_errors asserts zero quarantines."""
     media = multimodal.synthetic_media_wav(spark, n=32)
     feats = multimodal.audio_features(media)
+    # per-clip signal stats quantized to exact e6 integers before the
+    # group sum (order-independent int64 arithmetic -> literal-oracle
+    # pinnable; see multimodal_decode).
+    rms_e6 = F.round(F.col("rms") * 1000000).cast("long")
+    zcr_e6 = F.round(F.col("zero_cross_rate") * 1000000).cast("long")
     return (
         feats.groupBy("sample_rate")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("rms"), 4).alias("avg_rms"),
-            F.round(F.avg("zero_cross_rate"), 4).alias("avg_zcr"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum(rms_e6).alias("rms_e6_sum"),
+            F.sum(zcr_e6).alias("zcr_e6_sum"),
             F.sum(
                 F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
             ).alias("decode_errors"),
@@ -3572,18 +3652,51 @@ def order_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("multimodal_thumbnails")  # rows-only: PNG payloads generated in-process
+_MM_THUMBS_ORACLE = """
+SELECT CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(n AS BIGINT) AS n,
+       CAST(thumb_luma_e6_sum AS BIGINT) AS thumb_luma_e6_sum,
+       CAST(thumb_png_bytes AS BIGINT) AS thumb_png_bytes,
+       CAST(decode_errors AS BIGINT) AS decode_errors
+FROM (VALUES
+  (16, 12, 2, 255125000, 160, 0),
+  (16, 20, 2, 255125000, 180, 0),
+  (16, 28, 2, 255125000, 206, 0),
+  (24, 12, 2, 215583334, 370, 0),
+  (24, 20, 2, 190500000, 381, 0),
+  (24, 28, 2, 204333334, 379, 0),
+  (32, 12, 2, 255125000, 156, 0),
+  (32, 20, 2, 255125000, 170, 0),
+  (32, 28, 2, 255125000, 188, 0),
+  (40, 12, 2, 195583334, 376, 0),
+  (40, 20, 2, 210500000, 376, 0),
+  (40, 28, 2, 224333334, 380, 0)
+) AS t(width, height, n, thumb_luma_e6_sum, thumb_png_bytes, decode_errors)
+ORDER BY width, height
+"""
+
+
+@_q("multimodal_thumbnails", _MM_THUMBS_ORACLE)
 def multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> box-filter resize -> PNG re-encode
     (`operators/multimodal.py:thumbnails`) aggregated by source geometry:
-    thumbnail luma tracks the source pattern, zero quarantines."""
+    thumbnail luma tracks the source pattern, zero quarantines. The
+    oracle pins per-geometry luma sums AND re-encoded PNG byte totals as
+    literals (in-process payloads — see _MM_FEATURES_ORACLE's note), so
+    both the resize math and the PNG encoder are value-gated."""
     media = multimodal.synthetic_media_png(spark, n=24)
     th = multimodal.thumbnails(media, out_h=8, out_w=8)
+    # thumbnail luma quantized per image to an exact e6 integer, plus the
+    # re-encoded PNG byte total — both pinned by the literal oracle, so a
+    # resize OR encoder regression hash-fails.
+    luma_e6 = F.round(F.col("thumb_mean_luma") * 1000000).cast("long")
     return (
         th.groupBy("width", "height")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("thumb_mean_luma"), 4).alias("avg_thumb_luma"),
+            F.sum(luma_e6).alias("thumb_luma_e6_sum"),
+            F.sum(F.length("thumb_png")).alias("thumb_png_bytes"),
             F.sum(
                 F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
             ).alias("decode_errors"),
@@ -5872,13 +5985,35 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("video_probe")  # rows-only: containers are generated in-process
+_VIDEO_PROBE_ORACLE = """
+SELECT CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(n_tracks AS INTEGER) AS n_tracks,
+       CAST(n AS BIGINT) AS n,
+       CAST(total_ms AS BIGINT) AS total_ms,
+       CAST(quarantined AS BIGINT) AS quarantined
+FROM (VALUES
+  (320, 240, 1, 4, 292000, 0),
+  (320, 240, 2, 4, 376000, 0),
+  (640, 480, 1, 4, 404000, 0),
+  (640, 480, 2, 4, 320000, 0),
+  (960, 720, 1, 4, 348000, 0),
+  (960, 720, 2, 4, 432000, 0),
+  (NULL, NULL, NULL, 1, 0, 1)
+) AS t(width, height, n_tracks, n, total_ms, quarantined)
+ORDER BY width NULLS FIRST, n_tracks
+"""
+
+
+@_q("video_probe", _VIDEO_PROBE_ORACLE)
 def video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-container probing end-to-end: real ISO-BMFF boxes parsed in
     Arrow batches (`functions/mp4.py`), aggregated by resolution tier with
     quarantine accounting — the metadata stage a video pipeline partitions
     and frame-samples on (frame DECODE itself needs ffmpeg and stays a
-    documented stub)."""
+    documented stub). The oracle pins the expected resolution tiers,
+    durations, AND the planted corrupt-container quarantine row as
+    literals (in-process payloads — see _MM_FEATURES_ORACLE's note)."""
     from ..operators import multimodal
 
     media = multimodal.synthetic_media_mp4(spark, n=24)
@@ -5896,7 +6031,47 @@ def video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("video_frame_index")  # rows-only: containers are generated in-process
+_VIDEO_FRAME_ORACLE = """
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_keyframes AS BIGINT) AS n_keyframes,
+       CAST(frame_bytes AS BIGINT) AS frame_bytes,
+       CAST(keyframe_bytes AS BIGINT) AS keyframe_bytes,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(quarantined AS BIGINT) AS quarantined
+FROM (VALUES
+  (0, 6, 2, 111, 35, 499, 0),
+  (1, 7, 3, 133, 53, 629, 0),
+  (2, 8, 3, 151, 56, 551, 0),
+  (3, 9, 3, 172, 59, 680, 0),
+  (4, 10, 4, 196, 77, 612, 0),
+  (5, 6, 2, 113, 38, 601, 0),
+  (6, 7, 3, 133, 61, 529, 0),
+  (7, 8, 3, 149, 57, 649, 0),
+  (8, 9, 3, 168, 53, 576, 0),
+  (9, 10, 4, 190, 76, 706, 0),
+  (10, 6, 2, 115, 41, 503, 0),
+  (11, 7, 3, 133, 55, 629, 0),
+  (12, 8, 3, 154, 58, 554, 0),
+  (13, 9, 3, 171, 61, 679, 0),
+  (14, 10, 4, 184, 75, 600, 0),
+  (15, 6, 2, 117, 37, 605, 0),
+  (16, 7, 3, 133, 56, 529, 0),
+  (17, 8, 3, 152, 59, 652, 0),
+  (18, 9, 3, 174, 55, 582, 0),
+  (19, 10, 4, 192, 74, 708, 0),
+  (20, 6, 2, 112, 40, 500, 0),
+  (21, 7, 3, 133, 57, 629, 0),
+  (22, 8, 3, 150, 53, 550, 0),
+  (23, 9, 3, 170, 56, 678, 0),
+  (24, 0, 0, 0, 0, NULL, 1)
+) AS t(media_id, n_frames, n_keyframes, frame_bytes, keyframe_bytes,
+       span_end, quarantined)
+ORDER BY media_id
+"""
+
+
+@_q("video_frame_index", _VIDEO_FRAME_ORACLE)
 def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame byte indexing from real MP4 sample tables
     (stsz/stsc/stco/stss — `functions/mp4.frame_index`): the stage that
@@ -5904,7 +6079,9 @@ def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per sample with its absolute byte span + keyframe flag; the
     aggregate proves the keyframe subset a GOP sampler would read is a
     fraction of the total frame bytes, without ever decoding a codec
-    payload."""
+    payload. The oracle pins every container's frame/keyframe/byte-span
+    accounting (incl. the planted truncated-container quarantine, media
+    24) as literals — in-process payloads, see _MM_FEATURES_ORACLE."""
     from ..operators import multimodal
 
     media = multimodal.synthetic_media_mp4(spark, n=24, with_samples=True)
