@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 @dataclass
@@ -293,4 +293,196 @@ def mutual_information(
     return terms.agg(
         F.round(F.sum("term"), round_to).alias("mi_nats"),
         F.sum("pairs").cast("long").alias("n_cells"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point integer GD (the pagerank_fixedpoint treatment, VERDICT r6):
+# every quantity in the training loop is a BIGINT, every op is integer
+# add/mul/div, so the ENTIRE fit — standardization, 8 gradient steps,
+# final margins — is bit-reproducible and replays as an unrolled SQL CTE
+# chain. The sigmoid is the HARD sigmoid clamp(1/2 + m/4, 0, 1) (the
+# standard integer-friendly surrogate from the quantized-training
+# literature, e.g. Courbariaux et al. 2015); the tracked loss is the
+# Brier score (sum of squared e6 errors — exact in int64).
+# ---------------------------------------------------------------------------
+def _tdiv(a: Column, b: Column | int) -> Column:
+    """Integer division truncating toward zero on BOTH engines: Spark's
+    `div` already truncates; DuckDB's `//` floors, so SQL replays must
+    use CASE WHEN a >= 0 THEN a // b ELSE -((-a) // b) END (see
+    `queries/pipeline_ops._tdiv_sql`). Divisors here are always > 0.
+
+    Implemented as (a - a % b) / b: Spark's % takes the dividend's sign
+    (Java semantics), so the numerator is exactly divisible and the
+    double division is exact below 2^53 — well above every magnitude in
+    this loop (gradient sums stay < 1e15 by the documented headroom)."""
+    bb = F.lit(b) if isinstance(b, int) else b
+    aa = a.cast("long")
+    return ((aa - aa % bb) / bb).cast("long")
+
+
+@dataclass
+class LogRegFixedPoint:
+    feature_cols: list[str]
+    means: list[int]          # integer feature means (sum div n)
+    scales: list[int]         # floor(sqrt(var)) + 1 per feature
+    weights_e6: list[int]     # weights in 1e-6 units
+    bias_e6: int
+    n: int
+    brier_e12_sums: list[int]  # sum of squared e6 errors per iteration
+
+    def zq_col(self, j: int) -> Column:
+        """Quantized standardized feature: (16*(x - mean)) tdiv scale —
+        an integer in ~[-48, 48] (units of 1/16 std)."""
+        z = (F.col(self.feature_cols[j]).cast("long") - F.lit(self.means[j])) * 16
+        return _tdiv(z, self.scales[j])
+
+    def margin16_col(self) -> Column:
+        """Integer margin in units of 1e-6/16: 16*b + sum w_j * zq_j."""
+        m = F.lit(16 * self.bias_e6).cast("long")
+        for j in range(len(self.feature_cols)):
+            m = m + F.lit(self.weights_e6[j]) * self.zq_col(j)
+        return m
+
+
+def fit_logreg_fixedpoint(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 8,
+    lr_shift: int = 2,
+) -> LogRegFixedPoint:
+    """Hard-sigmoid logistic regression by EXACT fixed-point integer GD.
+
+    Inputs must be integer-valued columns (counts — the caller derives
+    them identically in the SQL replay). Pipeline, all BIGINT:
+
+    * mean_j = sum(x_j) div n; scale_j = floor(sqrt((sum (x-mean)^2)
+      div n)) + 1; zq_j = (16*(x_j - mean_j)) tdiv scale_j
+    * margin m16 = 16*b_e6 + sum w_e6_j * zq_j (units 1e-6/16)
+    * p_e6 = clamp(500000 + m16 tdiv 64, 0, 1000000) — hard sigmoid
+    * err_e6 = p_e6 - 1000000*y;  brier += err_e6^2
+    * w_j -= (sum err_e6*zq_j) tdiv (n << (4 + lr_shift));
+      b   -= (sum err_e6) tdiv (n << lr_shift)
+
+    One aggregation job per iteration (d+2 partial sums — sufficient
+    statistics, same shape as `fit_logreg`), driver receives d+2 ints.
+    Deterministic under ANY partitioning: int64 sums are
+    order-independent. Overflow headroom: |err|<=1e6, |zq|<=~64, so the
+    gradient sum is < 6.4e7 * n and brier < 1e12 * n — safe in int64
+    beyond 1e6 rows; at larger n, pre-aggregate per partition or raise
+    the scale to 1e-4 units."""
+    d = len(feature_cols)
+    feats = df.select(
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    s0 = feats.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c).alias(f"sum_{c}") for c in feature_cols],
+    ).first()
+    n = int(s0["__n"])
+    means = [int(s0[f"sum_{c}"]) // n for c in feature_cols]  # sums >= 0
+    s1 = feats.agg(
+        *[
+            F.sum(
+                (F.col(c) - F.lit(means[j])) * (F.col(c) - F.lit(means[j]))
+            ).alias(f"ss_{j}")
+            for j, c in enumerate(feature_cols)
+        ]
+    ).first()
+    import math
+
+    scales = [math.isqrt(int(s1[f"ss_{j}"]) // n) + 1 for j in range(d)]
+    zq = feats.select(
+        "__y",
+        *[
+            _tdiv((F.col(c) - F.lit(means[j])) * 16, scales[j]).alias(f"zq_{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    zq.persist()
+    try:
+        w = [0] * d
+        b = 0
+        briers: list[int] = []
+        for _ in range(iters):
+            m16 = F.lit(16 * b).cast("long")
+            for j in range(d):
+                m16 = m16 + F.lit(w[j]) * F.col(f"zq_{j}")
+            p = F.greatest(
+                F.least(
+                    F.lit(500000).cast("long") + _tdiv(m16, 64),
+                    F.lit(1000000).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            )
+            err = (p - F.lit(1000000) * F.col("__y")).alias("__e")
+            row = zq.select(
+                err, *[F.col(f"zq_{j}") for j in range(d)]
+            ).agg(
+                F.sum(F.col("__e") * F.col("__e")).alias("brier"),
+                F.sum("__e").alias("g_b"),
+                *[
+                    F.sum(F.col("__e") * F.col(f"zq_{j}")).alias(f"g_{j}")
+                    for j in range(d)
+                ],
+            ).first()
+            briers.append(int(row["brier"]))
+            b -= _py_tdiv(int(row["g_b"]), n << lr_shift)
+            for j in range(d):
+                w[j] -= _py_tdiv(int(row[f"g_{j}"]), n << (4 + lr_shift))
+        return LogRegFixedPoint(
+            feature_cols=list(feature_cols),
+            means=means,
+            scales=scales,
+            weights_e6=w,
+            bias_e6=b,
+            n=n,
+            brier_e12_sums=briers,
+        )
+    finally:
+        zq.unpersist()
+
+
+def _py_tdiv(a: int, b: int) -> int:
+    """Python // floors; the engine contract truncates toward zero."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def auc_exact_pair(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Mann–Whitney AUC over INTEGER scores as an exact rational:
+    auc = auc_num / auc_den with auc_num = 2*Σ_pos avg_rank −
+    n_pos*(n_pos+1) and auc_den = 2*n_pos*n_neg (avg ranks over tied
+    integer scores are half-integers, so 2*avg_rank is an integer and
+    the pair is exact — no float division reaches the output)."""
+    g = (
+        df.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "pos",
+        "cnt",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + F.lit(1)
+        ).alias("avg_rank2"),
+    )
+    return ranked.agg(
+        F.sum("pos").alias("__np"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("__nn"),
+        F.sum(F.col("pos") * F.col("avg_rank2")).alias("__rs2"),
+    ).select(
+        (F.col("__rs2") - F.col("__np") * (F.col("__np") + 1))
+        .cast("long")
+        .alias("auc_num"),
+        (F.lit(2) * F.col("__np") * F.col("__nn")).cast("long").alias("auc_den"),
+        F.col("__np").cast("long").alias("n_pos"),
+        F.col("__nn").cast("long").alias("n_neg"),
     )

@@ -2979,45 +2979,186 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Distributed classifier training + ranking metrics
 # ---------------------------------------------------------------------------
-@_q("quality_classifier")  # rows-only: 30 GD iterations have no SQL twin
+def _tdiv_sql(a: str, b: str) -> str:
+    """Integer division truncating toward zero in DuckDB (whose `//`
+    floors — divergent from Spark's `div` on negative dividends)."""
+    return f"(CASE WHEN ({a}) >= 0 THEN ({a}) // ({b}) ELSE -((-({a})) // ({b})) END)"
+
+
+_QC_FEATS = ["n_chars", "n_tokens", "n_stop", "n_punct", "en_markers"]
+
+
+def _quality_fixedpoint_oracle(iters: int = 8, lr_shift: int = 2) -> str:
+    """Unrolled fixed-point hard-sigmoid logistic GD — the SQL replay of
+    `classifier.fit_logreg_fixedpoint` (every op is integer add/mul/tdiv,
+    so weights, Brier sums, margins and the exact rational AUC are all
+    bit-identical). Structure mirrors `_pagerank_oracle`."""
+    stops = "'" + "','".join(T.STOPWORDS) + "'"
+    d = len(_QC_FEATS)
+    # language-ID twin (same CASE construction as _lang_oracle)
+    score = {
+        code: "len(list_intersect(words, ['"
+        + "','".join(T.LANG_MARKERS[code])
+        + "']))"
+        for code in sorted(T.LANG_MARKERS)
+    }
+    greatest = (
+        "GREATEST(" + ", ".join(f"s_{c}" for c in sorted(T.LANG_MARKERS)) + ")"
+    )
+    lang_case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for code in sorted(T.LANG_MARKERS):
+        lang_case += f"WHEN s_{code} = {greatest} THEN '{code}' "
+    lang_case += "ELSE 'und' END"
+    scores_sql = ", ".join(f"{e} AS s_{c}" for c, e in score.items())
+    head = rf"""
+WITH raw AS (
+  SELECT CAST(n_chars AS BIGINT) AS x0,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+              AS BIGINT) AS x1,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> list_contains([{stops}], t)))
+              AS BIGINT) AS x2,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^a-zA-Z0-9_ \t\n]', '', 'g'))
+              AS BIGINT) AS x3,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+  FROM documents
+),
+sc0 AS (SELECT x0, x1, x2, x3, {scores_sql} FROM raw),
+f AS MATERIALIZED (
+  SELECT x0, x1, x2, x3, CAST(s_en AS BIGINT) AS x4,
+         CAST(CASE WHEN ({lang_case}) = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM sc0
+),
+nn AS (SELECT COUNT(*) AS n FROM f),
+mu AS MATERIALIZED (
+  SELECT {", ".join(f"SUM(x{j}) // nn.n AS m{j}" for j in range(d))}
+  FROM f, nn GROUP BY nn.n
+),
+sc AS MATERIALIZED (
+  SELECT {", ".join(
+      f"CAST(FLOOR(SQRT((SUM((x{j} - m{j}) * (x{j} - m{j}))) // nn.n)) AS BIGINT) + 1 AS s{j}"
+      for j in range(d))}
+  FROM f, mu, nn GROUP BY nn.n, {", ".join(f"m{j}" for j in range(d))}
+),
+zq AS MATERIALIZED (
+  SELECT y, {", ".join(
+      _tdiv_sql(f"16 * (x{j} - m{j})", f"s{j}") + f" AS z{j}"
+      for j in range(d))}
+  FROM f, mu, sc
+),
+w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(d))},
+       CAST(0 AS BIGINT) AS b)"""
+    steps = []
+    prev = "w0"
+    for i in range(iters):
+        m16 = "16 * w.b + " + " + ".join(f"w.w{j} * z{j}" for j in range(d))
+        p = f"GREATEST(LEAST(500000 + {_tdiv_sql(m16, '64')}, 1000000), 0)"
+        steps.append(f"""
+g{i} AS MATERIALIZED (
+  SELECT SUM(e * e) AS brier, SUM(e) AS gb,
+         {", ".join(f"SUM(e * z{j}) AS g{j}" for j in range(d))}
+  FROM (SELECT zq.*, ({p}) - 1000000 * y AS e FROM zq, {prev} w)
+),
+w{i + 1} AS MATERIALIZED (
+  SELECT {", ".join(
+      "w.w%d - %s AS w%d"
+      % (j, _tdiv_sql(f"g.g{j}", f"nn.n * {1 << (4 + lr_shift)}"), j)
+      for j in range(d))},
+         w.b - {_tdiv_sql("g.gb", f"nn.n * {1 << lr_shift}")} AS b
+  FROM {prev} w, g{i} g, nn
+)""")
+        prev = f"w{i + 1}"
+    m16_final = "16 * w.b + " + " + ".join(f"w.w{j} * z{j}" for j in range(d))
+    tail = f""",
+scored AS (SELECT ({m16_final}) AS s, y FROM zq, {prev} w),
+grp AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM scored GROUP BY 1),
+rnk AS (
+  SELECT pos, cnt,
+         2 * COALESCE(SUM(cnt) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cnt + 1 AS avg_rank2
+  FROM grp
+),
+auc AS (
+  SELECT CAST(SUM(pos * avg_rank2) - SUM(pos) * (SUM(pos) + 1) AS BIGINT)
+           AS auc_num,
+         CAST(2 * SUM(pos) * SUM(cnt - pos) AS BIGINT) AS auc_den,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+  FROM rnk
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM (
+  {" UNION ALL ".join(
+      f"SELECT 'w_e6:{c}' AS metric, w{j} AS value FROM {prev}"
+      for j, c in enumerate(_QC_FEATS))}
+  UNION ALL SELECT 'bias_e6', b FROM {prev}
+  UNION ALL SELECT 'n_docs', n FROM nn
+  UNION ALL SELECT 'brier_initial_e12', brier FROM g0
+  UNION ALL SELECT 'brier_final_e12', brier FROM g{iters - 1}
+  UNION ALL SELECT 'auc_num', auc_num FROM auc
+  UNION ALL SELECT 'auc_den', auc_den FROM auc
+  UNION ALL SELECT 'n_pos', n_pos FROM auc
+  UNION ALL SELECT 'n_neg', n_neg FROM auc
+)
+ORDER BY metric
+"""
+    return head + "," + ",".join(steps) + tail
+
+
+@_q("quality_classifier", _quality_fixedpoint_oracle())
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic regression (`operators/classifier.py`) as
     RULE DISTILLATION: train a linear model to mimic the rule-based
-    language-ID verdict from cheap per-doc signals — the standard trick
-    for turning an expensive labeler into a vectorizable filter (the
-    fixture's `lang` COLUMN is random w.r.t. the text, so the honest
-    learnable target is the text-derived label). Every GD iteration is
-    ONE declarative aggregation (margin as a literal-folded column
-    expression, d+1 partial SUMs — sufficient statistics, corpus never
-    leaves the executors; `tol` stops converged fits early). Emits
-    standardized-space weights plus train AUC/log-loss. Rows-only by
-    design; exact numpy-GD parity is pinned in tests/test_classifier.py."""
+    language-ID verdict from cheap per-doc signals (the fixture's `lang`
+    COLUMN is random w.r.t. the text, so the honest learnable target is
+    the text-derived label). Upgraded rows-only -> oracle-paired in r7
+    with the pagerank_fixedpoint treatment: hard-sigmoid logistic GD in
+    EXACT fixed-point integer arithmetic (`fit_logreg_fixedpoint` —
+    integer-quantized standardized features, e6 weights, truncating
+    divisions), so the full 8-step training loop, both Brier sums, and
+    the exact rational train AUC replay as an unrolled SQL CTE chain and
+    hash-match bit-for-bit. Every GD iteration is ONE declarative
+    aggregation (d+2 integer partial SUMs — sufficient statistics, the
+    corpus never leaves the executors). The float softplus tier
+    (`fit_logreg`) stays the production scorer with its numpy-GD parity
+    pin in tests/test_classifier.py."""
     from ..operators import classifier as C
 
+    toks = T.tokens(F.lower(F.col("text")))
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("n_chars") / 1000.0).alias("kchars"),
-        T.token_count(F.col("text")).cast("double").alias("n_tokens"),
-        T.stopword_ratio(F.col("text")).alias("stop_ratio"),
-        T.punct_ratio(F.col("text")).alias("punct_ratio"),
-        T.lang_marker_score(F.col("text"), "en")
-        .cast("double")
-        .alias("en_markers"),
-        (T.lang_id(F.col("text")) == "en").cast("int").alias("y"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9_ \t\n]", ""))
+        )
+        .cast("long")
+        .alias("n_punct"),
+        T.lang_marker_score(F.col("text"), "en").cast("long").alias("en_markers"),
+        (T.lang_id(F.col("text")) == "en").cast("long").alias("y"),
     )
-    feats = ["kchars", "n_tokens", "stop_ratio", "punct_ratio", "en_markers"]
-    model = C.fit_logreg(docs, feats, "y", iters=15, lr=1.0, tol=1e-3)
-    scored = docs.select(model.proba_col().alias("p"), "y")
-    auc = C.auc_score(scored, "p", "y").first()
-    rows = [("weight:" + c, round(w, 4)) for c, w in zip(feats, model.weights)]
-    rows += [
-        ("bias", round(model.bias, 4)),
-        ("train_auc", float(auc["auc"])),
-        ("final_log_loss", round(model.losses[-1], 4)),
-        ("initial_log_loss", round(model.losses[0], 4)),
+    model = C.fit_logreg_fixedpoint(docs, _QC_FEATS, "y", iters=8, lr_shift=2)
+    scored = docs.select(model.margin16_col().alias("s"), "y")
+    auc = C.auc_exact_pair(scored, "s", "y").first()
+    rows = [
+        ("w_e6:" + c, w) for c, w in zip(_QC_FEATS, model.weights_e6)
+    ] + [
+        ("bias_e6", model.bias_e6),
+        ("n_docs", model.n),
+        ("brier_initial_e12", model.brier_e12_sums[0]),
+        ("brier_final_e12", model.brier_e12_sums[-1]),
+        ("auc_num", int(auc["auc_num"])),
+        ("auc_den", int(auc["auc_den"])),
+        ("n_pos", int(auc["n_pos"])),
+        ("n_neg", int(auc["n_neg"])),
     ]
     return spark.createDataFrame(
-        sorted(rows), "metric string, value double"
+        rows, "metric string, value long"
     ).orderBy("metric")
 
 
