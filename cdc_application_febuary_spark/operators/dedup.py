@@ -142,21 +142,39 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
+def _md5_32(col) -> "F.Column":
+    """BIGINT in [0, 2^32): leading 32 bits of md5 — the engine-portable
+    hash tier (same bits as `sampling.portable_unit_hash32`; DuckDB twin
+    ('0x' || substr(md5(x), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     n: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig array<long>) — signature[i] = min over shingles of
-    xxhash64(shingle, seed=i). One explode + one hash-aggregate; the
-    signature is ~256 bytes/doc regardless of document size."""
+    hash(shingle, seed=i). One explode + one hash-aggregate; the
+    signature is ~256 bytes/doc regardless of document size.
+
+    ``portable=False`` (production): xxhash64 — fastest JVM path.
+    ``portable=True``: md5-32 of "<shingle>:<seed>" — bit-reproducible
+    in any engine, so a full MinHash+LSH lifecycle can be replayed as a
+    SQL oracle (the `dedup_simhash_portable` pattern). Same estimator
+    statistics (any pairwise-independent family works for MinHash)."""
     sh = shingle_table(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if portable:
+        hs = [
+            _md5_32(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))
+            for i in range(num_hashes)
+        ]
+    else:
+        hs = [F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+    mins = [F.min(h).alias(f"h{i}") for i, h in enumerate(hs)]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -164,15 +182,31 @@ def minhash_signatures(
 
 
 def band_table(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 2
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band, bucket) — each signature exploded into its banded LSH
     keys. The bucket is a hash of the band's signature slice, so every
     downstream join keys on a single long. Shared by the batch self-join
     (`lsh_candidates`) and the incremental store probe
     (`incremental_dedup.near_dedup_batch`), which therefore agree on
-    candidate semantics by construction."""
+    candidate semantics by construction. ``portable=True`` hashes the
+    slice with md5-32 instead of xxhash64 — pair with portable
+    signatures for a fully SQL-replayable LSH lifecycle."""
     assert bands * rows_per_band <= 64, "signature too short for banding"
+
+    def _bucket(bi: int):
+        slice_str = F.concat_ws(
+            ",",
+            *[
+                F.col("sig")[bi * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return _md5_32(slice_str) if portable else F.xxhash64(slice_str)
+
     return sigs.select(
         "id",
         F.explode(
@@ -180,15 +214,7 @@ def band_table(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[bi * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        _bucket(bi).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]

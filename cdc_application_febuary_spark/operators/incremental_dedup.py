@@ -114,6 +114,7 @@ def _check_lsh_params(
     num_hashes: int,
     bands: int,
     rows_per_band: int,
+    portable: bool = False,
 ) -> None:
     """Fail loudly when probe banding parameters don't match the store's.
 
@@ -128,6 +129,7 @@ def _check_lsh_params(
         "num_hashes": num_hashes,
         "bands": bands,
         "rows_per_band": rows_per_band,
+        "portable": bool(portable),
     }
     if mt.current_version(spark, store_path) is None:
         # Brand-new store: nothing recorded, nothing to mismatch — the
@@ -136,7 +138,14 @@ def _check_lsh_params(
         return
     recorded = _store_lsh_params(spark, store_path)
     if recorded is not None:
-        if {k: int(v) for k, v in recorded.items()} != probe:
+        rec = {
+            "num_hashes": int(recorded["num_hashes"]),
+            "bands": int(recorded["bands"]),
+            "rows_per_band": int(recorded["rows_per_band"]),
+            # stores written before the portable tier are xxhash64
+            "portable": bool(recorded.get("portable", False)),
+        }
+        if rec != probe:
             raise ValueError(
                 f"band store {store_path} was written with lsh_params="
                 f"{recorded} but is being probed with {probe}; bucket "
@@ -163,9 +172,17 @@ def near_dedup_batch(
     num_hashes: int = 32,
     bands: int = 16,
     confirm_threshold: float | None = None,
+    portable: bool = False,
 ) -> DataFrame | None:
     """Incremental NEAR-dedup: the MinHash band store (closing the gap the
     exact-fingerprint store left).
+
+    ``portable=True`` swaps the xxhash64 minhash/bucket family for the
+    md5-32 portable tier (`dedup.minhash_signatures(portable=True)`),
+    making the ENTIRE lifecycle — signatures, banding, in-batch collapse,
+    store probes, the signature-estimated confirm tier — bit-replayable
+    as a SQL oracle. Recorded in the store's lsh_params so a portable
+    store is never probed with the xxhash64 family (or vice versa).
 
     Each admitted document's banded LSH keys (id, band, bucket) persist in
     a manifest table; an incoming document sharing ANY band bucket with the
@@ -199,7 +216,6 @@ def near_dedup_batch(
     from .dedup import (
         band_table,
         dedup_clusters,
-        lsh_candidates,
         minhash_signatures,
         sig_pair_similarity,
     )
@@ -210,13 +226,33 @@ def near_dedup_batch(
         return None
 
     rows_per_band = num_hashes // bands
-    _check_lsh_params(spark, store_path, num_hashes, bands, rows_per_band)
+    _check_lsh_params(
+        spark, store_path, num_hashes, bands, rows_per_band, portable
+    )
     sigs = minhash_signatures(
-        batch, id_col=id_col, text_col=text_col, num_hashes=num_hashes
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        portable=portable,
     ).persist()
-    bt = band_table(sigs, bands=bands, rows_per_band=rows_per_band).persist()
+    bt = band_table(
+        sigs, bands=bands, rows_per_band=rows_per_band, portable=portable
+    ).persist()
 
-    cand = lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
+    # candidate pairs from the SAME band table the store probe uses (one
+    # minhash pass; `lsh_candidates` would rebuild it hash-family-blind)
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
     if confirm_threshold is not None:
         cand = sig_pair_similarity(cand, sigs, sigs, num_hashes).where(
             F.col("est_jaccard") >= confirm_threshold
@@ -305,6 +341,7 @@ def near_dedup_batch(
                 "num_hashes": int(num_hashes),
                 "bands": int(bands),
                 "rows_per_band": int(rows_per_band),
+                "portable": bool(portable),
             },
         },
     )
@@ -500,4 +537,98 @@ def semantic_dedup_batch(
         eager=True
     )
     admitted.unpersist()
+    return out
+
+
+def srp_semantic_dedup_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    threshold: float = 0.45,
+) -> DataFrame | None:
+    """Incremental SEMANTIC dedup on PORTABLE SRP cells — the
+    oracle-replayable member of the incremental-semdedup family
+    (`semantic_dedup_batch` keeps the k-means/frozen-centroid tier,
+    pinned by tests/test_incremental_semdedup.py; this variant trades
+    the trained centroids for `similarity.portable_srp_buckets`'s
+    integer-arithmetic hyperplanes so every bucket id is
+    bit-reproducible in any engine).
+
+    Same store discipline as the other incremental tiers: the store
+    keeps (bucket, id, vec) of every admitted survivor, range-clustered
+    by bucket; a batch collapses its in-bucket duplicate groups first
+    (cosine >= threshold pairs -> connected components, min-id keeper —
+    the `dedup.srp_semantic_dedup` rule), then a keeper is rejected when
+    ANY stored survivor of the same bucket sits at >= threshold cosine.
+    Replay of a committed batch_id returns None and leaves the store
+    untouched (exactly-once manifest commit). Returns admitted
+    (id_col, bucket) rows.
+
+    100 TB posture: bucket assignment is pure expressions, candidate
+    generation and the store probe are bucket equi-joins verified by the
+    vectorized cosine — no all-pairs path; `planes` bounds expected
+    bucket size the way n_clusters does for the k-means tier."""
+    from ..functions.vectors import cosine_pairs
+    from .dedup import dedup_clusters
+    from .similarity import portable_srp_buckets
+
+    spark = batch.sparkSession
+    seen_batch = last_committed_batch(spark, store_path)
+    if seen_batch is not None and batch_id <= seen_batch:
+        return None
+
+    withb = (
+        batch.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .join(portable_srp_buckets(batch, id_col, vec_col, planes), "_id")
+        .persist()
+    )
+    a = withb.select(
+        F.col("_id").alias("a"), F.col("_vec").alias("va"), "bucket"
+    )
+    b = withb.select(
+        F.col("_id").alias("b"), F.col("_vec").alias("vb"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .where(cosine_pairs(F.col("va"), F.col("vb")) >= threshold)
+        .select("a", "b")
+    )
+    losers = (
+        dedup_clusters(pairs)
+        .where(~F.col("keep"))
+        .select(F.col("doc_id").alias("_id"))
+    )
+    keepers = withb.join(losers, "_id", "left_anti")
+    if mt.current_version(spark, store_path) is not None:
+        store = mt.read_table(spark, store_path).select(
+            "bucket", F.col("id").alias("_sid"), F.col("vec").alias("_svec")
+        )
+        hits = (
+            keepers.join(store, "bucket")
+            .where(
+                cosine_pairs(F.col("_vec"), F.col("_svec")) >= threshold
+            )
+            .select("_id")
+            .distinct()
+        )
+        admitted = keepers.join(hits, "_id", "left_anti")
+    else:
+        admitted = keepers
+    mt.write_table(
+        admitted.select(
+            "bucket", F.col("_id").alias("id"), F.col("_vec").alias("vec")
+        ),
+        store_path,
+        ["bucket"],
+        mode="append",
+        meta={"batch_id": int(batch_id), "srp_planes": int(planes)},
+    )
+    out = admitted.select(
+        F.col("_id").alias(id_col), "bucket"
+    ).localCheckpoint(eager=True)
+    withb.unpersist()
     return out

@@ -5991,13 +5991,127 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["result"].orderBy("query_id", "rank")
 
 
-@_q("near_dedup_fold")  # rows-only: MinHash banding is hash-seeded
+def _near_fold_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    """Full SQL replay of the portable incremental near-dedup lifecycle
+    (VERDICT r6 item 1a): md5-32 MinHash signatures, banded buckets,
+    in-batch candidate pairs -> signature-confirm (>= num_hashes/2
+    agreeing positions == est_jaccard >= 0.5, exact in integers) ->
+    connected-components keep-one (the `_CLUSTERS_ORACLE` transitive-
+    closure pattern, once per batch), then the batch-1 probe against the
+    batch-0 store with the same confirm tier. Every admitted id is
+    decided bit-identically to `incremental_dedup.near_dedup_batch(
+    portable=True)`."""
+    rpb = num_hashes // bands
+    assert rpb == 2, "oracle generator assumes 2-row bands"
+    h32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+    sig_mins = ",\n         ".join(
+        "MIN(" + h32.format(x=f"g || ':{i}'") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, b, {bi} AS bi, "
+        + h32.format(
+            x=f"CAST(h{2 * bi} AS VARCHAR) || ',' || CAST(h{2 * bi + 1} AS VARCHAR)"
+        )
+        + " AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    thr = num_hashes // 2
+
+    def batch_collapse(k: int) -> str:
+        return f"""
+cand{k} AS (
+  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+  FROM bandt a JOIN bandt b
+    ON a.bi = b.bi AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE a.b = {k} AND b.b = {k}
+),
+conf{k} AS MATERIALIZED (
+  SELECT pa, pb FROM cand{k} c
+  JOIN sig sa ON sa.doc_id = c.pa
+  JOIN sig sb ON sb.doc_id = c.pb
+  WHERE {agree} >= {thr}
+),
+edges{k} AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM conf{k}
+  UNION SELECT pb, pa FROM conf{k}
+),
+reach{k}(src, dst) AS (
+  SELECT src, dst FROM edges{k}
+  UNION
+  SELECT r.src, e.dst FROM reach{k} r JOIN edges{k} e ON r.dst = e.src
+),
+losers{k} AS MATERIALIZED (
+  SELECT src AS doc_id FROM reach{k} GROUP BY src HAVING MIN(dst) < src
+),
+surv{k} AS MATERIALIZED (
+  SELECT doc_id FROM sig WHERE b = {k}
+    AND doc_id NOT IN (SELECT doc_id FROM losers{k})
+)"""
+
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS b,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, b, array_to_string(w[i:i+4], ' ') AS g
+  FROM d, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, b,
+         {sig_mins}
+  FROM sh GROUP BY 1, 2
+),
+bandt AS MATERIALIZED (
+  {band_rows}
+),{batch_collapse(0)},{batch_collapse(1)},
+store_hits AS MATERIALIZED (
+  SELECT DISTINCT n.doc_id
+  FROM bandt n
+  JOIN surv1 ON surv1.doc_id = n.doc_id
+  JOIN bandt s ON s.bi = n.bi AND s.bucket = n.bucket
+  JOIN surv0 ON surv0.doc_id = s.doc_id
+  JOIN sig sa ON sa.doc_id = n.doc_id
+  JOIN sig sb ON sb.doc_id = s.doc_id
+  WHERE n.b = 1 AND s.b = 0 AND {agree} >= {thr}
+),
+adm0 AS (SELECT COUNT(*) AS n FROM surv0),
+adm1 AS (
+  SELECT COUNT(*) AS n FROM surv1
+  WHERE doc_id NOT IN (SELECT doc_id FROM store_hits)
+)
+SELECT * FROM (
+  SELECT CAST(0 AS INTEGER) AS batch_id, CAST(adm0.n AS BIGINT) AS admitted,
+         CAST(adm0.n + adm1.n AS BIGINT) AS store_sigs
+  FROM adm0, adm1
+  UNION ALL
+  SELECT 1, CAST(adm1.n AS BIGINT), CAST(adm0.n + adm1.n AS BIGINT)
+  FROM adm0, adm1
+)
+ORDER BY batch_id
+"""
+
+
+@_q("near_dedup_fold", _near_fold_oracle())
 def near_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dedup e2e (`operators/incremental_dedup`): the
-    corpus arrives as three batches against one persistent MinHash band
+    corpus arrives as two batches against one persistent MinHash band
     store, with the signature-estimated confirm tier (threshold 0.5)
     deciding rejections. Output: per-batch admitted counts plus the final
-    store footprint — replay-safe, text never retained."""
+    store footprint — replay-safe, text never retained. Upgraded
+    rows-only -> oracle-paired in r7: the PORTABLE md5-32 hash family
+    (`dedup.minhash_signatures(portable=True)`) makes every signature,
+    bucket, candidate pair, confirm verdict, and connected-component
+    collapse bit-replayable, so the oracle re-derives the admitted sets
+    of BOTH batches and the final sig-store footprint in pure SQL. The
+    xxhash64 family stays the production default (same estimator
+    statistics; `dedup_minhash_lsh` keeps it driver-visible)."""
     import tempfile
 
     from ..operators.incremental_dedup import _sig_store_path, near_dedup_batch
@@ -6010,7 +6124,13 @@ def near_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bi, (lo, hi) in enumerate(bounds):
         batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         out = near_dedup_batch(
-            batch, store, bi, num_hashes=16, bands=8, confirm_threshold=0.5
+            batch,
+            store,
+            bi,
+            num_hashes=16,
+            bands=8,
+            confirm_threshold=0.5,
+            portable=True,
         )
         rows.append((bi, out.count()))
     sig_rows = mt.read_table(spark, _sig_store_path(store)).count()
@@ -7850,21 +7970,128 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("logw").desc(), "doc_id")
     )
 
-@_q("incremental_semdedup_fold")  # rows-only: k-means fixpoint + store
-# lifecycle; independence invariant + replay + determinism pinned in
-# tests/test_incremental_semdedup.py.
+def _semdedup_fold_oracle(planes: int = 8, threshold: float = 0.45) -> str:
+    """Full SQL replay of the portable incremental SRP semantic-dedup
+    lifecycle (VERDICT r6 item 1a): portable SRP cells (the
+    `srp_semantic_dedup` integer-hyperplane CTEs), then per batch —
+    in-bucket cosine pairs -> connected-components min-id collapse ->
+    probe against every earlier batch's admitted survivors in the same
+    bucket. The replayed-batch row is the literal (99, 0, -1): the
+    exactly-once guard must no-op, and any regression to re-admission
+    hash-fails."""
+
+    def batch_cc(k: int) -> str:
+        """Collapse batch k (vec_id % 3 == k) in-bucket, then drop
+        keepers within threshold of an earlier batch's admitted set."""
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id, bucket FROM adm{j}" for j in range(k)
+        )
+        probe = (
+            f""",
+hits{k} AS MATERIALIZED (
+  SELECT DISTINCT n.vec_id
+  FROM keep{k} n
+  JOIN ({prior}) s ON s.bucket = n.bucket
+  JOIN v va ON va.vec_id = n.vec_id
+  JOIN v vb ON vb.vec_id = s.vec_id
+  WHERE list_cosine_similarity(va.emb, vb.emb) >= {threshold}
+),
+adm{k} AS MATERIALIZED (
+  SELECT vec_id, bucket FROM keep{k}
+  WHERE vec_id NOT IN (SELECT vec_id FROM hits{k})
+)"""
+            if k > 0
+            else f""",
+adm{k} AS MATERIALIZED (SELECT vec_id, bucket FROM keep{k})"""
+        )
+        return f""",
+pr{k} AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN v va ON va.vec_id = x.vec_id
+  JOIN v vb ON vb.vec_id = y.vec_id
+  WHERE x.vec_id % 3 = {k} AND y.vec_id % 3 = {k}
+    AND list_cosine_similarity(va.emb, vb.emb) >= {threshold}
+),
+edges{k} AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pr{k} UNION SELECT b, a FROM pr{k}
+),
+reach{k}(src, dst) AS (
+  SELECT src, dst FROM edges{k}
+  UNION
+  SELECT r.src, e.dst FROM reach{k} r JOIN edges{k} e ON r.dst = e.src
+),
+losers{k} AS MATERIALIZED (
+  SELECT src AS vec_id FROM reach{k} GROUP BY src HAVING MIN(dst) < src
+),
+keep{k} AS MATERIALIZED (
+  SELECT vec_id, bucket FROM bk
+  WHERE vec_id % 3 = {k}
+    AND vec_id NOT IN (SELECT vec_id FROM losers{k})
+){probe}"""
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, i,
+         CAST(ROUND(emb[i], 6) AS DECIMAL(18,6)) AS ev
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+       UNNEST(generate_series(1, len(emb))) AS t(i)
+),
+sb AS (
+  SELECT vec_id, p,
+         SUM(ev * (((i * 2654435761) + (p + 1) * 40503) % 97 - 48)) >= 0
+           AS bit
+  FROM e, UNNEST(generate_series(0, {planes - 1})) AS pp(p)
+  GROUP BY 1, 2
+),
+bk AS MATERIALIZED (
+  SELECT vec_id,
+         SUM(CASE WHEN bit THEN 1 << p ELSE 0 END) AS bucket
+  FROM sb GROUP BY 1
+),
+v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+){batch_cc(0)}{batch_cc(1)}{batch_cc(2)},
+tot AS (
+  SELECT (SELECT COUNT(*) FROM adm0) AS a0,
+         (SELECT COUNT(*) FROM adm1) AS a1,
+         (SELECT COUNT(*) FROM adm2) AS a2,
+         (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 0) AS n0,
+         (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 1) AS n1,
+         (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 2) AS n2
+)
+SELECT * FROM (
+  SELECT CAST(1 AS INTEGER) AS batch_id, CAST(n0 AS BIGINT) AS n_in,
+         CAST(a0 AS BIGINT) AS admitted,
+         CAST(a0 + a1 + a2 AS BIGINT) AS store_rows FROM tot
+  UNION ALL SELECT 2, CAST(n1 AS BIGINT), CAST(a1 AS BIGINT),
+         CAST(a0 + a1 + a2 AS BIGINT) FROM tot
+  UNION ALL SELECT 3, CAST(n2 AS BIGINT), CAST(a2 AS BIGINT),
+         CAST(a0 + a1 + a2 AS BIGINT) FROM tot
+  UNION ALL SELECT 99, 0, -1, CAST(a0 + a1 + a2 AS BIGINT) FROM tot
+)
+ORDER BY batch_id
+"""
+
+
+@_q("incremental_semdedup_fold", _semdedup_fold_oracle())
 def incremental_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental SemDeDup e2e (`operators/incremental_dedup.py:
-    semantic_dedup_batch`): the embedding corpus arrives as three batches
-    against one persistent survivor store — centroids train on batch 1
-    (frozen thereafter, IVF-append policy), each later batch collapses
-    in-batch duplicate groups then probes the store per cluster inside a
-    cogrouped-applyInPandas task. Output: per-batch in/admitted counts,
-    the final store footprint, and a replayed batch proving the
-    exactly-once guard (admitted must be -1 = noop)."""
+    """Incremental SemDeDup e2e: the embedding corpus arrives as three
+    batches against one persistent survivor store — each batch collapses
+    in-bucket duplicate groups then probes the store for an existing
+    representative; a replayed batch proves the exactly-once guard
+    (admitted must be -1 = noop). Upgraded rows-only -> oracle-paired in
+    r7 on the PORTABLE SRP-cell tier (`incremental_dedup.
+    srp_semantic_dedup_batch` — integer-hyperplane buckets, cosine
+    confirm, min-id keeper), whose whole three-batch lifecycle the
+    oracle re-derives in SQL, replayed no-op included. The k-means
+    frozen-centroid tier (`semantic_dedup_batch`) keeps its independence
+    invariant + replay + determinism pins in
+    tests/test_incremental_semdedup.py."""
     import tempfile
 
-    from ..operators.incremental_dedup import semantic_dedup_batch
+    from ..operators.incremental_dedup import srp_semantic_dedup_batch
     from ..sources import manifest_table as mt
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -7872,13 +8099,13 @@ def incremental_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for b in range(3):
         part = emb.where(F.col("vec_id") % 3 == b)
-        out = semantic_dedup_batch(
-            part, store, b + 1, n_clusters=8, threshold=0.45, seed=42
+        out = srp_semantic_dedup_batch(
+            part, store, b + 1, planes=8, threshold=0.45
         )
         rows.append((b + 1, part.count(), out.count()))
-    replay = semantic_dedup_batch(
+    replay = srp_semantic_dedup_batch(
         emb.where(F.col("vec_id") % 3 == 1), store, 2,
-        n_clusters=8, threshold=0.45, seed=42,
+        planes=8, threshold=0.45,
     )
     store_rows = mt.read_table(spark, store).count()
     rows.append((99, 0, -1 if replay is None else replay.count()))

@@ -241,6 +241,7 @@ def test_new_store_accepts_any_banding_params(spark, tmp_path):
     meta = mt.read_commit_meta(spark, store, 0)
     assert meta["lsh_params"] == {
         "num_hashes": 64, "bands": 16, "rows_per_band": 4,
+        "portable": False,
     }
     # and the recorded params now guard subsequent probes as usual
     import pytest

@@ -114,3 +114,51 @@ def test_fold_deterministic(spark, sf_dir, tmp_path):
         return sorted(out)
 
     assert fold(str(tmp_path / "s1")) == fold(str(tmp_path / "s2"))
+
+
+def test_srp_batch_lifecycle(spark, tmp_path):
+    """Portable SRP tier: the store invariant (no two stored vectors of
+    a bucket within threshold), the exactly-once replay guard, and
+    partitioning invariance of the admitted set."""
+    from pyspark.sql import functions as F
+
+    from cdc_application_febuary_spark.operators.incremental_dedup import (
+        srp_semantic_dedup_batch,
+    )
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    def vec(seed):
+        return [float((seed * 31 + j * 7) % 13 - 6) for j in range(8)]
+
+    rows = [(i, vec(i % 5)) for i in range(20)]  # heavy duplication
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    store = str(tmp_path / "kept")
+    a1 = srp_semantic_dedup_batch(
+        emb.where(F.col("vec_id") < 10), store, 1, threshold=0.95
+    )
+    n1 = a1.count()
+    a2 = srp_semantic_dedup_batch(
+        emb.where(F.col("vec_id") >= 10), store, 2, threshold=0.95
+    )
+    n2 = a2.count()
+    # 5 distinct directions total; batch 1 admits <= 5, batch 2 admits
+    # only directions batch 1 missed (here: none — same 5 repeat)
+    assert n1 == 5 and n2 == 0
+    assert mt.read_table(spark, store).count() == 5
+    # replay of a committed batch is a no-op
+    assert (
+        srp_semantic_dedup_batch(
+            emb.where(F.col("vec_id") >= 10), store, 2, threshold=0.95
+        )
+        is None
+    )
+    assert mt.read_table(spark, store).count() == 5
+    # partitioning invariance of the admitted id set
+    store2 = str(tmp_path / "kept2")
+    b1 = srp_semantic_dedup_batch(
+        emb.where(F.col("vec_id") < 10).repartition(7), store2, 1,
+        threshold=0.95,
+    )
+    assert sorted(r["vec_id"] for r in b1.collect()) == sorted(
+        r["vec_id"] for r in a1.collect()
+    )
