@@ -166,3 +166,70 @@ def bpe_tokenize_udf(merges: list[tuple[str, str]]):
 
     toks.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(toks, "array<string>")
+
+
+def bpe_encode_word_sequential(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Tokenize one word by applying merges IN LEARNED ORDER, each
+    exhaustively left-to-right (subword-nmt / Sennrich apply_bpe
+    semantics) — by construction identical to the segmentation the
+    training loop itself produced, and therefore replayable in SQL as a
+    chain of delimiter-wrapped string replaces (each symbol rendered
+    ' sym ', pair pattern ' a  b ' -> ' ab ': matching consumes exactly
+    two whole symbol units, so leftmost non-overlapping replace == the
+    greedy scan, including same-symbol runs). `bpe_encode_word`
+    (best-rank-first, GPT-2 style) remains the default encoder; the two
+    can differ only on words where a later merge creates a string an
+    earlier rule references — impossible at train time, exotic at encode
+    time, but the sequential form removes the question entirely."""
+    if not word:
+        return []
+    symbols = list(word) + [END]
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(symbols):
+            if (
+                i + 1 < len(symbols)
+                and symbols[i] == a
+                and symbols[i + 1] == b
+            ):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def bpe_token_count_seq_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched per-document token count under SEQUENTIAL merge
+    application (`bpe_encode_word_sequential`), memoized per distinct
+    word within the Python worker — the oracle-exact counting tier."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    ms = [tuple(p) for p in merges]
+    memo: dict[str, int] = {}
+
+    def count(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            n = 0
+            for w in t.strip().lower().split():
+                c = memo.get(w)
+                if c is None:
+                    c = len(bpe_encode_word_sequential(w, ms))
+                    memo[w] = c
+                n += c
+            out.append(n)
+        return pd.Series(out, dtype="float64").astype("Int64")
+
+    count.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(count, "long")

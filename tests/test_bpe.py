@@ -80,3 +80,32 @@ def test_corpus_training_deterministic(spark):
     a = bpe.train_bpe_on_corpus(docs.repartition(3), n_merges=15)
     b = bpe.train_bpe_on_corpus(docs.repartition(11), n_merges=15)
     assert a == b
+
+
+def test_sequential_encoder_equals_training_segmentation():
+    """bpe_encode_word_sequential must reproduce the segmentation the
+    training loop itself produced (subword-nmt semantics), including
+    same-symbol runs."""
+    from cdc_application_febuary_spark.functions.bpe import (
+        END,
+        bpe_encode_word_sequential,
+        train_bpe,
+    )
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
+    merges = train_bpe(freqs, 10)
+    # replaying training: encode each training word and re-count pair
+    # stats — the encoded vocab under all merges must contain no
+    # mergeable pair from the learned list
+    learned = set(merges)
+    for w in freqs:
+        syms = bpe_encode_word_sequential(w, merges)
+        assert "".join(syms) == w + END
+        for p in zip(syms, syms[1:]):
+            assert p not in learned
+    # same-symbol run: [a,a,a,a] under (a,a) -> [aa,aa]
+    assert bpe_encode_word_sequential("aaaa", [("a", "a")]) == [
+        "aa",
+        "aa",
+        END,
+    ]
