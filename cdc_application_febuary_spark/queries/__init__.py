@@ -44,48 +44,67 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 # changed, then sentinels; every query keeps at least one green verdict
 # across rounds (zero rotation debt since r5).
 _ROUND_PRIORITY = [
-    # Round-6 window (the driver checks the first ~50 registry entries):
-    # zero rotation debt carries in (VERDICT r5), so the window leads with
-    # what round 6 ADDED — the IVF re-cluster lifecycle — and the NINE
-    # rows-only -> oracle-paired conversions (fixed-point pagerank,
-    # SRP-cell IVF, portable md5 samplers/CMS, tolerance-banded sketch
-    # verdicts), then the queries whose oracles/operators the r6 ADVICE
-    # fixes touched, then r5-green sentinels from every family; the
-    # remaining rows-only pool and verdicted greens fill the back.
-    "gopher_repetition_report",
-    "c4_filter_report",
-    "embedding_covariance_report",
+    # Round-7 window (the driver checks the first ~50 registry entries):
+    # zero rotation debt carries in (VERDICT r6), so the window leads
+    # with what round 7 DID — SIXTEEN rows-only -> oracle-paired
+    # conversions that EMPTY the rows-only pool (literal-VALUES
+    # multimodal oracles, fixed-point-integer GD, portable-hash
+    # dedup-store lifecycles, the full 100-merge BPE unroll,
+    # banded-verdict ANN/semdedup contracts, planted-sentinel simhash)
+    # — then the queries the r6 ADVICE fixes touched, then the round-6
+    # additions, then green sentinels from every family.
+    "quality_classifier",
+    "bpe_token_stats",
+    "near_dedup_fold",
+    "incremental_semdedup_fold",
+    "multimodal_decode",
+    "multimodal_thumbnails",
+    "audio_decode",
+    "video_probe",
+    "video_frame_index",
+    "multimodal_features",
+    "ann_topk_ivf_pq",
+    "ann_topk_pq",
+    "ann_topk_lsh",
+    "dedup_embedding_srp",
+    "dedup_simhash",
+    "semantic_dedup_report",
     "split_distribution_shift",
-    "documents_weighted_sample",
-    "corpus_prep_funnel_v3",
+    "c4_filter_report",
     "stream_quality_gate",
+    "documents_weighted_sample",
+    "corpus_splits",
+    "gopher_repetition_report",
+    "embedding_covariance_report",
+    "corpus_prep_funnel_v3",
     "embedding_pca_variance",
     "ann_topk_ivf_recluster",
     "pagerank_parts",
     "ann_topk_ivf",
-    "corpus_splits",
     "documents_mixture",
     "value_percentiles_approx",
     "profile_approx_distinct",
     "value_quantile_sketch",
     "cms_user_counts",
     "hll_shard_distinct",
-    # ADVICE-r5-touched (oracle token guards, consumer_lag pid, avro
-    # commit, dedup/semdedup unpersist)
-    "dsir_importance_weights",
     "dedup_simhash_portable",
+    "srp_semantic_dedup",
+    "dsir_importance_weights",
     "consumer_lag_report",
     "substring_dup_spans",
     "csv_json_roundtrip_report",
-    "incremental_semdedup_fold",
-    "semantic_dedup_report",
-    # r5-green sentinels across families
     "url_domain_dedup",
-    # --- new round-5 queries (registered as they land) ---
     "alert_rules_fired",
     "fk_lineage_report",
-    "type_inference_report",
     "pipeline_lifecycle_derby",
+    "stream_stream_left_outer",
+    "stream_windowed_counts",
+    "stateful_totals_v2",
+    "gdpr_delete_audit",
+    "lm_perplexity_profile",
+    "corpus_prep_funnel_v2",
+    "q10",
+    "type_inference_report",
     "object_listing_report",
     "table_size_report",
     "identifier_pipeline_report",
@@ -95,35 +114,14 @@ _ROUND_PRIORITY = [
     "embedding_sq8_report",
     "stream_stream_attribution",
     "stream_dedup_report",
-    "srp_semantic_dedup",
     "ann_topk_lsh_portable",
-    "stream_stream_left_outer",
-    # --- green sentinels (r4-verdicted) ---
-    "gdpr_delete_audit",
-    "lm_perplexity_profile",
     "doc_similarity_tfidf",
     "leakage_safe_splits",
     "lineitem_correlation_matrix",
     "doc_length_auc",
     "contamination_check_hash",
     "ann_topk_ivf_append",
-    # Slots 9-28: the rows-only shapes (weaker rows-only verdict by
-    # design — non-SQL-expressible lifecycles, sketches, multimodal).
-    "bpe_token_stats",
     "pii_scan",
-    "dedup_embedding_srp",
-    "audio_decode",
-    "ann_topk_pq",
-    "ann_topk_ivf_pq",
-    "near_dedup_fold",
-    "multimodal_features",
-    "multimodal_decode",
-    "multimodal_thumbnails",
-    "video_probe",
-    "video_frame_index",
-    "quality_classifier",
-    # Slots 29+: new round-4 queries (all oracle-paired — including the
-    # streaming enrichment, the first stream query with a value oracle).
     "golden_record_users",
     "mutual_info_features",
     "skyline_orders",
@@ -132,18 +130,12 @@ _ROUND_PRIORITY = [
     "stream_join_enrichment",
     "bm25_topk",
     "part_price_twap",
-    "stream_windowed_counts",
     "vacuum_retention_audit",
-    "stateful_totals_v2",
-    # Green sentinels (r1/r2/r3-verdicted) guarding systemic regressions.
-    "q10",
-    "corpus_prep_funnel_v2",
     "tpch_q12_late_lines_by_status",
     "asof_nearest_click",
     "document_chunks",
     "market_basket_rules",
     "dau_wau_stickiness",
-    # --- end of the 50-slot window (r3-verdicted greens below) ---
     "conversion_funnel",
     "conversion_funnel_windowed",
     "value_drift_psi",
@@ -187,7 +179,6 @@ _ROUND_PRIORITY = [
     "backfill_gap_plan",
     "doc_embedding_integrity",
     "supplier_lead_times",
-    # already driver-verdicted in r1/r2
     "profile_orders",
     "asof_attribution",
     "pack_documents",
