@@ -37,14 +37,60 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_PKG_SHIPPED: dict[str, bool] = {}
+_PKG_ZIP: dict[str, str] = {}
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    In single-JVM ``local[n]`` mode the Python workers inherit the
+    driver's sys.path, so the engine imports transparently and this is a
+    no-op in effect. With REAL executor processes (local-cluster,
+    standalone, YARN, K8s) the workers spawn with the executor's
+    environment: any UDF/foreachBatch closure that references engine
+    modules dies with ``ModuleNotFoundError: cdc_application_febuary_
+    spark`` (found by the r7 local-cluster validation run — invisible in
+    every prior same-JVM round). A zip of the package's .py files is
+    built once per process and added once per SparkContext; identical
+    content to the driver's copy, so shadowing is harmless in local
+    mode."""
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if _PKG_SHIPPED.get(app):
+        return
+    zpath = _PKG_ZIP.get("pkg")
+    if zpath is None or not os.path.exists(zpath):
+        pkg_dir = Path(__file__).resolve().parent
+        zdir = tempfile.mkdtemp(prefix="cdcafs_pkg_")
+        zpath = os.path.join(zdir, "cdc_application_febuary_spark.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for f in sorted(pkg_dir.rglob("*.py")):
+                rel = pkg_dir.name + "/" + str(f.relative_to(pkg_dir))
+                z.write(str(f), rel)
+        _PKG_ZIP["pkg"] = zpath
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        # double-add in one context raises on some versions — fine
+        pass
+    _PKG_SHIPPED[app] = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    """Apply runtime confs to an existing session (driver-provided or ours),
+    and make sure the engine package itself reaches executor workers."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Conf not settable on this build — leave the session default.
             pass
+    ensure_package_on_workers(spark)
     return spark
 
 
