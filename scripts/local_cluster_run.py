@@ -92,8 +92,17 @@ def run_mode(master: str, names: list[str]) -> dict:
             rows = sorted(
                 tuple(canon(r[c]) for c in cols) for r in sdf.collect()
             )
+            cold = round(time.time() - t0, 2)
+            # second, warm run: JIT/codegen/classloading settled — the
+            # steady-state number a long-lived cluster job would see
+            # (triangle_copurchase measured 112 s cold vs 10 s warm in a
+            # fresh JVM, so cold-only ratios are mostly warm-up noise)
+            t1 = time.time()
+            qs[name](spark, SF).collect()
+            warm = round(time.time() - t1, 2)
             out[name] = {
-                "sec": round(time.time() - t0, 2),
+                "sec": cold,
+                "warm_sec": warm,
                 "rows": len(rows),
                 "digest": hash(tuple(rows)) & 0xFFFFFFFFFFFF,
                 "err": None,
@@ -101,12 +110,13 @@ def run_mode(master: str, names: list[str]) -> dict:
         except Exception as e:  # noqa: BLE001 - per-query isolation
             out[name] = {
                 "sec": round(time.time() - t0, 2),
+                "warm_sec": None,
                 "rows": -1,
                 "digest": None,
                 "err": f"{type(e).__name__}: {str(e)[:300]}",
             }
         print(f"  {master:>24s} {name}: {out[name]['sec']}s "
-              f"rows={out[name]['rows']}"
+              f"warm={out[name]['warm_sec']}s rows={out[name]['rows']}"
               + (f" ERR={out[name]['err']}" if out[name]["err"] else ""))
     spark.stop()
     return out
@@ -133,7 +143,14 @@ def main(only: list[str]) -> int:
         report["queries"][n] = {
             "local16_sec": s["sec"],
             "cluster_sec": c["sec"],
+            "local16_warm_sec": s["warm_sec"],
+            "cluster_warm_sec": c["warm_sec"],
             "ratio": round(c["sec"] / s["sec"], 2) if s["sec"] else None,
+            "warm_ratio": (
+                round(c["warm_sec"] / s["warm_sec"], 2)
+                if s.get("warm_sec") and c.get("warm_sec")
+                else None
+            ),
             "rows": s["rows"],
             "values_match": values_match,
             "err_local": s["err"],
