@@ -24,9 +24,16 @@ events/sec < the configured rate. Per tier we report:
     SCD2 merge + parquet commit; latestOffset; walCommit/commitOffsets);
   * keeping_up = achieved_eps >= 0.9 * rate_eps.
 
-The sweep stops at the first tier that is not keeping up — THAT is the
-engine knee this container supports. Emits one JSON line; also
-STREAMKNEE_r{N}.json when SPARK_GRAFT_ROUND is set. Run alone.
+Unlike a file source (which batches UP when behind — adaptive batch
+sizing amortizes the fixed per-batch cost), rate-micro-batch delivers a
+FIXED rowsPerBatch, so each tier also measures a batch SIZE: the
+per-batch fixed cost (SCD2 merge + parquet commit + event-log append,
+~0.7-1 s in this container) bounds throughput at rowsPerBatch /
+batch_time. The sweep therefore runs EVERY tier (no early stop): the
+achieved-eps curve over batch size is the engine's capacity profile,
+and its maximum is the honest sustainable-throughput number. Emits one
+JSON line; also STREAMKNEE_r{N}.json when SPARK_GRAFT_ROUND is set.
+Run alone.
 """
 
 from __future__ import annotations
@@ -192,14 +199,14 @@ def main() -> None:
         r = run_rate(spark, payload, rate)
         sweep.append(r)
         print(json.dumps(r), flush=True)
-        if not r["keeping_up"]:
-            break
 
     knee = next((r for r in sweep if not r["keeping_up"]), None)
+    best = max(sweep, key=lambda r: r["achieved_eps"])
     line = {
         "metric": "engine-side knee (JVM rate-micro-batch feed)",
-        "knee_rate_eps": knee["rate_eps"] if knee else None,
-        "max_sustained_eps": max(r["achieved_eps"] for r in sweep),
+        "first_tier_not_keeping_up_eps": knee["rate_eps"] if knee else None,
+        "max_sustained_eps": best["achieved_eps"],
+        "max_sustained_at_rows_per_batch": best["rows_per_batch"],
         "sweep": sweep,
     }
     print(json.dumps(line))
