@@ -14,8 +14,9 @@ def test_split_shift_invariants(spark):
     assert 0 <= r["oov_val_tokens"] <= r["val_tokens"]
     # KL >= 0 up to the per-term 1e-6 log rounding: bound the rounding
     # error by (sum of counts + vocab) * 1e-6 on each side
-    kl_vt = r["kl_vt_num"] / r["kl_vt_den"]
-    kl_tv = r["kl_tv_num"] / r["kl_tv_den"]
+    # numerators are exact scale-6 integers since the r6-ADVICE fix
+    kl_vt = r["kl_vt_num_e6"] / 1e6 / r["kl_vt_den"]
+    kl_tv = r["kl_tv_num_e6"] / 1e6 / r["kl_tv_den"]
     tol = 2e-6 * r["union_vocab"]
     assert kl_vt >= -tol and kl_tv >= -tol
     assert r["kl_vt_den"] == r["val_tokens"] + r["union_vocab"]
