@@ -1,0 +1,112 @@
+"""Cross-corpus line-level deduplication (CCNet, Wenzek et al. 2020,
+arXiv:1911.00359 §3.1; same stage in FineWeb/RefinedWeb pipelines):
+boilerplate lines — footers, nav bars, cookie banners — repeat across
+MILLIONS of documents, so dedup must run at line granularity over the
+whole corpus, keeping exactly ONE occurrence of each distinct normalized
+line (the one in the lowest document id) and charging every other
+occurrence to its document as a duplicate.
+
+This is distinct from every other tier in the dedup family
+(`operators/dedup.py` is document-level: exact/minhash/simhash/ngram all
+key whole documents; `substring_dup_spans` finds long shared substrings
+within document pairs). Line dedup is the stage real web pipelines run
+FIRST, because boilerplate inflates every downstream similarity score.
+
+Spark-first shape (no positional bookkeeping anywhere):
+
+* one ``posexplode_outer`` over the per-document line arrays
+  (outer, per the InferFiltersFromGenerate rule — a plain explode of a
+  projected chunk expression re-evaluates the tokenization per element);
+* normalize each line (lower, trim, collapse internal whitespace) and
+  key it by ``md5(norm)`` — a fixed 32-char shuffle key regardless of
+  line length, so at 100 TB the corpus-wide groupBy shuffles ~32 bytes
+  per distinct line instead of arbitrary-length strings (md5 is also
+  bit-identical in DuckDB, which keeps the oracle portable; at 128 bits
+  collisions are negligible at any corpus size);
+* ``groupBy(key, doc)`` counts occurrences (map-side combinable);
+* ``groupBy(key)`` takes ``min(doc)`` — the keeper document;
+* one equi-join back on ``key`` and one keyed agg per document.
+
+Every shuffle is keyed by the md5; nothing is quadratic; there is no
+driver collect. No reference analog (the reference backend has no corpus
+filters); recipe from the published CCNet paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+WHITESPACE_RE = r"\s+"
+
+
+def normalize_line(line) -> "F.Column":
+    """CCNet-style line normalization: lowercase, trim, collapse internal
+    whitespace runs. (The paper also strips accents/digits for its hash;
+    those are policy dials — this keeps the portable core.)"""
+    return F.regexp_replace(F.lower(F.trim(line)), WHITESPACE_RE, " ")
+
+
+def line_corpus_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    drop_threshold_pct: int = 30,
+) -> DataFrame:
+    """Corpus-wide line dedup over ``df[id_col, lines_col: array<string>]``.
+
+    Keeps exactly one occurrence of each distinct normalized line — the
+    one in the minimum ``id_col`` document — and returns one row per
+    input document (INCLUDING zero-line documents, which surface with
+    zeroed counters — the doc spine is ``df``, not the exploded lines):
+
+    * ``n_lines``       — total lines in the document;
+    * ``kept_lines``    — lines this document is the corpus keeper of
+      (one per distinct line it owns);
+    * ``dup_lines``     — ``n_lines - kept_lines`` (later occurrences of
+      a line kept elsewhere, and repeat occurrences within this doc);
+    * ``doc_dropped``   — true when duplicates exceed
+      ``drop_threshold_pct`` percent of the document's lines (compared
+      by integer cross-multiplication, no division anywhere).
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode_outer(F.col(lines_col)).alias("idx", "line"),
+        )
+        .where(F.col("line").isNotNull())
+        .select("id", F.md5(normalize_line(F.col("line"))).alias("k"))
+    )
+    per_key_doc = lines.groupBy("k", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    keeper = per_key_doc.groupBy("k").agg(F.min("id").alias("keeper_id"))
+    per_doc = (
+        per_key_doc.join(keeper, "k")
+        .groupBy("id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_lines"),
+            F.sum(
+                (F.col("id") == F.col("keeper_id")).cast("long")
+            ).alias("kept_lines"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_lines", zero).alias("n_lines"),
+            F.coalesce("kept_lines", zero).alias("kept_lines"),
+            (
+                F.coalesce("n_lines", zero) - F.coalesce("kept_lines", zero)
+            ).alias("dup_lines"),
+        )
+    )
+    return out.select(
+        "*",
+        (
+            F.col("dup_lines") * 100
+            > F.col("n_lines") * F.lit(int(drop_threshold_pct))
+        ).alias("doc_dropped"),
+    )

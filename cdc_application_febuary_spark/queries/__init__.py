@@ -53,6 +53,8 @@ _ROUND_PRIORITY = [
     # banded-verdict ANN/semdedup contracts, planted-sentinel simhash)
     # — then the queries the r6 ADVICE fixes touched, then the round-6
     # additions, then green sentinels from every family.
+    "line_corpus_dedup",
+    "doremi_domain_weights",
     "quality_classifier",
     "bpe_token_stats",
     "near_dedup_fold",

@@ -1294,3 +1294,247 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept_lines").cast("long").alias("kept_lines"),
         F.sum("id").cast("long").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus line-level dedup (CCNet arXiv:1911.00359 §3.1 / FineWeb)
+# ---------------------------------------------------------------------------
+# Line granularity is the one dedup tier the family lacked: boilerplate
+# (footers, nav bars) repeats across documents and must be deduped
+# corpus-wide, keeping ONE occurrence (lowest doc id). Planted triggers:
+# every 7th doc appends a clean-spelled footer, every 17th the SAME
+# footer in a messy spelling TWICE (case + whitespace — exercises
+# normalization AND within-doc duplicates), every 13th a nav line; the
+# tiny fixture vocabulary also yields natural short-last-chunk collisions
+# across documents. Keys are md5(normalized line) on both engines — a
+# fixed 32-char shuffle key at any corpus scale.
+_LINE_DEDUP_ORACLE = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+meta AS (SELECT doc_id, len(toks) AS ntok, toks FROM base),
+chunks AS (
+  SELECT doc_id, array_to_string(toks[c*8+1 : c*8+8], ' ') AS line
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(ntok/8.0) AS BIGINT))) AS c
+        FROM meta)
+),
+extras AS (
+  SELECT doc_id, 'copyright footer all rights reserved.' AS line
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, '  Copyright FOOTER   all rights reserved. '
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, '  Copyright FOOTER   all rights reserved. '
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, 'home about contact privacy.'
+  FROM documents WHERE doc_id % 13 = 0
+),
+alllines AS MATERIALIZED (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS k
+  FROM (SELECT * FROM chunks UNION ALL SELECT * FROM extras)
+),
+perkeydoc AS (SELECT k, doc_id, COUNT(*) AS occ FROM alllines GROUP BY 1, 2),
+keeper AS (SELECT k, MIN(doc_id) AS keeper_id FROM perkeydoc GROUP BY 1),
+perdoc0 AS (
+  SELECT p.doc_id,
+         SUM(p.occ) AS n_lines,
+         SUM(CASE WHEN p.doc_id = kp.keeper_id THEN 1 ELSE 0 END)
+           AS kept_lines
+  FROM perkeydoc p JOIN keeper kp USING (k) GROUP BY 1
+),
+perdoc AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(n_lines, 0) AS n_lines,
+         COALESCE(kept_lines, 0) AS kept_lines,
+         COALESCE(n_lines, 0) - COALESCE(kept_lines, 0) AS dup_lines
+  FROM documents d LEFT JOIN perdoc0 USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(kept_lines) AS BIGINT) AS kept_lines,
+       CAST(SUM(dup_lines) AS BIGINT) AS dup_lines,
+       CAST(SUM(CASE WHEN dup_lines * 100 > n_lines * 30 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_dropped,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM perdoc GROUP BY 1 ORDER BY source
+"""
+
+
+def _line_dedup_lines(docs: DataFrame) -> DataFrame:
+    """Planted-trigger line construction for line_corpus_dedup (the Spark
+    twin of _LINE_DEDUP_ORACLE's chunks/extras CTEs): 8-token chunks plus
+    the footer/nav plants described above. Input df needs
+    (doc_id, source, text)."""
+    from ..functions.text import tokens
+    from ..operators.gopher import _lines
+
+    toked = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    raw = toked.select(
+        "doc_id", "source", _lines(F.col("toks"), 8).alias("chunks")
+    )
+    clean = F.lit("copyright footer all rights reserved.")
+    messy = F.lit("  Copyright FOOTER   all rights reserved. ")
+    nav = F.lit("home about contact privacy.")
+    extras = F.filter(
+        F.array(
+            F.when(F.col("doc_id") % 7 == 0, clean),
+            F.when(F.col("doc_id") % 17 == 0, messy),
+            F.when(F.col("doc_id") % 17 == 0, messy),
+            F.when(F.col("doc_id") % 13 == 0, nav),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return raw.select(
+        "doc_id", "source", F.concat(F.col("chunks"), extras).alias("lines")
+    )
+
+
+@_q("line_corpus_dedup", _LINE_DEDUP_ORACLE)
+def line_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus line dedup (`operators/linededup.py`): keep exactly
+    one occurrence of each distinct normalized line corpus-wide (the one
+    in the lowest doc id); a document loses its later occurrences as
+    dup_lines and is dropped when duplicates exceed 30% of its lines.
+    Reported per source so keeper ownership (lowest ids live in src0...)
+    is visible in the aggregate."""
+    from ..operators.linededup import line_corpus_dedup as _line_dedup_op
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    lined = _line_dedup_lines(docs)
+    rep = _line_dedup_op(lined, id_col="doc_id", lines_col="lines")
+    joined = rep.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("kept_lines").cast("long").alias("kept_lines"),
+            F.sum("dup_lines").cast("long").alias("dup_lines"),
+            F.sum(F.col("doc_dropped").cast("long"))
+            .cast("long")
+            .alias("docs_dropped"),
+            F.min("id").cast("long").alias("min_doc"),
+            F.max("id").cast("long").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (arXiv:2305.10429) — fixed-point integer
+# ---------------------------------------------------------------------------
+# Multiplicative-weights over per-domain excess divergence against the
+# CURRENT weighted mixture unigram (`operators/doremi.py`). Every quantity
+# is BIGINT fixed point (probs e9, weights e6, exp by 16 integer
+# squarings at e9, largest-remainder renormalization), so the full 5-step
+# loop replays as an unrolled SQL CTE chain bit-for-bit. Each step is
+# MATERIALIZED (the r6 rule: un-materialized unrolled chains re-evaluate
+# exponentially). DuckDB SUM(BIGINT) yields HUGEINT — all intermediate
+# arithmetic stays exact; only the final projection casts to BIGINT.
+def _doremi_oracle(iters: int = 5, eta: int = 800, c_e6: int = 200000) -> str:
+    tdiv = (
+        "(CASE WHEN p * (p - pm) >= 0 THEN (p * (p - pm)) // 1000000000"
+        " ELSE -((-(p * (p - pm))) // 1000000000) END)"
+    )
+    exp_cols = ["LEAST((lam * %d) // 1000, 1000000) AS x" % eta,
+                "1000000000 + (x * 1000) // 65536 AS v0"]
+    for i in range(16):
+        exp_cols.append(f"(v{i} * v{i}) // 1000000000 AS v{i + 1}")
+    steps = []
+    for t in range(1, iters + 1):
+        prev = f"w{t - 1}"
+        steps.append(f"""
+mix{t} AS MATERIALIZED (
+  SELECT w, SUM(a * p) // 1000000 AS pm
+  FROM probs JOIN {prev} USING (d) GROUP BY w
+),
+lam{t} AS MATERIALIZED (
+  SELECT probs.d,
+         GREATEST(SUM({tdiv}), 0) AS lam
+  FROM probs JOIN mix{t} USING (w) GROUP BY probs.d
+),
+exp{t} AS MATERIALIZED (
+  SELECT d, lam, {", ".join(exp_cols)} FROM lam{t}
+),
+raw{t} AS MATERIALIZED (
+  SELECT e.d, e.lam, (wp.a * e.v16) // 1000000000 AS raw
+  FROM exp{t} e JOIN {prev} wp USING (d)
+),
+s{t} AS (SELECT SUM(raw) AS s FROM raw{t}),
+m{t} AS MATERIALIZED (
+  SELECT d, lam, (1000000 - {c_e6}) * raw * dd + {c_e6} * s AS m,
+         dd * s AS denom
+  FROM raw{t}, s{t}, nd
+),
+w{t} AS MATERIALIZED (
+  SELECT d, lam,
+         base + (CASE WHEN rnk <= 1000000 - bsum THEN 1 ELSE 0 END) AS a
+  FROM (SELECT d, lam, m // denom AS base,
+               row_number() OVER (ORDER BY (m % denom) DESC, d ASC) AS rnk,
+               SUM(m // denom) OVER () AS bsum
+        FROM m{t})
+)""")
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT source AS d, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+cnt AS MATERIALIZED (
+  SELECT d, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+),
+tot AS (SELECT d, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+probs AS MATERIALIZED (
+  SELECT cnt.d, w, (c * 1000000000) // t AS p FROM cnt JOIN tot USING (d)
+),
+doms AS (SELECT DISTINCT d FROM probs),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM doms),
+dstat AS MATERIALIZED (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ntok) AS BIGINT) AS n_tokens
+  FROM (SELECT source AS d,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                 AS ntok
+        FROM documents)
+  GROUP BY d
+),
+w0 AS MATERIALIZED (
+  SELECT d, (1000000 // dd)
+            + (CASE WHEN rn <= (1000000 % dd) THEN 1 ELSE 0 END) AS a
+  FROM (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM doms), nd
+),{",".join(steps)}
+SELECT ds.d AS domain, ds.n_docs, ds.n_tokens,
+       CAST(wf.lam AS BIGINT) AS lambda_e9,
+       CAST(wf.a AS BIGINT) AS alpha_e6
+FROM dstat ds JOIN w{iters} wf USING (d)
+ORDER BY domain
+"""
+
+
+@_q("doremi_domain_weights", _doremi_oracle())
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (`operators/doremi.py`):
+    five multiplicative-weights steps over per-domain excess divergence
+    against the current weighted mixture unigram, with uniform mixing and
+    exact largest-remainder renormalization — the final weights sum to
+    exactly 1e6 and every intermediate is BIGINT fixed point, so the
+    whole loop replays in SQL."""
+    from ..operators.doremi import doremi_domain_weights as _doremi_op
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return _doremi_op(docs, iters=5)

@@ -1,0 +1,84 @@
+"""DoReMi-style domain reweighting (operators/doremi.py): fexp parity
+and bounds, largest-remainder invariants, and operator semantics on a
+hand-built corpus (outlier domain gains weight; weights always sum to
+exactly 1e6; partitioning-invariant)."""
+
+import math
+
+from cdc_application_febuary_spark.operators.doremi import (
+    E6,
+    E9,
+    _normalize_mixed,
+    doremi_domain_weights,
+    init_uniform_weights,
+    py_fexp_e9,
+)
+
+
+def test_fexp_tracks_exp_and_stays_in_bigint():
+    for x in (0, 1, 1000, 65_000, 500_000, 999_999, E6):
+        v = py_fexp_e9(x)
+        # quantized exponent: x*1000 is floored to 2^16 units on the e9
+        # scale, so the effective exponent is q*2^16/1e9
+        xq = ((x * 1000) // (1 << 16)) * (1 << 16) / 1e9
+        assert abs(v / E9 - math.exp(xq)) < 2e-3
+        assert v * v < (1 << 63)  # one more squaring would still fit
+    assert py_fexp_e9(0) == E9
+
+
+def test_fexp_resolves_small_steps():
+    # the e6-scale chain would floor any x < 65536 to zero movement;
+    # the e9 chain must not
+    assert py_fexp_e9(60_000) > E9
+
+
+def test_init_uniform_sums_exactly():
+    for n in (3, 7, 20, 999):
+        w = init_uniform_weights([f"d{i:03d}" for i in range(n)])
+        assert sum(w.values()) == E6
+        assert max(w.values()) - min(w.values()) <= 1
+
+
+def test_normalize_mixed_invariants():
+    raws = [("a", 2_700_000), ("b", 1_000_000), ("c", 1_000_001)]
+    out = _normalize_mixed(raws, uniform_mix_e6=200_000)
+    assert sum(out.values()) == E6
+    # ordering preserved: larger raw -> weight >= smaller raw's
+    assert out["a"] > out["c"] >= out["b"]
+    # uniform floor: c=0.2 guarantees every domain >= c/D (minus rounding)
+    assert min(out.values()) >= 200_000 // 3 - 1
+
+
+def _toy_docs(spark):
+    # two look-alike domains and one vocabulary outlier
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta", "news"))
+        rows.append((100 + i, "alpha beta gamma epsilon", "web"))
+        rows.append((200 + i, "zeta zeta eta theta iota", "code"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_outlier_domain_gains_weight(spark):
+    out = {
+        r["domain"]: r.asDict()
+        for r in doremi_domain_weights(_toy_docs(spark), iters=3).collect()
+    }
+    assert sum(r["alpha_e6"] for r in out.values()) == E6
+    # the vocabulary outlier diverges most from the mixture
+    assert out["code"]["lambda_e9"] > out["news"]["lambda_e9"]
+    assert out["code"]["alpha_e6"] > out["news"]["alpha_e6"]
+    assert out["code"]["alpha_e6"] > out["web"]["alpha_e6"]
+    assert out["news"]["n_docs"] == 30 and out["news"]["n_tokens"] == 120
+
+
+def test_partitioning_invariant(spark):
+    docs = _toy_docs(spark)
+    a = sorted(map(tuple, doremi_domain_weights(docs, iters=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            doremi_domain_weights(docs.repartition(7), iters=2).collect(),
+        )
+    )
+    assert a == b
