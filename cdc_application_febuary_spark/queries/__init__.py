@@ -55,6 +55,7 @@ _ROUND_PRIORITY = [
     # additions, then green sentinels from every family.
     "line_corpus_dedup",
     "doremi_domain_weights",
+    "vocab_growth_curve",
     "quality_classifier",
     "bpe_token_stats",
     "near_dedup_fold",

@@ -1538,3 +1538,95 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return _doremi_op(docs, iters=5)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law) — corpus-statistics QA
+# ---------------------------------------------------------------------------
+# The curation dashboard stat: how fast does the vocabulary grow as the
+# corpus grows? Each word is charged to the doc-id decile where it FIRST
+# appears (min-bucket per word — one word-keyed agg, map-side
+# combinable), so cumulative vocabulary is exact without any cumulative
+# DISTINCT. The only scalar is the 1-row doc-count broadcast for the
+# decile bucketing; the cumulative window runs over the 10-row decile
+# summary, constant-size at any corpus scale.
+_VOCAB_GROWTH_ORACLE = r"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+base AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(doc_id * 10 // n AS INT) AS b,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+  FROM documents, nn
+),
+doc_agg AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM base GROUP BY 1
+),
+words AS (SELECT b, unnest(toks) AS w FROM base),
+firstb AS (SELECT w, MIN(b) AS fb FROM words GROUP BY 1),
+newb AS (
+  SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS new_words FROM firstb GROUP BY 1
+)
+SELECT d.b AS bucket, d.n_docs, d.n_tokens,
+       CAST(COALESCE(nw.new_words, 0) AS BIGINT) AS new_words,
+       CAST(SUM(d.n_docs) OVER (ORDER BY d.b) AS BIGINT) AS cum_docs,
+       CAST(SUM(d.n_tokens) OVER (ORDER BY d.b) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY d.b) AS BIGINT)
+         AS cum_vocab
+FROM doc_agg d LEFT JOIN newb nw USING (b)
+ORDER BY bucket
+"""
+
+
+@_q("vocab_growth_curve", _VOCAB_GROWTH_ORACLE)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: per doc-id decile, the docs/tokens
+    added and the NEW vocabulary first seen there, with exact cumulative
+    curves. First-occurrence charging (min-bucket per word) makes
+    cumulative vocabulary one word-keyed agg instead of a cumulative
+    DISTINCT; the final window runs over the fixed 10-row summary."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 1-row doc-count broadcast (the allowlisted scalar-broadcast shape)
+    ntot = docs.agg(F.count(F.lit(1)).alias("n"))
+    # no persist: builders must not leak cache across driver/bench runs
+    # (ADVICE r5); the double scan below re-tokenizes a cheap projection.
+    based = docs.crossJoin(F.broadcast(ntot)).select(
+        F.expr("CAST(doc_id * 10 div n AS INT)").alias("b"),
+        tokens(F.lower(F.col("text"))).alias("toks"),
+    )
+    doc_agg = based.select("b", F.size("toks").alias("ntok")).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    first_b = (
+        based.select("b", F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.min("b").alias("fb"))
+    )
+    new_b = first_b.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_words")
+    )
+    w = Window.orderBy("bucket")
+    out = (
+        doc_agg.join(new_b, "b", "left")
+        .select(
+            F.col("b").alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_words", F.lit(0).cast("long")).alias("new_words"),
+        )
+        .select(
+            "*",
+            F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+    return out

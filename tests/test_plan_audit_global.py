@@ -90,6 +90,9 @@ SCALAR_BROADCAST_OK = {
     # three 1-row aggregates (model totals, KL numerators, split doc
     # counts) crossed into the single-row shift report (corpus_ops)
     "split_distribution_shift",
+    # 1-row doc-count broadcast for the decile bucketing (corpus_ops
+    # vocab_growth_curve; the cumulative window runs over 10 rows)
+    "vocab_growth_curve",
 }
 
 
