@@ -210,3 +210,68 @@ def doremi_domain_weights(
         "domain string, n_docs bigint, n_tokens bigint, "
         "lambda_e9 bigint, alpha_e6 bigint",
     ).orderBy("domain")
+
+
+def largest_remainder_e6(items: list[tuple[str, int]]) -> dict[str, int]:
+    """Allocate exactly 1e6 proportionally to ``items``' values by the
+    largest-remainder method: base = (1e6*v) div total, the deficit
+    (< len(items)) goes to the largest remainders, ties to the smaller
+    key. The plain form of ``_normalize_mixed`` (no uniform fold) —
+    shared by the temperature-mixture allocation."""
+    tot = sum(v for _, v in items)
+    base = {k: (E6 * v) // tot for k, v in items}
+    deficit = E6 - sum(base.values())
+    order = sorted(items, key=lambda kv: (-((E6 * kv[1]) % tot), kv[0]))
+    for k, _ in order[:deficit]:
+        base[k] += 1
+    return base
+
+
+def mixture_temperature_allocation(
+    docs: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture allocation (the tau-sampling used for
+    multilingual/multi-source training mixes, e.g. mT5 §3.1): sampling
+    weight proportional to n_tokens^tau with tau = 0.5, computed EXACTLY
+    as ``isqrt(n_tokens)`` (math.isqrt — true integer sqrt) and
+    normalized to exactly 1e6 by largest remainder; the proportional
+    (tau = 1) allocation rides along so the flattening is visible.
+
+    One corpus-sized agg (per-domain doc/token counts); the allocation
+    itself runs on D driver rows (bounded by domain count) in exact
+    Python integers — no float touches any output.
+    """
+    from ..functions import text as T
+
+    spark = docs.sparkSession
+    rows = (
+        docs.select(
+            F.col(domain_col).alias("d"),
+            F.size(T.tokens(F.col(text_col))).alias("ntok"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    import math
+
+    stats = {r["d"]: (int(r["n_docs"]), int(r["n_tokens"])) for r in rows}
+    iq = {d: math.isqrt(nt) for d, (_, nt) in stats.items()}
+    w_tau = largest_remainder_e6(sorted(iq.items()))
+    w_prop = largest_remainder_e6(
+        sorted((d, nt) for d, (_, nt) in stats.items())
+    )
+    out = [
+        (d, stats[d][0], stats[d][1], iq[d], w_tau[d], w_prop[d])
+        for d in sorted(stats)
+    ]
+    return spark.createDataFrame(
+        out,
+        "domain string, n_docs bigint, n_tokens bigint, isqrt_tokens bigint,"
+        " weight_tau05_e6 bigint, weight_prop_e6 bigint",
+    ).orderBy("domain")

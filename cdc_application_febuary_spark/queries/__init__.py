@@ -56,6 +56,7 @@ _ROUND_PRIORITY = [
     "line_corpus_dedup",
     "doremi_domain_weights",
     "vocab_growth_curve",
+    "mixture_temperature_allocation",
     "quality_classifier",
     "bpe_token_stats",
     "near_dedup_fold",

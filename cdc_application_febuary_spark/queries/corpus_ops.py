@@ -1630,3 +1630,57 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture allocation (tau-sampling, mT5 arXiv:2010.11934)
+# ---------------------------------------------------------------------------
+# Sampling weight ~ n_tokens^tau with tau=0.5 via exact integer sqrt
+# (math.isqrt on the Spark side; FLOOR(SQRT()) is exact in DuckDB for
+# n < 2^52 — token counts far below that at any fixture SF), both
+# allocations normalized to exactly 1e6 by largest remainder.
+_MIXTURE_TEMP_ORACLE = r"""
+WITH dstat AS MATERIALIZED (
+  SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+s AS (
+  SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS iq FROM dstat
+),
+tots AS (SELECT SUM(iq) AS ts, SUM(n_tokens) AS tn FROM s),
+alloc AS (
+  SELECT domain, n_docs, n_tokens, iq,
+         (1000000 * iq) // ts AS b1,
+         row_number() OVER (ORDER BY ((1000000 * iq) % ts) DESC, domain ASC)
+           AS r1,
+         SUM((1000000 * iq) // ts) OVER () AS bs1,
+         (1000000 * n_tokens) // tn AS b2,
+         row_number()
+           OVER (ORDER BY ((1000000 * n_tokens) % tn) DESC, domain ASC)
+           AS r2,
+         SUM((1000000 * n_tokens) // tn) OVER () AS bs2
+  FROM s, tots
+)
+SELECT domain, n_docs, n_tokens, iq AS isqrt_tokens,
+       CAST(b1 + (CASE WHEN r1 <= 1000000 - bs1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS weight_tau05_e6,
+       CAST(b2 + (CASE WHEN r2 <= 1000000 - bs2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS weight_prop_e6
+FROM alloc ORDER BY domain
+"""
+
+
+@_q("mixture_temperature_allocation", _MIXTURE_TEMP_ORACLE)
+def mixture_temperature_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tau-sampling mixture allocation (`operators/doremi.py`): exact
+    isqrt-based tau=0.5 weights and the tau=1 proportional weights, each
+    summing to exactly 1e6 by largest-remainder allocation."""
+    from ..operators.doremi import mixture_temperature_allocation as _op
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return _op(docs)

@@ -22,13 +22,15 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("LC_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.environ.get("LC_OUT", "LOCALCLUSTER_r07.json")
 
 # top-of-bench queries + the protobuf/streaming/manifest risk sites
 DEFAULT = [
@@ -123,7 +125,12 @@ def run_mode(master: str, names: list[str]) -> dict:
 
 
 def main(only: list[str]) -> int:
-    names = only or DEFAULT
+    if only == ["--all"]:
+        from cdc_application_febuary_spark.queries import all_queries
+
+        names = sorted(all_queries())
+    else:
+        names = only or DEFAULT
     print("== local[16] (single JVM, same parallelism) ==")
     single = run_mode("local[16]", names)
     print("== local-cluster[2,8,8192] (two executor JVMs) ==")
@@ -158,7 +165,7 @@ def main(only: list[str]) -> int:
         }
     report["n_queries"] = len(names)
     report["n_mismatch_or_error"] = bad
-    Path("LOCALCLUSTER_r07.json").write_text(json.dumps(report, indent=1))
+    Path(OUT).write_text(json.dumps(report, indent=1))
     print(json.dumps({
         "n": len(names), "bad": bad,
         "total_local16": round(sum(single[n]["sec"] for n in names), 1),

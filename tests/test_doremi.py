@@ -82,3 +82,40 @@ def test_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_largest_remainder_exact():
+    from cdc_application_febuary_spark.operators.doremi import (
+        largest_remainder_e6,
+    )
+
+    items = [("a", 1), ("b", 1), ("c", 1)]
+    out = largest_remainder_e6(items)
+    assert sum(out.values()) == E6
+    # deficit 1 goes to the smallest key on a full tie
+    assert out["a"] == 333334 and out["b"] == out["c"] == 333333
+
+
+def test_mixture_temperature_flattens(spark):
+    from cdc_application_febuary_spark.operators.doremi import (
+        mixture_temperature_allocation,
+    )
+
+    rows = []
+    for i in range(90):
+        rows.append((i, "big corpus words here now", "big"))
+    for i in range(10):
+        rows.append((100 + i, "tiny corpus words here now", "tiny"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {
+        r["domain"]: r.asDict()
+        for r in mixture_temperature_allocation(docs).collect()
+    }
+    assert out["big"]["weight_prop_e6"] + out["tiny"]["weight_prop_e6"] == E6
+    assert out["big"]["weight_tau05_e6"] + out["tiny"]["weight_tau05_e6"] == E6
+    # tau=1: 90/10 split exactly; tau=0.5 flattens toward 3:1
+    assert out["big"]["weight_prop_e6"] == 900_000
+    assert out["tiny"]["weight_tau05_e6"] > out["tiny"]["weight_prop_e6"]
+    assert out["big"]["weight_tau05_e6"] == 750_000  # isqrt(450)/isqrt(50)=3:1
