@@ -51,6 +51,7 @@ def line_corpus_dedup(
     id_col: str = "doc_id",
     lines_col: str = "lines",
     drop_threshold_pct: int = 30,
+    boilerplate_max_df: int | None = None,
 ) -> DataFrame:
     """Corpus-wide line dedup over ``df[id_col, lines_col: array<string>]``.
 
@@ -67,6 +68,16 @@ def line_corpus_dedup(
     * ``doc_dropped``   — true when duplicates exceed
       ``drop_threshold_pct`` percent of the document's lines (compared
       by integer cross-multiplication, no division anywhere).
+
+    ``boilerplate_max_df``: the 100 TB skew valve. A boilerplate line
+    (a footer in a billion documents) is a HOT key in the keeper join —
+    and because the join inputs are aggregate-derived, AQE's skew split
+    never fires on it (the r6 AQE study). CCNet's own policy is the fix:
+    a line whose document frequency exceeds the cap is boilerplate and
+    is dropped from EVERY document (no keeper kept at all — charged to
+    ``dup_lines``), so hot keys are filtered BEFORE the join by the
+    per-key aggregate that already exists. Default ``None`` keeps the
+    keep-one semantics for every key (the oracle-checked tier).
     """
     lines = (
         df.select(
@@ -79,14 +90,32 @@ def line_corpus_dedup(
     per_key_doc = lines.groupBy("k", "id").agg(
         F.count(F.lit(1)).cast("long").alias("occ")
     )
-    keeper = per_key_doc.groupBy("k").agg(F.min("id").alias("keeper_id"))
+    keeper = per_key_doc.groupBy("k").agg(
+        F.min("id").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    if boilerplate_max_df is not None:
+        # hot keys never reach the join: boilerplate keeps NO occurrence
+        # anywhere, so its rows contribute n_lines but zero kept_lines —
+        # mark by nulling keeper_id (no id equals null).
+        keeper = keeper.select(
+            "k",
+            F.when(
+                F.col("df") <= F.lit(int(boilerplate_max_df)),
+                F.col("keeper_id"),
+            ).alias("keeper_id"),
+        )
+    else:
+        keeper = keeper.drop("df")
     per_doc = (
         per_key_doc.join(keeper, "k")
         .groupBy("id")
         .agg(
             F.sum("occ").cast("long").alias("n_lines"),
             F.sum(
-                (F.col("id") == F.col("keeper_id")).cast("long")
+                # eqNullSafe: a boilerplate-nulled keeper matches no id
+                # (plain == would propagate NULL into the sum)
+                F.col("id").eqNullSafe(F.col("keeper_id")).cast("long")
             ).alias("kept_lines"),
         )
     )

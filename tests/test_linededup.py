@@ -82,3 +82,15 @@ def test_drop_threshold_boundary_is_strict(spark):
         ],
     )
     assert rows[1]["dup_lines"] == 4 and rows[1]["doc_dropped"] is True
+
+
+def test_boilerplate_max_df_drops_hot_keys_everywhere(spark):
+    docs = [["footer line here.", f"uniq{i} a."] for i in range(5)]
+    rows = _run(spark, docs, boilerplate_max_df=3)
+    # footer appears in 5 docs > cap 3: dropped everywhere, even doc 0
+    assert all(r["kept_lines"] == 1 for r in rows.values())
+    assert all(r["dup_lines"] == 1 for r in rows.values())
+    # below the cap the keep-one semantics are unchanged
+    rows = _run(spark, docs, boilerplate_max_df=5)
+    assert rows[0]["kept_lines"] == 2
+    assert sum(r["kept_lines"] for r in rows.values()) == 6
