@@ -139,3 +139,87 @@ def line_corpus_dedup(
             > F.col("n_lines") * F.lit(int(drop_threshold_pct))
         ).alias("doc_dropped"),
     )
+
+
+def line_dedup_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+) -> DataFrame | None:
+    """Incremental tier: admit this batch's NOVEL line keys into a
+    persistent manifest-table store and return the batch's per-document
+    report (same columns as ``line_corpus_dedup`` minus the threshold).
+
+    A line is kept iff its key is (a) absent from the store AND (b) this
+    occurrence's document is the batch's min-id holder of the key; every
+    other occurrence is a dup. Novel keys commit exactly-once through
+    the manifest table (``meta.batch_id``); a replayed ``batch_id``
+    returns None — the store already reflects it, the caller must not
+    re-emit (the `incremental_dedup.dedup_batch` discipline, reused
+    verbatim so the two incremental stores share crash semantics)."""
+    from ..sources import manifest_table as mt
+    from ..streaming.manifest_sink import last_committed_batch
+
+    spark = batch.sparkSession
+    seen_batch = last_committed_batch(spark, store_path)
+    if seen_batch is not None and batch_id <= seen_batch:
+        return None
+
+    keyed = (
+        batch.select(
+            F.col(id_col).alias("id"),
+            F.posexplode_outer(F.col(lines_col)).alias("idx", "line"),
+        )
+        .where(F.col("line").isNotNull())
+        .select("id", F.md5(normalize_line(F.col("line"))).alias("k"))
+        .groupBy("k", "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    )
+    keeper = keyed.groupBy("k").agg(F.min("id").alias("keeper_id"))
+    if mt.current_version(spark, store_path) is not None:
+        store = mt.read_table(spark, store_path).select("k")
+        novel = keeper.join(store, "k", "left_anti")
+    else:
+        novel = keeper
+    novel = novel.persist()
+    mt.write_table(
+        novel.select("k"),
+        store_path,
+        ["k"],
+        mode="append",
+        meta={"batch_id": int(batch_id)},
+    )
+    zero = F.lit(0).cast("long")
+    # per-doc counters in one pass: total occurrences, novel-keeper owns
+    per_doc = (
+        keyed.join(
+            novel.select("k", F.col("keeper_id").alias("nov_keeper")),
+            "k",
+            "left",
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_lines"),
+            F.sum(
+                F.col("id").eqNullSafe(F.col("nov_keeper")).cast("long")
+            ).alias("kept_lines"),
+        )
+    )
+    out = (
+        batch.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_lines", zero).alias("n_lines"),
+            F.coalesce("kept_lines", zero).alias("kept_lines"),
+            (
+                F.coalesce("n_lines", zero) - F.coalesce("kept_lines", zero)
+            ).alias("dup_lines"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    novel.unpersist()
+    return out

@@ -57,6 +57,7 @@ _ROUND_PRIORITY = [
     "doremi_domain_weights",
     "vocab_growth_curve",
     "mixture_temperature_allocation",
+    "incremental_line_dedup_fold",
     "quality_classifier",
     "bpe_token_stats",
     "near_dedup_fold",

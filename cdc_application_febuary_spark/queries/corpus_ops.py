@@ -1684,3 +1684,111 @@ def mixture_temperature_allocation(
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return _op(docs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental line dedup fold: the CCNet tier under continuous ingestion
+# ---------------------------------------------------------------------------
+# Folds the planted-lines corpus through the persistent line-key store in
+# three batches (doc_id % 3) and then REPLAYS batch 1: the manifest
+# commit protocol must no-op (dup_lines = -1 marker row), and each
+# batch's admitted count must equal the number of distinct line keys
+# whose FIRST occurrence is that batch — stated directly by the oracle,
+# so the incremental path is value-checked against the one-shot dedup.
+_LINE_FOLD_ORACLE = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, doc_id % 3 AS b,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+meta AS (SELECT doc_id, b, len(toks) AS ntok, toks FROM base),
+chunks AS (
+  SELECT doc_id, b, array_to_string(toks[c*8+1 : c*8+8], ' ') AS line
+  FROM (SELECT doc_id, b, toks,
+               unnest(range(0, CAST(ceil(ntok/8.0) AS BIGINT))) AS c
+        FROM meta)
+),
+extras AS (
+  SELECT doc_id, doc_id % 3 AS b,
+         'copyright footer all rights reserved.' AS line
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, doc_id % 3, '  Copyright FOOTER   all rights reserved. '
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, doc_id % 3, '  Copyright FOOTER   all rights reserved. '
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, doc_id % 3, 'home about contact privacy.'
+  FROM documents WHERE doc_id % 13 = 0
+),
+alllines AS MATERIALIZED (
+  SELECT doc_id, b,
+         md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS k
+  FROM (SELECT * FROM chunks UNION ALL SELECT * FROM extras)
+),
+firsts AS (SELECT k, MIN(b) AS fb FROM alllines GROUP BY k),
+batch_lines AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_lines FROM alllines GROUP BY b
+),
+batch_docs AS (
+  SELECT doc_id % 3 AS b, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+batch_kept AS (
+  SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS kept FROM firsts GROUP BY 1
+)
+SELECT CAST(d.b AS BIGINT) AS batch, d.n_docs, l.n_lines,
+       COALESCE(kk.kept, 0) AS kept_lines,
+       l.n_lines - COALESCE(kk.kept, 0) AS dup_lines
+FROM batch_docs d
+JOIN batch_lines l USING (b)
+LEFT JOIN batch_kept kk USING (b)
+UNION ALL
+SELECT 99, 0, 0, (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts), -1
+ORDER BY batch
+"""
+
+
+@_q("incremental_line_dedup_fold", _LINE_FOLD_ORACLE)
+def incremental_line_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion line dedup (`operators/linededup.py:
+    line_dedup_batch`): fold the planted-lines corpus through the
+    persistent line-key store in three batches, then replay batch 1 —
+    the exactly-once manifest commit must no-op (marker row 99). Each
+    batch admits exactly the line keys first seen in it; the store ends
+    at the global distinct-line count."""
+    import tempfile
+
+    from ..operators.linededup import line_dedup_batch
+    from ..sources import manifest_table as mt
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    lined = _line_dedup_lines(docs)
+    store = tempfile.mkdtemp(prefix="line_store_") + "/lines"
+    rows = []
+    for b in range(3):
+        rep = line_dedup_batch(
+            lined.where(F.col("doc_id") % 3 == b), store, b
+        )
+        agg = rep.agg(
+            F.count(F.lit(1)),
+            F.sum("n_lines"),
+            F.sum("kept_lines"),
+            F.sum("dup_lines"),
+        ).first()
+        rows.append((b, int(agg[0]), int(agg[1]), int(agg[2]), int(agg[3])))
+        rep.unpersist()
+    replay = line_dedup_batch(
+        lined.where(F.col("doc_id") % 3 == 1), store, 1
+    )
+    total = mt.read_table(spark, store).count()
+    rows.append((99, 0, 0, int(total), -1 if replay is None else -2))
+    return spark.createDataFrame(
+        rows,
+        "batch bigint, n_docs bigint, n_lines bigint, kept_lines bigint,"
+        " dup_lines bigint",
+    ).orderBy("batch")

@@ -54,6 +54,7 @@ SKIP = {
     "pipeline_lifecycle_derby",
     "incremental_semdedup_fold",
     "incremental_dedup_fold",
+    "incremental_line_dedup_fold",
     "near_dedup_fold",
     "ann_topk_ivf_recluster",
     "stream_quality_gate",

@@ -94,3 +94,32 @@ def test_boilerplate_max_df_drops_hot_keys_everywhere(spark):
     rows = _run(spark, docs, boilerplate_max_df=5)
     assert rows[0]["kept_lines"] == 2
     assert sum(r["kept_lines"] for r in rows.values()) == 6
+
+
+def test_incremental_batch_replay_noops(spark, tmp_path):
+    from cdc_application_febuary_spark.operators.linededup import (
+        line_dedup_batch,
+    )
+    from cdc_application_febuary_spark.sources import manifest_table as mt
+
+    store = str(tmp_path / "lines")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, lines array<string>"
+        )
+
+    b0 = mk([(0, ["shared footer line.", "only in zero."])])
+    b1 = mk([(1, ["shared footer line.", "novel in one."])])
+    r0 = line_dedup_batch(b0, store, 0)
+    assert {t["id"]: t["kept_lines"] for t in r0.collect()} == {0: 2}
+    r0.unpersist()
+    r1 = line_dedup_batch(b1, store, 1)
+    rows1 = {t["id"]: t.asDict() for t in r1.collect()}
+    # footer already in the store: dup; the novel line is kept
+    assert rows1[1]["kept_lines"] == 1 and rows1[1]["dup_lines"] == 1
+    r1.unpersist()
+    assert mt.read_table(spark, store).count() == 3
+    # crash replay: same batch id must no-op and leave the store intact
+    assert line_dedup_batch(b1, store, 1) is None
+    assert mt.read_table(spark, store).count() == 3

@@ -19,6 +19,7 @@ SKIP_SLOW = {
     "ann_topk_ivf_pq",          # builds a persisted index at build time
     "ann_topk_ivf_index",
     "incremental_dedup_fold",
+    "incremental_line_dedup_fold",  # 3-batch line-key store lifecycle
     "stateful_running_counts",  # runs a streaming query to completion
     "bpe_token_stats",
     "embedding_pca_variance",
