@@ -275,3 +275,65 @@ def mixture_temperature_allocation(
         "domain string, n_docs bigint, n_tokens bigint, isqrt_tokens bigint,"
         " weight_tau05_e6 bigint, weight_prop_e6 bigint",
     ).orderBy("domain")
+
+
+def token_budget_epochs(
+    docs: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+    budget_multiplier_pct: int = 200,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023,
+    arXiv:2305.16264: repeating data up to ~4 epochs is nearly as good as
+    fresh data; beyond that returns decay fast): turn the tau=0.5 mixture
+    weights into an executable sampling plan for a token budget of
+    ``budget_multiplier_pct`` percent of the corpus.
+
+    Per domain, all exact integers: ``target = budget * w div 1e6``,
+    ``full_epochs = min(max_epochs, target div n_tokens)``,
+    ``partial_tokens`` = the remainder sampled in the final partial epoch
+    (zero when the cap binds), ``capped`` when the target exceeds
+    ``max_epochs`` whole epochs, and ``unused_budget`` = tokens the cap
+    left unspent (a real run would re-waterfill these into uncapped
+    domains; reporting them keeps the single pass exact and auditable).
+    """
+    import math
+
+    from ..functions import text as T
+
+    spark = docs.sparkSession
+    rows = (
+        docs.select(
+            F.col(domain_col).alias("d"),
+            F.size(T.tokens(F.col(text_col))).alias("ntok"),
+        )
+        .groupBy("d")
+        .agg(F.sum("ntok").cast("long").alias("n_tokens"))
+        .collect()
+    )
+    nt = {r["d"]: int(r["n_tokens"]) for r in rows}
+    total = sum(nt.values())
+    budget = (total * budget_multiplier_pct) // 100
+    w = largest_remainder_e6(
+        sorted((d, math.isqrt(v)) for d, v in nt.items())
+    )
+    out = []
+    for d in sorted(nt):
+        n = nt[d]
+        if n == 0:
+            # a token-less domain can't be sampled: no plan row (and its
+            # isqrt weight is 0, so it claims no budget either)
+            continue
+        target = (budget * w[d]) // E6
+        full = min(max_epochs, target // n)
+        capped = target > max_epochs * n
+        partial = 0 if capped else target - full * n
+        unused = target - (full * n + partial)
+        out.append((d, n, w[d], target, full, partial, capped, unused))
+    return spark.createDataFrame(
+        out,
+        "domain string, n_tokens bigint, weight_tau05_e6 bigint,"
+        " target_tokens bigint, full_epochs bigint, partial_tokens bigint,"
+        " capped boolean, unused_budget bigint",
+    ).orderBy("domain")

@@ -1792,3 +1792,66 @@ def incremental_line_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch bigint, n_docs bigint, n_lines bigint, kept_lines bigint,"
         " dup_lines bigint",
     ).orderBy("batch")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget epoch allocation (data-constrained scaling, arXiv:2305.16264)
+# ---------------------------------------------------------------------------
+_TOKEN_BUDGET_ORACLE = r"""
+WITH dstat AS MATERIALIZED (
+  SELECT source AS domain,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+s AS (SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS iq FROM dstat),
+tots AS (
+  SELECT SUM(iq) AS ts, SUM(n_tokens) AS tn,
+         (SUM(n_tokens) * 200) // 100 AS budget
+  FROM s
+),
+alloc AS (
+  SELECT domain, n_tokens, iq,
+         (1000000 * iq) // ts AS b1,
+         row_number() OVER (ORDER BY ((1000000 * iq) % ts) DESC, domain ASC)
+           AS r1,
+         SUM((1000000 * iq) // ts) OVER () AS bs1,
+         budget
+  FROM s, tots
+),
+w AS (
+  SELECT domain, n_tokens, budget,
+         b1 + (CASE WHEN r1 <= 1000000 - bs1 THEN 1 ELSE 0 END) AS we6
+  FROM alloc
+),
+plan AS (
+  SELECT domain, n_tokens, we6,
+         (budget * we6) // 1000000 AS target,
+         LEAST(4, ((budget * we6) // 1000000) // n_tokens) AS full_e,
+         ((budget * we6) // 1000000) > 4 * n_tokens AS capped
+  FROM w WHERE n_tokens > 0
+)
+SELECT domain, n_tokens, CAST(we6 AS BIGINT) AS weight_tau05_e6,
+       CAST(target AS BIGINT) AS target_tokens,
+       CAST(full_e AS BIGINT) AS full_epochs,
+       CAST(CASE WHEN capped THEN 0 ELSE target - full_e * n_tokens END
+            AS BIGINT) AS partial_tokens,
+       capped,
+       CAST(CASE WHEN capped THEN target - 4 * n_tokens ELSE 0 END
+            AS BIGINT) AS unused_budget
+FROM plan ORDER BY domain
+"""
+
+
+@_q("token_budget_epochs", _TOKEN_BUDGET_ORACLE)
+def token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (`operators/doremi.py`): the
+    tau=0.5 mixture weights turned into an executable plan for a 2x-corpus
+    token budget with a 4-epoch repeat cap — whole epochs, the partial
+    final epoch, and the budget a binding cap leaves unspent, all exact
+    integers."""
+    from ..operators.doremi import token_budget_epochs as _op
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return _op(docs)

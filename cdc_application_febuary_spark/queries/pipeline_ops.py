@@ -7347,10 +7347,14 @@ def shuffle_free_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the plain join). Revenue aggregates exact-decimal, cast to
     double only at the end (both sides)."""
     import os
+    import uuid
 
     from ..sources.bucketed import write_bucketed_table
 
-    suffix = f"r4_{os.getpid()}"
+    # pid alone is NOT unique enough: one process can host several
+    # sequential SparkSessions (the multi-JVM sweep does), and a reused
+    # name trips LOCATION_ALREADY_EXISTS on the leftover warehouse dir
+    suffix = f"r4_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),

@@ -119,3 +119,34 @@ def test_mixture_temperature_flattens(spark):
     assert out["big"]["weight_prop_e6"] == 900_000
     assert out["tiny"]["weight_tau05_e6"] > out["tiny"]["weight_prop_e6"]
     assert out["big"]["weight_tau05_e6"] == 750_000  # isqrt(450)/isqrt(50)=3:1
+
+
+def test_token_budget_epochs_caps_and_conserves(spark):
+    from cdc_application_febuary_spark.operators.doremi import (
+        token_budget_epochs,
+    )
+
+    rows = []
+    for i in range(90):
+        rows.append((i, "big corpus words here now", "big"))
+    for i in range(10):
+        rows.append((100 + i, "tiny corpus words here now", "tiny"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {
+        r["domain"]: r.asDict()
+        for r in token_budget_epochs(
+            docs, budget_multiplier_pct=400, max_epochs=4
+        ).collect()
+    }
+    # tiny gets tau-boosted far past 4 epochs of its 50 tokens -> capped
+    t = out["tiny"]
+    assert t["capped"] and t["full_epochs"] == 4 and t["partial_tokens"] == 0
+    assert t["unused_budget"] == t["target_tokens"] - 4 * t["n_tokens"]
+    b = out["big"]
+    assert not b["capped"]
+    assert (
+        b["full_epochs"] * b["n_tokens"] + b["partial_tokens"]
+        == b["target_tokens"]
+    )
