@@ -58,6 +58,7 @@ _ROUND_PRIORITY = [
     "vocab_growth_curve",
     "mixture_temperature_allocation",
     "incremental_line_dedup_fold",
+    "token_budget_epochs",
     "quality_classifier",
     "bpe_token_stats",
     "near_dedup_fold",
