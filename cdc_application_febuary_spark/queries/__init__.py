@@ -59,6 +59,7 @@ _ROUND_PRIORITY = [
     "mixture_temperature_allocation",
     "incremental_line_dedup_fold",
     "token_budget_epochs",
+    "coreset_diversity_sample",
     "quality_classifier",
     "bpe_token_stats",
     "near_dedup_fold",

@@ -1855,3 +1855,107 @@ def token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return _op(docs)
+
+
+# ---------------------------------------------------------------------------
+# Diversity coreset (D4, Tirumala et al. 2023, arXiv:2308.12284)
+# ---------------------------------------------------------------------------
+# After dedup, real pipelines DIVERSIFY: from each cluster keep the
+# examples farthest from the cluster prototype (the D4 recipe's
+# diversification half; k-center greedy's first round per cell). Exact
+# cross-engine arithmetic: coords quantized floor(v*4096) (the PCA
+# precedent — exact for float inputs), and distance-to-mean compared
+# WITHOUT division via n^2*dist^2 = sum_d (n*x_d - S_d)^2 over the cell
+# coordinate sums S_d. Top-m per cell by (distance DESC, vec_id ASC).
+_CORESET_ORACLE = r"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 4096) AS BIGINT)) AS q
+  FROM embeddings
+),
+t AS MATERIALIZED (
+  SELECT vec_id, label, pos - 1 AS dim, q[pos] AS qi
+  FROM (SELECT vec_id, label, q,
+               unnest(range(1, len(q) + 1)) AS pos
+        FROM e)
+),
+cell AS (
+  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qi) AS BIGINT) AS s
+  FROM t GROUP BY 1, 2
+),
+dist AS (
+  SELECT t.vec_id, t.label,
+         CAST(SUM((c.n * t.qi - c.s) * (c.n * t.qi - c.s)) AS BIGINT)
+           AS dnum,
+         MAX(c.n) AS n_members
+  FROM t JOIN cell c ON t.label = c.label AND t.dim = c.dim
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number()
+           OVER (PARTITION BY label ORDER BY dnum DESC, vec_id ASC) AS rnk
+  FROM dist
+)
+SELECT label, CAST(rnk AS BIGINT) AS rank, vec_id,
+       dnum AS dist_num, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rnk <= 4
+ORDER BY label, rank
+"""
+
+
+@_q("coreset_diversity_sample", _CORESET_ORACLE)
+def coreset_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell diversity coreset (the D4 diversification step): from
+    each label cell keep the 4 vectors farthest from the cell mean,
+    distances exact via the division-free n^2*dist^2 integer form over
+    4096-quantized coordinates. Shuffles are keyed by (label, dim) and
+    label; the window partitions by label — nothing global."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # posexplode_outer + null guard: a plain explode of a PROJECTED
+    # transform() alias gets the inferred size()>0 filter pushed into it
+    # (the r6 explode cliff); outer generators are exempt
+    t = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.posexplode_outer(
+                F.expr(
+                    "transform(embedding,"
+                    " v -> CAST(floor(CAST(v AS DOUBLE) * 4096) AS BIGINT))"
+                )
+            ).alias("dim", "qi"),
+        )
+        .where(F.col("qi").isNotNull())
+    )
+    cell = t.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qi").cast("long").alias("s"),
+    )
+    d = F.col("n") * F.col("qi") - F.col("s")
+    dist = (
+        t.join(cell, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(d * d).cast("long").alias("dnum"),
+            F.max("n").cast("long").alias("n_members"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dnum").desc(), F.col("vec_id").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 4)
+        .select(
+            "label",
+            "rank",
+            "vec_id",
+            F.col("dnum").alias("dist_num"),
+            "n_members",
+        )
+        .orderBy("label", "rank")
+    )
