@@ -24,8 +24,10 @@ Spark-first shape (no positional bookkeeping anywhere):
   bit-identical in DuckDB, which keeps the oracle portable; at 128 bits
   collisions are negligible at any corpus size);
 * ``groupBy(key, doc)`` counts occurrences (map-side combinable);
-* ``groupBy(key)`` takes ``min(doc)`` — the keeper document;
-* one equi-join back on ``key`` and one keyed agg per document.
+* a window over ``key`` takes ``min(doc)`` — the keeper document — in
+  the SAME shuffle (a groupBy(key)+self-join would derive the whole
+  explode+agg twice: Spark does not reuse common subplans);
+* one keyed agg per document.
 
 Every shuffle is keyed by the md5; nothing is quadratic; there is no
 driver collect. No reference analog (the reference backend has no corpus
@@ -87,28 +89,28 @@ def line_corpus_dedup(
         .where(F.col("line").isNotNull())
         .select("id", F.md5(normalize_line(F.col("line"))).alias("k"))
     )
+    from pyspark.sql import Window
+
     per_key_doc = lines.groupBy("k", "id").agg(
         F.count(F.lit(1)).cast("long").alias("occ")
     )
-    keeper = per_key_doc.groupBy("k").agg(
-        F.min("id").alias("keeper_id"),
-        F.count(F.lit(1)).cast("long").alias("df"),
-    )
+    # keeper via a window over k, NOT a groupBy(k)+self-join: Spark does
+    # not reuse common subplans, so the join form derives the whole
+    # explode+agg TWICE (seen in the PLANS.md dump) — the window keeps
+    # one derivation and the same single shuffle by k.
+    wk = Window.partitionBy("k")
+    keeper_id = F.min("id").over(wk)
     if boilerplate_max_df is not None:
-        # hot keys never reach the join: boilerplate keeps NO occurrence
-        # anywhere, so its rows contribute n_lines but zero kept_lines —
-        # mark by nulling keeper_id (no id equals null).
-        keeper = keeper.select(
-            "k",
-            F.when(
-                F.col("df") <= F.lit(int(boilerplate_max_df)),
-                F.col("keeper_id"),
-            ).alias("keeper_id"),
+        # hot keys keep NO occurrence anywhere: boilerplate rows
+        # contribute n_lines but zero kept_lines (nulled keeper).
+        keeper_id = F.when(
+            F.count(F.lit(1)).over(wk) <= F.lit(int(boilerplate_max_df)),
+            keeper_id,
         )
-    else:
-        keeper = keeper.drop("df")
     per_doc = (
-        per_key_doc.join(keeper, "k")
+        per_key_doc.select(
+            "id", "occ", keeper_id.alias("keeper_id")
+        )
         .groupBy("id")
         .agg(
             F.sum("occ").cast("long").alias("n_lines"),
