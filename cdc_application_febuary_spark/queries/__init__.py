@@ -60,6 +60,7 @@ _ROUND_PRIORITY = [
     "incremental_line_dedup_fold",
     "token_budget_epochs",
     "coreset_diversity_sample",
+    "lexical_diversity_report",
     "quality_classifier",
     "bpe_token_stats",
     "near_dedup_fold",

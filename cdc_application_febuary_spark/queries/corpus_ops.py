@@ -1959,3 +1959,78 @@ def coreset_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity report (type-token ratio / hapax / Zipf head coverage)
+# ---------------------------------------------------------------------------
+# The corpus-QA companion to vocab_growth_curve: per source, the exact
+# type-token numerators every curation dashboard tracks — vocabulary
+# size, hapax legomena (words seen once: the Zipf tail), and how many
+# token occurrences the top-10 most frequent words absorb (the Zipf
+# head). Ratios stay as exact integer numerator columns (no division
+# anywhere — the CLAUDE.md hash rule). Top-10 ties break by word ASC on
+# both engines.
+_LEXICAL_ORACLE = r"""
+WITH toks AS MATERIALIZED (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+cnt AS MATERIALIZED (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, w, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC)
+           AS rnk
+  FROM cnt
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS BIGINT)
+         AS top10_tokens,
+       MIN(CASE WHEN rnk = 1 THEN w END) AS top_word,
+       CAST(MAX(c) AS BIGINT) AS top_count
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+@_q("lexical_diversity_report", _LEXICAL_ORACLE)
+def lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: exact type/token/hapax counts and
+    Zipf head coverage (tokens absorbed by the top-10 words, ties by
+    word). One explode + one (source, word) agg + a per-source window
+    over the word-count table (vocabulary-sized, not corpus-sized);
+    every output is an exact integer numerator."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    cnt = (
+        docs.select(
+            "source", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    ranked = cnt.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax"),
+            F.sum(F.when(F.col("rnk") <= 10, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("top10_tokens"),
+            F.min(F.when(F.col("rnk") == 1, F.col("w"))).alias("top_word"),
+            F.max("c").cast("long").alias("top_count"),
+        )
+        .orderBy("source")
+    )
