@@ -377,3 +377,79 @@ def weighted_sample_portable(
         .limit(k)
         .drop("__psp_u", "__psp_key")
     )
+
+
+def allocate_exact(
+    items: list[tuple[str, int]], total: int
+) -> dict[str, int]:
+    """Largest-remainder allocation of exactly ``total`` units
+    proportional to ``items``' (non-negative integer) sizes: base =
+    (total*size) div N, the deficit (< len(items)) goes to the largest
+    remainders, ties to the smaller key. All exact Python ints — the
+    generic-total form of ``doremi.largest_remainder_e6``.
+
+    Guarantee used by :func:`stratified_sample_exact`: when
+    ``total <= N`` no quota exceeds its stratum size (base < size
+    whenever total < N, and total == N gives base == size with zero
+    remainder), so per-stratum top-``quota`` never runs dry."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    n = sum(v for _, v in items)
+    if n == 0:
+        raise ValueError("allocate_exact over empty strata")
+    if total > n:
+        raise ValueError(f"total {total} exceeds population {n}")
+    base = {k: (total * v) // n for k, v in items}
+    deficit = total - sum(base.values())
+    order = sorted(items, key=lambda kv: (-((total * kv[1]) % n), kv[0]))
+    for k, _ in order[:deficit]:
+        base[k] += 1
+    return base
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    total_n: int,
+    seed: int = 0,
+    counts: Mapping[str, int] | None = None,
+) -> DataFrame:
+    """Proportional stratified sample with EXACT quotas: the sample has
+    exactly ``total_n`` rows, allocated across strata by largest
+    remainder (so every stratum's share is within one row of exact
+    proportionality — the allocation a mixture contract actually
+    specifies, vs the binomial jitter of per-row Bernoulli in
+    :func:`stratified_sample`). Within a stratum, membership is the
+    top-``quota`` rows by the portable md5 hash (ties by id), so the
+    drawn SET is a pure function of (id set, total_n, seed) on any
+    engine — a SQL oracle replays it row for row.
+
+    Scale shape: one metadata-cheap count per stratum (driver-side dict,
+    bounded by the number of strata), then ONE window partitioned by the
+    stratum column — rows shuffle once by stratum; no global sort, no
+    second pass. Returns (stratum, rank, id columns...) with
+    ``__ss_rank`` 1-based within stratum."""
+    from pyspark.sql import Window
+
+    if counts is None:
+        counts = {
+            r["s"]: r["c"]
+            for r in df.groupBy(F.col(stratum_col).alias("s"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+    quotas = allocate_exact(sorted(counts.items()), total_n)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        sorted(quotas.items()), f"{stratum_col} string, __ss_quota long"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        portable_unit_hash32(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__ss_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(qdf), stratum_col)
+        .where(F.col("__ss_rank") <= F.col("__ss_quota"))
+        .drop("__ss_quota")
+    )

@@ -2034,3 +2034,68 @@ def lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling with exact largest-remainder quotas
+# ---------------------------------------------------------------------------
+# The mixture-contract form of sampling: "give me exactly 40% of the
+# corpus, proportionally by source" means EXACT per-stratum quotas, not
+# per-row Bernoulli jitter. Quotas come from largest-remainder
+# allocation (exact integer arithmetic on both engines); membership is
+# the per-stratum top-quota by the portable md5 hash, so the drawn SET
+# value-hashes against the SQL replay row for row.
+from ..operators.sampling import portable_unit_hash32_sql as _pu32_sql
+
+_STRAT_SEED = 7
+_STRAT_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n, (2 * COUNT(*)) // 5 AS total_n
+           FROM documents),
+c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+alloc AS (
+  SELECT source, c,
+         (total_n * c) // n AS base,
+         (total_n * c) % n AS rem,
+         total_n,
+         n
+  FROM c CROSS JOIN n
+),
+quota AS (
+  SELECT source,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+                      <= total_n - SUM(base) OVER () THEN 1 ELSE 0 END
+           AS quota
+  FROM alloc
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_pu32_sql("doc_id", _STRAT_SEED)}, doc_id) AS rnk
+  FROM documents
+)
+SELECT r.source, CAST(r.rnk AS BIGINT) AS rnk, r.doc_id
+FROM ranked r JOIN quota q USING (source)
+WHERE r.rnk <= q.quota
+ORDER BY source, rnk
+"""
+
+
+@_q("stratified_sample_exact", _STRAT_ORACLE)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample (`operators/sampling.py:
+    stratified_sample_exact`): exactly 40% of the corpus, allocated
+    across sources by largest remainder and drawn per stratum as the
+    top-quota rows under the portable md5 hash (ties by doc_id). One
+    stratum count (driver-side, bounded by #sources) + one window keyed
+    by source — rows shuffle once; the SQL oracle replays the
+    allocation and the draw, so the SET itself is the verdict."""
+    from ..operators.sampling import stratified_sample_exact as _sse
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    total_n = (2 * docs.count()) // 5
+    return (
+        _sse(docs, "source", "doc_id", total_n, seed=_STRAT_SEED)
+        .select("source", F.col("__ss_rank").alias("rnk"), "doc_id")
+        .orderBy("source", "rnk")
+    )
