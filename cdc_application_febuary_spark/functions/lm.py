@@ -135,3 +135,48 @@ def lm_scores(
         F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
         "lm_score",
     )
+
+
+def lm_scores_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_trigrams, sum_lp_e6) — the exact-integer form of
+    :func:`lm_scores` for rank/bucket consumers: instead of the rounded
+    mean, expose the per-doc SUM of DECIMAL(18,6) trigram log-probs as a
+    scale-6 BIGINT. Downstream ordering keys use the single correctly-
+    rounded division ``CAST(sum_lp_e6 AS DOUBLE) / n_trigrams`` (bit-
+    identical across engines), so rank-based thresholds (CCNet
+    head/middle/tail) are engine-portable without ever hashing a rounded
+    quotient. Docs with fewer than 3 chars are absent (no trigrams)."""
+    exploded = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.trim(F.col(text_col))).alias("__t"),
+        )
+        .select("doc_id", F.explode(char_windows(F.col("__t"))).alias("tri"))
+        .persist()
+    )
+    model = exploded.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = model.agg(F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("d"))
+    scored = (
+        exploded.join(model, "tri")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("cnt") + F.lit(1.0)) / (F.col("t") + F.col("d"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        (F.sum("lp") * 1_000_000).cast("long").alias("sum_lp_e6"),
+    )
+    per_doc = per_doc.localCheckpoint(eager=True)
+    exploded.unpersist()
+    return per_doc

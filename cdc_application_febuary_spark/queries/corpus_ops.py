@@ -2099,3 +2099,104 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("__ss_rank").alias("rnk"), "doc_id")
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020, arXiv:1911.00359 §4.3) splits each language
+# into three equal perplexity tertiles — "head" (most model-typical,
+# kept), "middle", "tail" (usually dropped) — and downstream curation
+# picks buckets per language. The portable form: per-doc score is the
+# EXACT scale-6 integer sum of DECIMAL trigram log-probs; the ordering
+# key is the single correctly-rounded division sum/n (bit-identical in
+# both engines, ties by doc_id); tertile edges are integer comparisons
+# 3*rank <= n and 3*rank <= 2n. Every output column is BIGINT.
+_CCNET_ORACLE = """
+WITH tri AS MATERIALIZED (
+  SELECT doc_id, substr(lower(trim(text)), i, 3) AS tri
+  FROM documents,
+       UNNEST(generate_series(1, GREATEST(len(lower(trim(text))) - 2, 0)))
+         AS u(i)
+),
+model AS MATERIALIZED (SELECT tri, COUNT(*) AS cnt FROM tri GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS t, COUNT(*) AS d FROM model),
+lp AS (
+  SELECT g.doc_id,
+         CAST(ROUND(LN((m.cnt + 1.0) / (tot.t + tot.d)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM tri g JOIN model m USING (tri) CROSS JOIN tot
+),
+per_doc AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+         CAST(SUM(lp) * 1000000 AS BIGINT) AS sum_lp_e6
+  FROM lp GROUP BY 1
+),
+ranked AS (
+  SELECT d.lang, p.doc_id, p.n_tri, p.sum_lp_e6,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST(p.sum_lp_e6 AS DOUBLE) / p.n_tri DESC,
+                    p.doc_id ASC) AS rnk,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM documents d JOIN per_doc p USING (doc_id)
+),
+bucketed AS (
+  SELECT lang,
+         CASE WHEN 3 * rnk <= n THEN 'head'
+              WHEN 3 * rnk <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         n_tri, sum_lp_e6
+  FROM ranked
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tri) AS BIGINT) AS sum_trigrams,
+       MIN(sum_lp_e6) AS min_sum_lp_e6,
+       MAX(sum_lp_e6) AS max_sum_lp_e6
+FROM bucketed GROUP BY 1, 2 ORDER BY lang, bucket
+"""
+
+
+@_q("ccnet_perplexity_buckets", _CCNET_ORACLE)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity tertiles (`functions/lm.py:
+    lm_scores_exact`): self-train the char-trigram model on the corpus,
+    score each doc by its exact integer log-prob sum, and cut each
+    language into head/middle/tail thirds by the portable rank (score
+    DESC = most typical first, ties by doc_id; edges are the integer
+    tests 3*rank <= n / 2n). The model is one trigram groupBy (alphabet-
+    cubed keys); docs shuffle once by lang for the rank window — the
+    shape CCNet runs per Common Crawl snapshot."""
+    from pyspark.sql import Window
+
+    from ..functions import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lm.lm_scores_exact(docs).where(F.col("n_trigrams") > 0)
+    joined = docs.select("doc_id", "lang").join(scores, "doc_id")
+    wlang = Window.partitionBy("lang")
+    w = wlang.orderBy(
+        (F.col("sum_lp_e6").cast("double") / F.col("n_trigrams")).desc(),
+        F.col("doc_id").asc(),
+    )
+    bucketed = (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wlang))
+        .withColumn(
+            "bucket",
+            F.when(3 * F.col("rnk") <= F.col("n"), F.lit("head"))
+            .when(3 * F.col("rnk") <= 2 * F.col("n"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_trigrams").cast("long").alias("sum_trigrams"),
+            F.min("sum_lp_e6").alias("min_sum_lp_e6"),
+            F.max("sum_lp_e6").alias("max_sum_lp_e6"),
+        )
+        .orderBy("lang", "bucket")
+    )
