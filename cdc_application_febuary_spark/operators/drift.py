@@ -116,3 +116,82 @@ def value_drift(
             ).alias("psi_term"),
         )
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    n_buckets: int = 8,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-DIMENSION Population Stability Index between two embedding
+    populations — the vector-column twin of :func:`value_drift`, the
+    monitor that catches an embedding model/version swap or a feature
+    collapse before the ANN tier's recall quietly decays.
+
+    Bucketing is the EXPLICIT portable expression
+    ``least(greatest(floor((v + 1.0) * n/2), 0), n-1)`` over [-1, 1)
+    (unit-ish embedding coordinates) rather than ``width_bucket`` — every
+    step (float->double cast, add, multiply, floor) is a correctly-
+    rounded IEEE op with a fixed evaluation order, so bucket ids are
+    bit-identical in Spark and any SQL oracle. PSI terms follow the
+    LM/BM25 libm discipline: each eps-smoothed (p-q)*ln(p/q) rounds to
+    DECIMAL(18,6) BEFORE the per-dim sum, so the sum is exact and
+    order-independent; the report emits it as a scale-6 BIGINT
+    (``psi_e6``) because decimal->double casts are NOT correctly
+    rounded in every engine (the r6 ADVICE rule).
+
+    Scale shape: one explode per side (rows x dims terms), ONE combined
+    groupBy (dim, bucket) with conditional counts — the histogram is
+    dims x buckets rows regardless of input size — then a window over
+    dim for totals. Nothing corpus-sized ever joins."""
+    from pyspark.sql import Window
+
+    half = float(n_buckets) / 2.0
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("side"),
+            F.posexplode_outer(F.col(vec_col)).alias("dim", "v"),
+        ).where(F.col("v").isNotNull())
+
+    both = side(ref, "ref").unionByName(side(cur, "cur"))
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("v").cast("double") + F.lit(1.0)) * F.lit(half))
+            .cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    hist = (
+        both.select("side", "dim", bucket.alias("bucket"))
+        .groupBy("dim", "bucket")
+        .agg(
+            F.sum(F.when(F.col("side") == "ref", 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("side") == "cur", 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    wd = Window.partitionBy("dim")
+    hist = hist.withColumn("tr", F.sum("n_ref").over(wd)).withColumn(
+        "tc", F.sum("n_cur").over(wd)
+    )
+    p = F.col("n_ref") / F.col("tr") + F.lit(eps)
+    q = F.col("n_cur") / F.col("tc") + F.lit(eps)
+    term = (
+        F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)").alias("term")
+    )
+    return (
+        hist.select("dim", "tr", "tc", term)
+        .groupBy("dim")
+        .agg(
+            F.max("tr").cast("long").alias("n_ref"),
+            F.max("tc").cast("long").alias("n_cur"),
+            (F.sum("term") * 1_000_000).cast("long").alias("psi_e6"),
+        )
+    )

@@ -2200,3 +2200,78 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift (per-dimension PSI between two portable splits)
+# ---------------------------------------------------------------------------
+# The vector-column twin of value_drift_psi: split the embedding table in
+# half by the portable md5 hash (a stand-in for "last month's vectors vs
+# this month's re-embed"), histogram every dimension with the explicit
+# portable bucket expression, and report each dimension's PSI as a
+# scale-6 BIGINT from the exact DECIMAL term sum.
+_EDRIFT_SEED = 11
+_EDRIFT_ORACLE = f"""
+WITH sides AS MATERIALIZED (
+  SELECT CASE WHEN {_pu32_sql("vec_id", _EDRIFT_SEED)} < 2147483648
+              THEN 'ref' ELSE 'cur' END AS side,
+         CAST(embedding AS DOUBLE[]) AS q
+  FROM embeddings
+),
+t AS (SELECT side, q, unnest(range(1, len(q) + 1)) AS pos FROM sides),
+terms AS (
+  SELECT side, pos - 1 AS dim,
+         LEAST(GREATEST(CAST(floor((q[pos] + 1.0) * 4.0) AS BIGINT), 0), 7)
+           AS bucket
+  FROM t
+),
+hist AS (
+  SELECT dim, bucket,
+         SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+  FROM terms GROUP BY 1, 2
+),
+tot AS (
+  SELECT dim, bucket, n_ref, n_cur,
+         SUM(n_ref) OVER (PARTITION BY dim) AS tr,
+         SUM(n_cur) OVER (PARTITION BY dim) AS tc
+  FROM hist
+),
+term AS (
+  SELECT dim, tr, tc,
+         CAST(ROUND((CAST(n_ref AS DOUBLE) / tr + 0.000001
+                     - (CAST(n_cur AS DOUBLE) / tc + 0.000001))
+                    * ln((CAST(n_ref AS DOUBLE) / tr + 0.000001)
+                         / (CAST(n_cur AS DOUBLE) / tc + 0.000001)), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM tot
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(MAX(tr) AS BIGINT) AS n_ref,
+       CAST(MAX(tc) AS BIGINT) AS n_cur,
+       CAST(SUM(term) * 1000000 AS BIGINT) AS psi_e6
+FROM term GROUP BY 1 ORDER BY dim
+"""
+
+
+@_q("embedding_drift_report", _EDRIFT_ORACLE)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift (`operators/drift.py:
+    embedding_drift`): PSI of every embedding coordinate between two
+    portable-hash halves of the vector table — the monitor a re-embed /
+    model-swap pipeline runs before trusting its ANN indexes. Explicit
+    IEEE bucket arithmetic and DECIMAL-rounded PSI terms make the whole
+    report integer-exact; the histogram is dims x buckets rows no matter
+    how many vectors flow in."""
+    from ..operators.drift import embedding_drift
+    from ..operators.sampling import portable_unit_hash32
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = portable_unit_hash32("vec_id", _EDRIFT_SEED)
+    ref = emb.where(h < F.lit(1 << 31))
+    cur = emb.where(h >= F.lit(1 << 31))
+    return (
+        embedding_drift(ref, cur, "embedding", n_buckets=8)
+        .select(F.col("dim").cast("long").alias("dim"), "n_ref", "n_cur", "psi_e6")
+        .orderBy("dim")
+    )
