@@ -177,3 +177,57 @@ def cms_estimate(
         ]
     ).alias("cms_est")
     return items.crossJoin(F.broadcast(cms)).select(*items.columns, est)
+
+
+def pairwise_intersection_estimates(
+    df: DataFrame,
+    value_col: str,
+    shard_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-intersection estimates for every unordered shard PAIR by
+    inclusion-exclusion over the stored HLL sketches:
+    ``|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)``, where the union estimate
+    is a register-wise ``hll_union`` of the two blobs — no rescan of the
+    data, the same sketch-once/merge-forever artifact
+    :func:`distinct_by_shard` stores. This is THE audience-overlap /
+    cross-segment-reach query at 100 TB: the data is scanned once to
+    sketch; every pairwise (or k-way, by folding more unions) overlap
+    after that is arithmetic over KB-sized blobs.
+
+    Error contract: each estimate carries ~1.04/sqrt(2^lg_k) relative
+    standard deviation, and inclusion-exclusion compounds the absolute
+    errors of three estimates — so the usable tolerance scales with the
+    UNION size, not the intersection (tiny overlaps of huge sets drown
+    in sketch noise; the paired query bands at 10% of the exact union).
+
+    Returns (shard_a, shard_b, est_a, est_b, est_union,
+    est_intersection) with shard_a < shard_b. One sketch pass over the
+    data (materialized — blobs are KBs), pair frame built driver-side
+    from the bounded shard list, broadcast equi-joins only."""
+    sk = shard_sketches(df, value_col, shard_col, lg_k).localCheckpoint(
+        eager=True
+    )
+    shards = sorted(r["shard"] for r in sk.select("shard").collect())
+    pairs = [(a, b) for i, a in enumerate(shards) for b in shards[i + 1 :]]
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(pairs, "shard_a string, shard_b string")
+    a = sk.select(F.col("shard").alias("shard_a"), F.col("hll").alias("hll_a"))
+    b = sk.select(F.col("shard").alias("shard_b"), F.col("hll").alias("hll_b"))
+    return (
+        pdf.join(F.broadcast(a), "shard_a")
+        .join(F.broadcast(b), "shard_b")
+        .select(
+            "shard_a",
+            "shard_b",
+            F.hll_sketch_estimate("hll_a").alias("est_a"),
+            F.hll_sketch_estimate("hll_b").alias("est_b"),
+            F.hll_sketch_estimate(F.hll_union("hll_a", "hll_b")).alias(
+                "est_union"
+            ),
+        )
+        .withColumn(
+            "est_intersection",
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        )
+    )

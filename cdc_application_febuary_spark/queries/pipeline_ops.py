@@ -9020,3 +9020,107 @@ def corpus_prep_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(final)
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL pairwise intersection (audience overlap from stored sketches)
+# ---------------------------------------------------------------------------
+# Extends the r6 tolerance-banded sketch tier to SET OPERATIONS: the
+# inclusion-exclusion intersection estimate of every pair of "high-value
+# user" segments (users with a value >= 150 event per type — sets that
+# genuinely partially overlap, unlike the fixture's fully-shared user
+# pool) must land within 10% of the exact UNION size (the right scale
+# for compounded sketch noise: three estimates at ~1.6% rsd each). The
+# oracle recomputes exact per-segment, pairwise-intersection, and union
+# counts and asserts every verdict.
+@_q(
+    "hll_intersection_report",
+    """
+WITH f AS MATERIALIZED (
+  SELECT DISTINCT event_type, user_id FROM events WHERE value >= 150
+),
+cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS i
+  FROM f x JOIN f y ON x.user_id = y.user_id
+                   AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a AS type_a, p.type_b AS type_b,
+       ca.c AS exact_a, cb.c AS exact_b,
+       COALESCE(i.i, 0) AS exact_intersection,
+       TRUE AS in_band
+FROM (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM cnt a JOIN cnt b ON a.event_type < b.event_type) p
+JOIN cnt ca ON p.type_a = ca.event_type
+JOIN cnt cb ON p.type_b = cb.event_type
+LEFT JOIN inter i ON p.type_a = i.type_a AND p.type_b = i.type_b
+ORDER BY p.type_a, p.type_b
+""",
+)
+def hll_intersection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier set intersection (`operators/sketches.py:
+    pairwise_intersection_estimates`): per-segment HLL sketches of
+    high-value users (one scan), then every pairwise audience overlap by
+    inclusion-exclusion over the stored blobs — no rescan, the artifact
+    pattern a 100 TB reach/overlap dashboard lives on. Banded oracle:
+    each estimated intersection must sit within 10% of the exact union
+    (compounded three-estimate noise scales with the union, not the
+    intersection); exact counts value-hash alongside the verdicts."""
+    from ..catalog import load_events_raw
+    from ..operators import sketches
+
+    ev = load_events_raw(spark, sf_dir).where(F.col("value") >= 150)
+    est = sketches.pairwise_intersection_estimates(
+        ev, "user_id", "event_type"
+    ).select(
+        F.col("shard_a").alias("type_a"),
+        F.col("shard_b").alias("type_b"),
+        "est_intersection",
+    )
+    seg = ev.select("event_type", "user_id").distinct()
+    exact_cnt = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    x = seg.select(F.col("event_type").alias("type_a"), "user_id")
+    y = seg.select(F.col("event_type").alias("type_b"), "user_id")
+    exact_inter = (
+        x.join(y, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    ca = exact_cnt.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("exact_a")
+    )
+    cb = exact_cnt.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("exact_b")
+    )
+    return (
+        est.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .join(F.broadcast(exact_inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            F.coalesce("exact_intersection", F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+            (
+                F.abs(
+                    F.col("est_intersection")
+                    - F.coalesce("exact_intersection", F.lit(0))
+                )
+                <= 0.10
+                * (
+                    F.col("exact_a")
+                    + F.col("exact_b")
+                    - F.coalesce("exact_intersection", F.lit(0))
+                )
+            ).alias("in_band"),
+        )
+        .orderBy("type_a", "type_b")
+    )
