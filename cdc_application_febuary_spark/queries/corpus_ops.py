@@ -2275,3 +2275,133 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dim").cast("long").alias("dim"), "n_ref", "n_cur", "psi_e6")
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-signal correlation matrix (exact integer moments)
+# ---------------------------------------------------------------------------
+# Before gating a corpus on several quality signals, measure how
+# redundant they are: near-collinear signals (|r| -> 1) gate the same
+# docs twice, independent ones compound. Four per-doc INTEGER signals
+# (chars, tokens, distinct types, top token count) reduce to one row of
+# exact BIGINT moments; each Pearson r is then the fixed IEEE chain
+# num / (sqrt(da) * sqrt(db)) over exact integers < 2^53 — bit-identical
+# in both engines with no ROUND anywhere (the lineitem_correlation_matrix
+# discipline applied to derived text features).
+_SIGCORR_PAIRS = [
+    ("chars", "tokens"),
+    ("chars", "top_cnt"),
+    ("chars", "types"),
+    ("tokens", "top_cnt"),
+    ("tokens", "types"),
+    ("top_cnt", "types"),
+]
+
+
+def _sigcorr_oracle() -> str:
+    moments = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types, MAX(c) AS top_cnt
+  FROM cnt GROUP BY 1
+),
+sig AS MATERIALIZED (
+  SELECT d.n_chars AS chars,
+         COALESCE(p.n_tokens, 0) AS tokens,
+         COALESCE(p.n_types, 0) AS types,
+         COALESCE(p.top_cnt, 0) AS top_cnt
+  FROM documents d LEFT JOIN per p USING (doc_id)
+),
+m AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {sums}
+  FROM sig
+)
+"""
+    names = ["chars", "tokens", "types", "top_cnt"]
+    sums = []
+    for a in names:
+        sums.append(f"CAST(SUM({a}) AS BIGINT) AS sx_{a}")
+        sums.append(f"CAST(SUM({a} * {a}) AS BIGINT) AS sq_{a}")
+    for a, b in _SIGCORR_PAIRS:
+        sums.append(f"CAST(SUM({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    selects = []
+    for a, b in _SIGCORR_PAIRS:
+        selects.append(
+            f"SELECT '{a}' AS signal_a, '{b}' AS signal_b, n AS n_docs,\n"
+            f"  CAST(n * sp_{a}_{b} - sx_{a} * sx_{b} AS DOUBLE)\n"
+            f"  / (sqrt(CAST(n * sq_{a} - sx_{a} * sx_{a} AS DOUBLE))\n"
+            f"     * sqrt(CAST(n * sq_{b} - sx_{b} * sx_{b} AS DOUBLE)))\n"
+            f"  AS corr FROM m"
+        )
+    return (
+        moments.format(sums=",\n         ".join(sums))
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY signal_a, signal_b"
+    )
+
+
+@_q("quality_signal_correlation", _sigcorr_oracle())
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over four exact-integer text-quality
+    signals (chars / tokens / distinct types / top token count): one
+    explode + one per-doc agg reduces the corpus to a single row of
+    BIGINT moments (map-side combine all the way); each r is the fixed
+    correctly-rounded chain num / (sqrt(da)*sqrt(db)) — no ROUND, no
+    decimal cast, hash-identical across engines. The dashboard that
+    decides whether two quality gates are redundant."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    per = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+    sig = docs.join(per, "doc_id", "left").select(
+        F.col("n_chars").cast("long").alias("chars"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("tokens"),
+        F.coalesce("n_types", F.lit(0)).cast("long").alias("types"),
+        F.coalesce("top_cnt", F.lit(0)).cast("long").alias("top_cnt"),
+    )
+    names = ["chars", "tokens", "types", "top_cnt"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for a in names:
+        aggs.append(F.sum(a).cast("long").alias(f"sx_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).cast("long").alias(f"sq_{a}"))
+    for a, b in _SIGCORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}")
+        )
+    m = sig.agg(*aggs)
+    for a, b in _SIGCORR_PAIRS:
+        num = (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"sx_{a}") * F.col(f"sx_{b}")).cast("double")
+        da = (F.col("n") * F.col(f"sq_{a}") - F.col(f"sx_{a}") * F.col(f"sx_{a}")).cast("double")
+        db = (F.col("n") * F.col(f"sq_{b}") - F.col(f"sx_{b}") * F.col(f"sx_{b}")).cast("double")
+        m = m.withColumn(f"corr_{a}_{b}", num / (F.sqrt(da) * F.sqrt(db)))
+    stack_args = ", ".join(
+        f"'{a}', '{b}', corr_{a}_{b}" for a, b in _SIGCORR_PAIRS
+    )
+    return (
+        m.selectExpr(
+            "n AS n_docs",
+            f"stack({len(_SIGCORR_PAIRS)}, {stack_args})"
+            " AS (signal_a, signal_b, corr)",
+        )
+        .select("signal_a", "signal_b", "n_docs", "corr")
+        .orderBy("signal_a", "signal_b")
+    )
