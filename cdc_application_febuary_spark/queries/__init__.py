@@ -46,13 +46,20 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 _ROUND_PRIORITY = [
     # Round-7 window (the driver checks the first ~50 registry entries):
     # zero rotation debt carries in (VERDICT r6), so the window leads
-    # with what round 7 DID — SIXTEEN rows-only -> oracle-paired
-    # conversions that EMPTY the rows-only pool (literal-VALUES
-    # multimodal oracles, fixed-point-integer GD, portable-hash
-    # dedup-store lifecycles, the full 100-merge BPE unroll,
-    # banded-verdict ANN/semdedup contracts, planted-sentinel simhash)
-    # — then the queries the r6 ADVICE fixes touched, then the round-6
-    # additions, then green sentinels from every family.
+    # with what round 7 DID — first the second-session additions (exact
+    # stratified sampling, CCNet tertiles, embedding drift PSI, HLL set
+    # intersections, the quality-signal correlation matrix), then the
+    # SIXTEEN rows-only -> oracle-paired conversions that EMPTY the
+    # rows-only pool (literal-VALUES multimodal oracles, fixed-point-
+    # integer GD, portable-hash dedup-store lifecycles, the full
+    # 100-merge BPE unroll, banded-verdict ANN/semdedup contracts,
+    # planted-sentinel simhash) — then the queries the r6 ADVICE fixes
+    # touched, then the round-6 additions, then green sentinels.
+    "stratified_sample_exact",
+    "ccnet_perplexity_buckets",
+    "embedding_drift_report",
+    "hll_intersection_report",
+    "quality_signal_correlation",
     "line_corpus_dedup",
     "doremi_domain_weights",
     "vocab_growth_curve",
