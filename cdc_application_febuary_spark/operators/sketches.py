@@ -231,3 +231,61 @@ def pairwise_intersection_estimates(
             F.col("est_a") + F.col("est_b") - F.col("est_union"),
         )
     )
+
+
+def sketch_fold_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+    value_col: str,
+    shard_col: str,
+    lg_k: int = 12,
+) -> int | None:
+    """Fold ONE ingestion batch into a persistent HLL sketch STORE —
+    the incremental tier of sketch-once/merge-forever: each batch
+    commits its per-shard blobs (KBs) as manifest-table rows keyed by
+    (shard, batch_id); any later rollup unions stored registers without
+    rescanning a single ingested row. Exactly-once through the shared
+    ``meta.batch_id`` discipline (`incremental_dedup.dedup_batch`):
+    a replayed batch id returns None and the store is untouched, so a
+    crash-retry loop can call this blindly.
+
+    Returns the committed manifest version, or None on replay."""
+    from ..sources import manifest_table as mt
+    from ..streaming.manifest_sink import last_committed_batch
+
+    spark = batch.sparkSession
+    seen = last_committed_batch(spark, store_path)
+    if seen is not None and batch_id <= seen:
+        return None
+    sk = shard_sketches(batch, value_col, shard_col, lg_k).withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    )
+    return mt.write_table(
+        sk,
+        store_path,
+        ["shard", "batch_id"],
+        mode="append",
+        meta={"batch_id": int(batch_id)},
+    )
+
+
+def sketch_store_estimates(spark, store_path: str) -> DataFrame:
+    """Distinct-count rollup from the sketch store alone: per-shard
+    estimates (register union across all committed batches) plus the
+    merged '<all>' row — the read path never touches ingested data,
+    only the KB-sized blobs."""
+    from ..sources import manifest_table as mt
+
+    sk = mt.read_table(spark, store_path).select("shard", "hll")
+    per = sk.groupBy("shard").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias(
+            "distinct_estimate"
+        )
+    )
+    total = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias(
+            "distinct_estimate"
+        )
+    ).select(F.lit("<all>").alias("shard"), "distinct_estimate")
+    return per.unionByName(total)

@@ -59,6 +59,7 @@ _ROUND_PRIORITY = [
     "ccnet_perplexity_buckets",
     "embedding_drift_report",
     "hll_intersection_report",
+    "incremental_sketch_fold",
     "quality_signal_correlation",
     "line_corpus_dedup",
     "doremi_domain_weights",

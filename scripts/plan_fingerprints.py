@@ -58,6 +58,7 @@ SKIP = {
     "near_dedup_fold",
     "ann_topk_ivf_recluster",
     "stream_quality_gate",
+    "incremental_sketch_fold",
 }
 
 _NODE_RE = re.compile(r"^[\s:+\-*>()\d]*([A-Za-z][A-Za-z0-9]*)")

@@ -46,6 +46,7 @@ SKIP_SLOW = {
     "srp_semantic_dedup",          # label-prop loop runs at build time
     "stream_stream_left_outer",    # runs an outer-join stream to completion
     "stream_quality_gate",         # runs the C4 gate stream to completion
+    "incremental_sketch_fold",  # 3-batch sketch-store lifecycle
     "ann_topk_ivf_recluster",      # full build/append/rebuild lifecycle
     "corpus_prep_funnel_v3",       # same persist-heavy funnel as v2
 }
