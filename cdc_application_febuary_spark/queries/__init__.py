@@ -55,6 +55,7 @@ _ROUND_PRIORITY = [
     # 100-merge BPE unroll, banded-verdict ANN/semdedup contracts,
     # planted-sentinel simhash) — then the queries the r6 ADVICE fixes
     # touched, then the round-6 additions, then green sentinels.
+    "embedding_kmeans_fixedpoint",
     "stratified_sample_exact",
     "ccnet_perplexity_buckets",
     "embedding_drift_report",

@@ -2405,3 +2405,109 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("signal_a", "signal_b", "n_docs", "corr")
         .orderBy("signal_a", "signal_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point integer k-means (document clustering, bit-exact replay)
+# ---------------------------------------------------------------------------
+def _kmeans_oracle(k: int = 8, iters: int = 4) -> str:
+    """Unrolled SQL replay of `operators/kmeans.kmeans_fixedpoint`: per
+    Lloyd step, an exact-integer argmin assignment (ties to the smaller
+    cluster id) and a truncating-division centroid update; an emptied
+    cluster keeps its previous centroid. Every CTE MATERIALIZED (the
+    unrolled-chain rule); distances downscale 2^20 per point before the
+    inertia sum. tdiv needs the CASE flip — coordinate sums go negative."""
+    from .pipeline_ops import _tdiv_sql
+
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+d{t} AS (
+  SELECT p.vec_id, c.cluster,
+         list_aggregate(list_transform(generate_series(1, len(p.q)),
+           i -> (p.q[i] * 1024 - c.c[i]) * (p.q[i] * 1024 - c.c[i])),
+           'sum') AS dist
+  FROM pts p CROSS JOIN {prev} c
+),
+a{t} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d{t}) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a.cluster, i AS dim, SUM(p.q[i]) AS s, COUNT(*) AS n
+  FROM a{t} a JOIN pts p USING (vec_id),
+       UNNEST(generate_series(1, len(p.q))) AS it(i)
+  GROUP BY 1, 2
+),
+c{t} AS MATERIALIZED (
+  SELECT prev.cluster, COALESCE(nc.c, prev.c) AS c
+  FROM {prev} prev LEFT JOIN (
+    SELECT cluster,
+           list(CAST({_tdiv_sql("s * 1024", "n")} AS BIGINT)
+                ORDER BY dim) AS c
+    FROM u{t} GROUP BY cluster) nc USING (cluster)
+)""")
+        prev = f"c{t}"
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 4096) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS cluster, list_transform(q, v -> v * 1024) AS c
+  FROM pts WHERE vec_id < {k}
+),{",".join(steps)},
+fd AS (
+  SELECT p.vec_id, c.cluster,
+         list_aggregate(list_transform(generate_series(1, len(p.q)),
+           i -> (p.q[i] * 1024 - c.c[i]) * (p.q[i] * 1024 - c.c[i])),
+           'sum') AS dist
+  FROM pts p CROSS JOIN {prev} c
+),
+fa AS MATERIALIZED (
+  SELECT vec_id, cluster, dist // 1048576 AS dist_sc FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM fd) WHERE rn = 1
+),
+st AS (
+  SELECT cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(dist_sc) AS BIGINT) AS sum_dist,
+         CAST(MIN(vec_id) AS BIGINT) AS min_member
+  FROM fa GROUP BY 1
+)
+SELECT CAST(c.cluster AS BIGINT) AS cluster,
+       COALESCE(st.n_members, 0) AS n_members,
+       COALESCE(st.sum_dist, 0) AS sum_dist,
+       COALESCE(st.min_member, -1) AS min_member,
+       CAST(list_aggregate(c.c, 'sum') AS BIGINT) AS centroid_sum
+FROM {prev} c LEFT JOIN st USING (cluster)
+ORDER BY cluster
+"""
+
+
+@_q("embedding_kmeans_fixedpoint", _kmeans_oracle())
+def embedding_kmeans_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer k-means clustering (`operators/kmeans.py`): 4 Lloyd
+    steps over 4096-quantized embeddings with 1024x-subprecision integer
+    centroids — the clustering core of SemDeDup/D4/IVF rebuilt in the
+    pagerank_fixedpoint discipline, so the full iteration (assignments,
+    truncating centroid updates, empty-cluster guard, 2^20-scaled
+    inertia) replays in SQL bit-for-bit. Cluster work per step: one
+    argmin pass against k literal centroid arrays (no join, no shuffle)
+    + one (cluster, dim)-keyed agg; the driver holds k*d integers."""
+    from ..operators.kmeans import kmeans_fixedpoint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats, _cents = kmeans_fixedpoint(
+        emb, "embedding", "vec_id", k=8, iters=4
+    )
+    return stats.orderBy("cluster")

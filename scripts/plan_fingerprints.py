@@ -59,6 +59,7 @@ SKIP = {
     "ann_topk_ivf_recluster",
     "stream_quality_gate",
     "incremental_sketch_fold",
+    "embedding_kmeans_fixedpoint",
 }
 
 _NODE_RE = re.compile(r"^[\s:+\-*>()\d]*([A-Za-z][A-Za-z0-9]*)")

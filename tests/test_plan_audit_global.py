@@ -47,6 +47,7 @@ SKIP_SLOW = {
     "stream_stream_left_outer",    # runs an outer-join stream to completion
     "stream_quality_gate",         # runs the C4 gate stream to completion
     "incremental_sketch_fold",  # 3-batch sketch-store lifecycle
+    "embedding_kmeans_fixedpoint",  # 4 Lloyd iterations at build time
     "ann_topk_ivf_recluster",      # full build/append/rebuild lifecycle
     "corpus_prep_funnel_v3",       # same persist-heavy funnel as v2
 }
