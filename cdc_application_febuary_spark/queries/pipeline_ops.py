@@ -9222,3 +9222,222 @@ def incremental_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lit.unionByName(final).orderBy("phase", "shard")
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift gate: PSI admission control on a live feed
+# ---------------------------------------------------------------------------
+# The second in-flight QA gate (stream_quality_gate is per-row content
+# rules; this one is DISTRIBUTIONAL): each micro-batch's value histogram
+# is scored against a frozen baseline with the exact-integer PSI
+# discipline (DECIMAL-rounded terms, scale-6 BIGINT sums), and only
+# batches under the 0.1 line commit — the planted +300-shifted batch
+# (psi_e6 ~1.9e7) must be rejected while the three natural thirds
+# (psi_e6 a few thousand) pass. Commits are idempotent per batch_id and
+# the query proves it by replaying a committed batch before the final
+# read-back; committed row counts come from the TARGET, so either a
+# double-append or a gate flip hash-fails.
+_DRIFT_GATE_THRESH_E6 = 100_000  # PSI 0.1, the conventional action line
+
+
+@_q(
+    "stream_drift_gate",
+    """
+WITH ref AS MATERIALIZED (
+  SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT), 0), 11) AS b,
+         COUNT(*) AS nr
+  FROM events GROUP BY 1
+),
+rt AS (SELECT SUM(nr) AS tr FROM ref),
+batches AS MATERIALIZED (
+  SELECT event_id % 3 AS batch_id, value FROM events
+  UNION ALL
+  SELECT 3, value + 300.0 FROM events WHERE event_id % 3 = 0
+),
+bh AS (
+  SELECT batch_id,
+         LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT), 0), 11) AS b,
+         COUNT(*) AS nc
+  FROM batches GROUP BY 1, 2
+),
+bt AS (SELECT batch_id, SUM(nc) AS tc FROM bh GROUP BY 1),
+buckets AS (SELECT b FROM ref UNION SELECT DISTINCT b FROM bh),
+grid AS (
+  SELECT bt.batch_id, bt.tc, k.b,
+         COALESCE(r.nr, 0) AS nr, COALESCE(h.nc, 0) AS nc, rt.tr
+  FROM bt CROSS JOIN buckets k
+  LEFT JOIN ref r ON k.b = r.b
+  LEFT JOIN bh h ON h.batch_id = bt.batch_id AND h.b = k.b
+  CROSS JOIN rt
+),
+terms AS (
+  SELECT batch_id, tc,
+         CAST(ROUND((CAST(nr AS DOUBLE) / tr + 0.000001
+                     - (CAST(nc AS DOUBLE) / tc + 0.000001))
+                    * ln((CAST(nr AS DOUBLE) / tr + 0.000001)
+                         / (CAST(nc AS DOUBLE) / tc + 0.000001)), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM grid
+),
+scored AS (
+  SELECT batch_id, CAST(MAX(tc) AS BIGINT) AS n_rows,
+         CAST(SUM(term) * 1000000 AS BIGINT) AS psi_e6
+  FROM terms GROUP BY 1
+)
+SELECT batch_id, n_rows,
+       CASE WHEN psi_e6 <= 100000 THEN n_rows ELSE CAST(0 AS BIGINT) END
+         AS committed_rows,
+       psi_e6,
+       psi_e6 <= 100000 AS accepted
+FROM scored ORDER BY batch_id
+""",
+)
+def stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift admission control on a LIVE stream
+    (`operators/drift.py` discipline inside foreachBatch): four feed
+    files replay as micro-batches (three natural thirds of events plus
+    one +300-shifted drifted batch), each batch's value histogram scores
+    an exact-integer PSI against the frozen full-corpus baseline, and
+    only sub-0.1-PSI batches commit to the target — idempotently per
+    batch_id (a replayed commit is re-proven before the read-back).
+    committed_rows is read from the TARGET, so at-least-once regressions
+    or gate flips hash-fail; psi_e6, counts, and verdicts all replay in
+    SQL from the same batch definitions."""
+    import os
+    import pathlib
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..catalog import load_events_raw
+
+    ev = load_events_raw(spark, sf_dir).select("event_id", "value")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 50.0).cast("long"), F.lit(0)),
+        F.lit(11),
+    )
+    ref_rows = (
+        ev.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nr"))
+        .collect()
+    )
+    ref = spark.createDataFrame(
+        [(r["b"], r["nr"]) for r in ref_rows], "b long, nr long"
+    )
+    tr = int(sum(r["nr"] for r in ref_rows))
+
+    work = tempfile.mkdtemp(prefix="sdrift_")
+    feed = f"{work}/feed"
+    pathlib.Path(feed).mkdir()
+    payload = F.to_json(F.struct("event_id", "value")).alias("value")
+    parts = [
+        ev.where(F.col("event_id") % 3 == 0),
+        ev.where(F.col("event_id") % 3 == 1),
+        ev.where(F.col("event_id") % 3 == 2),
+        ev.where(F.col("event_id") % 3 == 0).select(
+            "event_id", (F.col("value") + 300.0).alias("value")
+        ),
+    ]
+    for i, p in enumerate(parts):
+        stage = f"{work}/stage{i}"
+        p.select(payload).coalesce(1).write.mode("overwrite").text(stage)
+        part = next(pathlib.Path(stage).glob("part-*"))
+        dest = pathlib.Path(feed) / f"b{i}.txt"
+        part.rename(dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(feed)
+        .select(F.from_json("value", schema).alias("p"))
+        .select("p.event_id", "p.value")
+    )
+    target = f"{work}/target"
+    summaries: dict[int, tuple[int, int]] = {}
+
+    from pyspark.sql import Window as _W
+
+    def gate(batch_df, batch_id):
+        hist = (
+            batch_df.select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+        )
+        j = ref.join(hist, "b", "full").select(
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+        # unpartitioned window over the <=13-row joined histogram
+        tc = F.sum("nc").over(_W.partitionBy())
+        p = F.col("nr") / F.lit(tr) + F.lit(1e-6)
+        q = F.col("nc") / F.col("tc") + F.lit(1e-6)
+        agg = (
+            j.withColumn("tc", tc)
+            .select(
+                F.round((p - q) * F.log(p / q), 6)
+                .cast("decimal(18,6)")
+                .alias("term"),
+                "tc",
+            )
+            .agg(
+                (F.sum("term") * 1_000_000).cast("long").alias("psi_e6"),
+                F.max("tc").cast("long").alias("n_rows"),
+            )
+            .collect()[0]
+        )
+        psi_e6, n_rows = int(agg["psi_e6"]), int(agg["n_rows"] or 0)
+        summaries[int(batch_id)] = (n_rows, psi_e6)
+        if psi_e6 <= _DRIFT_GATE_THRESH_E6:
+            batch_df.write.mode("overwrite").parquet(
+                f"{target}/__batch_id={int(batch_id)}"
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # replay a committed batch (b1 -> batch_id 1): the idempotent sink
+    # must leave the target byte-equivalent, or committed_rows drifts
+    replay = (
+        spark.read.format("text")
+        .load(f"{feed}/b1.txt")
+        .select(F.from_json("value", schema).alias("p"))
+        .select("p.event_id", "p.value")
+    )
+    gate(replay, 1)
+    committed = (
+        spark.read.option("basePath", target)
+        .parquet(target)
+        .groupBy(F.col("__batch_id").cast("long").alias("batch_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("committed_rows"))
+    )
+    lit = spark.createDataFrame(
+        [(b, n, p) for b, (n, p) in sorted(summaries.items())],
+        "batch_id long, n_rows long, psi_e6 long",
+    )
+    return (
+        lit.join(committed, "batch_id", "left")
+        .select(
+            "batch_id",
+            "n_rows",
+            F.coalesce("committed_rows", F.lit(0))
+            .cast("long")
+            .alias("committed_rows"),
+            "psi_e6",
+            (F.col("psi_e6") <= _DRIFT_GATE_THRESH_E6).alias("accepted"),
+        )
+        .orderBy("batch_id")
+    )

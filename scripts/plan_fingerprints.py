@@ -60,6 +60,7 @@ SKIP = {
     "stream_quality_gate",
     "incremental_sketch_fold",
     "embedding_kmeans_fixedpoint",
+    "stream_drift_gate",
 }
 
 _NODE_RE = re.compile(r"^[\s:+\-*>()\d]*([A-Za-z][A-Za-z0-9]*)")

@@ -48,6 +48,7 @@ SKIP_SLOW = {
     "stream_quality_gate",         # runs the C4 gate stream to completion
     "incremental_sketch_fold",  # 3-batch sketch-store lifecycle
     "embedding_kmeans_fixedpoint",  # 4 Lloyd iterations at build time
+    "stream_drift_gate",        # runs the PSI gate stream to completion
     "ann_topk_ivf_recluster",      # full build/append/rebuild lifecycle
     "corpus_prep_funnel_v3",       # same persist-heavy funnel as v2
 }
