@@ -149,3 +149,21 @@ def approx_distinct_profile(df: DataFrame, rsd: float = 0.05) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+def k_anonymity_groups(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every QI
+    equivalence class with fewer than ``k`` members — the rows a privacy
+    review must suppress or generalize before the table can be shared
+    (k-anonymity, Sweeney 2002). One grouped count (map-side combined;
+    state bounded by the QI-combination cardinality, never row count)
+    filtered to the violators; downstream joins this back as the
+    suppression list. Returns qi_cols + group_size, the violating
+    classes only."""
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )

@@ -62,6 +62,7 @@ _ROUND_PRIORITY = [
     "embedding_drift_report",
     "hll_intersection_report",
     "incremental_sketch_fold",
+    "k_anonymity_audit",
     "quality_signal_correlation",
     "line_corpus_dedup",
     "doremi_domain_weights",

@@ -9441,3 +9441,42 @@ def stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy tier: the pre-share suppression list)
+# ---------------------------------------------------------------------------
+# Complements pii_scan (content detection) and gdpr_delete_audit
+# (erasure): before a customer extract leaves the boundary, every
+# quasi-identifier class (nation x segment x 1000-wide balance band)
+# smaller than k=5 must be suppressed. The band is floor(acctbal/1000.0)
+# — one correctly-rounded division + floor, identical in both engines
+# (never CAST a scaled double to BIGINT: DuckDB rounds, Spark truncates).
+@_q(
+    "k_anonymity_audit",
+    """
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM customer
+GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+ORDER BY c_nationkey, c_mktsegment, balance_band
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity violations (`operators/profiling.py:
+    k_anonymity_groups`): QI classes of (nation, segment, balance band)
+    with fewer than 5 members — the exact suppression list a privacy
+    gate needs, as one bounded grouped count."""
+    from ..operators.profiling import k_anonymity_groups
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0)
+        .cast("long")
+        .alias("balance_band"),
+    )
+    return k_anonymity_groups(
+        cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=5
+    ).orderBy("c_nationkey", "c_mktsegment", "balance_band")
