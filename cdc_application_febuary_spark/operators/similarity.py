@@ -607,3 +607,89 @@ def lsh_topk_portable(
             F.round(F.col("sim0"), 6).alias("sim"),
         )
     )
+
+
+# nDCG@10 discount table as scale-6 integer LITERALS (1e6/log2(i+1),
+# half-up): binary relevance makes DCG a pure integer dot product with
+# this table, so the metric needs NO transcendental in either engine —
+# the whole evaluation replays exactly. IDCG is the table's prefix sum
+# indexed by min(n_rel, 10).
+NDCG_DISC_E6 = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+NDCG_IDCG_PREFIX_E6 = [0]
+for _d in NDCG_DISC_E6:
+    NDCG_IDCG_PREFIX_E6.append(NDCG_IDCG_PREFIX_E6[-1] + _d)
+del _d
+
+
+def retrieval_ndcg(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact nDCG@k of the brute-force cosine ranking against
+    label-match relevance — the retrieval-quality metric a corpus team
+    tracks when swapping embedding models or ANN tiers. Binary relevance
+    + the literal discount table turn DCG into an integer sum
+    (``sum(rel_i * disc_e6[i])``) and IDCG into a prefix-table lookup at
+    ``min(n_rel, k)`` — both BIGINT, both SQL-replayable; report the
+    (dcg_e6, idcg_e6) pair, never the quotient (the hash rule).
+
+    Scale shape: ranking reuses the blocked-matmul top-k (one Arrow
+    batch matmul per partition, partial top-k — no all-pairs shuffle);
+    relevance counts are one label-keyed agg broadcast back."""
+    if k != len(NDCG_DISC_E6):
+        raise ValueError("discount table is pinned at k=10")
+    ql = queries.join(
+        emb.select(
+            F.col(id_col).alias("query_id"), F.col(label_col).alias("ql")
+        ),
+        "query_id",
+    )
+    top = cosine_topk_blocked(emb, queries, k=k, query_id_col="query_id")
+    nl = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in NDCG_DISC_E6]), F.col("rank").cast("int")
+    )
+    dcg = (
+        top.join(F.broadcast(nl), "neighbor_id")
+        .join(F.broadcast(ql.select("query_id", "ql")), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("nl") == F.col("ql"), disc).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg_e6")
+        )
+    )
+    sizes = emb.groupBy(F.col(label_col).alias("ql")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    pre = F.array(*[F.lit(p) for p in NDCG_IDCG_PREFIX_E6])
+    out = (
+        ql.join(F.broadcast(sizes), "ql")
+        .select(
+            "query_id",
+            (F.col("n_label") - 1).cast("long").alias("n_rel"),
+        )
+        .join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("dcg_e6", F.lit(0)).cast("long").alias("dcg_e6"),
+            F.element_at(
+                pre,
+                (F.least(F.col("n_rel"), F.lit(k)) + 1).cast("int"),
+            )
+            .cast("long")
+            .alias("idcg_e6"),
+        )
+    )
+    return out

@@ -60,6 +60,7 @@ _ROUND_PRIORITY = [
     "stratified_sample_exact",
     "ccnet_perplexity_buckets",
     "embedding_drift_report",
+    "retrieval_ndcg_report",
     "hll_intersection_report",
     "incremental_sketch_fold",
     "k_anonymity_audit",

@@ -9480,3 +9480,68 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_groups(
         cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=5
     ).orderBy("c_nationkey", "c_mktsegment", "balance_band")
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality: exact nDCG@10 against label relevance
+# ---------------------------------------------------------------------------
+# The evaluation-metric tier grows past AUC: nDCG of the exact cosine
+# ranking with binary label-match relevance. The log2 discounts are a
+# shared scale-6 integer LITERAL table (no transcendental in either
+# engine), so DCG is an integer dot product and IDCG a prefix lookup —
+# the whole metric value-hashes as (dcg_e6, idcg_e6) pairs.
+def _ndcg_oracle() -> str:
+    from ..operators.similarity import NDCG_DISC_E6, NDCG_IDCG_PREFIX_E6
+
+    disc_rows = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(NDCG_DISC_E6)
+    )
+    pre = "[" + ", ".join(str(p) for p in NDCG_IDCG_PREFIX_E6) + "]"
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+s AS (
+  SELECT q.query_id, q.ql, e.vec_id AS nid, e.label AS nl,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim0
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+top AS (
+  SELECT query_id, ql, nl, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim0 DESC, nid ASC) AS rank
+    FROM s) t WHERE rank <= 10
+),
+disc(rank, d) AS (VALUES {disc_rows}),
+dcg AS (
+  SELECT query_id,
+         SUM(CASE WHEN nl = ql THEN d ELSE 0 END) AS dcg_e6
+  FROM top JOIN disc USING (rank) GROUP BY 1
+),
+sizes AS (SELECT label AS ql, COUNT(*) AS n_label FROM embeddings GROUP BY 1)
+SELECT q.query_id,
+       CAST(z.n_label - 1 AS BIGINT) AS n_rel,
+       CAST(COALESCE(g.dcg_e6, 0) AS BIGINT) AS dcg_e6,
+       CAST(({pre})[LEAST(z.n_label - 1, 10) + 1] AS BIGINT) AS idcg_e6
+FROM q JOIN sizes z USING (ql)
+LEFT JOIN dcg g USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+@_q("retrieval_ndcg_report", _ndcg_oracle())
+def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nDCG@10 (`operators/similarity.py:retrieval_ndcg`) of the
+    blocked-matmul cosine ranking against label-match relevance, for the
+    same every-10th-vector query set as ann_topk_bruteforce. Integer
+    discount literals make the metric transcendental-free; the oracle
+    re-derives the ranking, the relevance sequence, and both nDCG
+    numerators exactly."""
+    from ..operators.similarity import retrieval_ndcg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return retrieval_ndcg(emb, queries, k=10).orderBy("query_id")
