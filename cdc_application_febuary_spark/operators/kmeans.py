@@ -76,18 +76,29 @@ def _dist_cols(cents: list[list[int]]):
 
 
 def _assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """(vec_id, q, cluster, dist): exact argmin, ties to the smaller id."""
-    dists = _dist_cols(cents)
-    mind = F.least(*dists) if len(dists) > 1 else dists[0]
+    """(vec_id, q, cluster, dist): exact argmin, ties to the smaller id.
+
+    The k zip_with distance expressions are projected ONCE as columns
+    before least()/argmin reference them — inlining them would
+    re-evaluate each k*d array pass up to three times per row (least,
+    the CASE chain, the output), and Catalyst does not CSE across those
+    references."""
+    staged = pts.select(
+        "vec_id",
+        "q",
+        *[d.alias(f"__d{i}") for i, d in enumerate(_dist_cols(cents))],
+    )
+    dcols = [F.col(f"__d{i}") for i in range(len(cents))]
+    mind = F.least(*dcols) if len(dcols) > 1 else dcols[0]
     cluster = None
-    for i, d in enumerate(dists):
+    for i, d in enumerate(dcols):
         cond = d == mind
         cluster = (
             F.when(cond, F.lit(i))
             if cluster is None
             else cluster.when(cond, F.lit(i))
         )
-    return pts.select(
+    return staged.select(
         "vec_id", "q", cluster.cast("long").alias("cluster"), mind.alias("dist")
     )
 
