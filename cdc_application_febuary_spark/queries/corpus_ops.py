@@ -1451,10 +1451,21 @@ def _doremi_oracle(iters: int = 5, eta: int = 800, c_e6: int = 200000) -> str:
         "(CASE WHEN p * (p - pm) >= 0 THEN (p * (p - pm)) // 1000000000"
         " ELSE -((-(p * (p - pm))) // 1000000000) END)"
     )
-    exp_cols = ["LEAST((lam * %d) // 1000, 1000000) AS x" % eta,
-                "1000000000 + (x * 1000) // 65536 AS v0"]
+    # Each squaring level is its OWN nested SELECT: lateral alias
+    # references in one projection are substituted TEXTUALLY, so a
+    # single-SELECT v0..v16 chain builds a 2^16-node expression tree
+    # (measured 672 s for 20 rows at sf0.01 in the full gate — the whole
+    # oracle drops to sub-second once nested; values identical).
+    exp_inner = (
+        "SELECT d, lam, 1000000000 + (x * 1000) // 65536 AS v0 FROM "
+        "(SELECT d, lam, LEAST((lam * %d) // 1000, 1000000) AS x FROM lam_t)"
+        % eta
+    )
     for i in range(16):
-        exp_cols.append(f"(v{i} * v{i}) // 1000000000 AS v{i + 1}")
+        exp_inner = (
+            f"SELECT d, lam, (v{i} * v{i}) // 1000000000 AS v{i + 1}"
+            f" FROM ({exp_inner})"
+        )
     steps = []
     for t in range(1, iters + 1):
         prev = f"w{t - 1}"
@@ -1469,7 +1480,7 @@ lam{t} AS MATERIALIZED (
   FROM probs JOIN mix{t} USING (w) GROUP BY probs.d
 ),
 exp{t} AS MATERIALIZED (
-  SELECT d, lam, {", ".join(exp_cols)} FROM lam{t}
+  {exp_inner.replace("FROM lam_t", f"FROM lam{t}")}
 ),
 raw{t} AS MATERIALIZED (
   SELECT e.d, e.lam, (wp.a * e.v16) // 1000000000 AS raw
