@@ -172,3 +172,67 @@ def transition_matrix(
         )
         .orderBy("from_state", "to_state")
     )
+
+
+def cusum_alarms(
+    hourly: DataFrame,
+    key_col: str = "key",
+    time_col: str = "hour",
+    cnt_col: str = "cnt",
+    slack_den: int = 4,
+    threshold_mult: int = 8,
+) -> DataFrame:
+    """Exact-integer CUSUM changepoint detection over a bucketed count
+    series (Page 1954): per key, the one-sided cumulative sum
+    ``S_k = max(0, S_{k-1} + x_k - (mean + slack))`` with everything
+    scaled by the bucket count H so no division ever happens —
+    ``y_k = cnt_k * H - T - T // slack_den`` (T = total, slack = a
+    mean/slack_den allowance) and alarm when ``S_k > threshold_mult*T``
+    (threshold_mult mean-bucket-equivalents of accumulated excess).
+
+    The recurrence is NOT a window primitive, but the max-plus identity
+    ``S_k = P_k - min(0, min_{j<=k} P_j)`` (P = prefix sums of y) turns
+    it into TWO stacked windows over the SAME (key, time) ordering — one
+    shuffle, state bounded by buckets x keys, every value a BIGINT any
+    SQL engine replays bit-for-bit. Buckets with no rows contribute no
+    step (document the cadence upstream if gap-filling matters).
+
+    Returns per-bucket rows: key, time, cnt, cusum, alarm, plus the
+    per-key totals (t, h) the thresholds derive from."""
+    from pyspark.sql import Window
+
+    tot = hourly.groupBy(key_col).agg(
+        F.sum(cnt_col).cast("long").alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("__h"),
+    )
+    y = hourly.join(F.broadcast(tot), key_col).withColumn(
+        "__y",
+        F.col(cnt_col).cast("long") * F.col("__h")
+        - F.col("__t")
+        # exact integer floor for non-negative t (a double division
+        # would be inexact for non-power-of-two slack_den)
+        - ((F.col("__t") - F.col("__t") % slack_den) / slack_den).cast(
+            "long"
+        ),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = y.withColumn("__pk", F.sum("__y").over(w))
+    s = p.withColumn(
+        "cusum",
+        (F.col("__pk") - F.least(F.min("__pk").over(w), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    return s.select(
+        key_col,
+        time_col,
+        F.col(cnt_col).cast("long").alias(cnt_col),
+        "cusum",
+        (F.col("cusum") > threshold_mult * F.col("__t")).alias("alarm"),
+        F.col("__t").alias("t"),
+        F.col("__h").alias("h"),
+    )

@@ -56,6 +56,7 @@ _ROUND_PRIORITY = [
     # planted-sentinel simhash) — then the queries the r6 ADVICE fixes
     # touched, then the round-6 additions, then green sentinels.
     "embedding_kmeans_fixedpoint",
+    "event_rate_cusum",
     "stream_drift_gate",
     "stratified_sample_exact",
     "ccnet_perplexity_buckets",

@@ -9545,3 +9545,85 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return retrieval_ndcg(emb, queries, k=10).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on the event feed
+# ---------------------------------------------------------------------------
+# The trailing-z-score alarm (event_rate_anomalies) catches spikes; CUSUM
+# catches sustained small shifts (Page 1954) — the alarm that fires when
+# a CDC source quietly doubles its rate. A planted burst (click events
+# tripled for the final window) must alarm; the four undisturbed types
+# must stay silent. The max-plus recurrence is computed by the exact
+# prefix-min identity S_k = P_k - min(0, min_j<=k P_j) — two stacked
+# integer windows, bit-replayable.
+@_q(
+    "event_rate_cusum",
+    """
+WITH base AS MATERIALIZED (
+  SELECT event_type, ts FROM events
+  UNION ALL SELECT event_type, ts FROM events
+    WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-27 00:00:00'
+  UNION ALL SELECT event_type, ts FROM events
+    WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-27 00:00:00'
+),
+h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS hh
+        FROM h GROUP BY 1),
+y AS (SELECT h.event_type, h.hour,
+             h.cnt * tot.hh - tot.t - tot.t // 4 AS y, tot.t, tot.hh
+      FROM h JOIN tot USING (event_type)),
+p AS (SELECT event_type, hour, t, hh, SUM(y) OVER w AS pk
+      FROM y WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                          ROWS UNBOUNDED PRECEDING)),
+s AS (SELECT event_type, hour, t, hh,
+             pk - LEAST(MIN(pk) OVER w, 0) AS cusum
+      FROM p WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                          ROWS UNBOUNDED PRECEDING))
+SELECT event_type,
+       MAX(t) AS total_events,
+       MAX(hh) AS n_hours,
+       CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+       CAST(SUM(CASE WHEN cusum > 8 * t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       MIN(CASE WHEN cusum > 8 * t THEN hour END) AS first_alarm_hour
+FROM s GROUP BY 1 ORDER BY event_type
+""",
+)
+def event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-shift changepoint alarm (`operators/timeseries.py:
+    cusum_alarms`): scaled integer CUSUM per event type over hourly
+    counts, with the click feed carrying a planted 3x burst in its final
+    window — click must alarm (max_cusum ~17x threshold), the other four
+    types must stay silent (~0.4x). Everything is BIGINT via the
+    prefix-min identity; per-type state is hours x types rows."""
+    from ..operators.timeseries import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    burst = ev.where(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-27 00:00:00").cast("timestamp"))
+    )
+    base = ev.unionByName(burst).unionByName(burst)
+    hourly = base.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    s = cusum_alarms(
+        hourly, key_col="event_type", time_col="hour", cnt_col="cnt"
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.max("t").alias("total_events"),
+            F.max("h").alias("n_hours"),
+            F.max("cusum").cast("long").alias("max_cusum"),
+            F.sum(F.col("alarm").cast("long")).cast("long").alias("n_alarms"),
+            F.min(F.when(F.col("alarm"), F.col("hour"))).alias(
+                "first_alarm_hour"
+            ),
+        )
+        .orderBy("event_type")
+    )
