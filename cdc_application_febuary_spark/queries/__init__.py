@@ -57,6 +57,7 @@ _ROUND_PRIORITY = [
     # touched, then the round-6 additions, then green sentinels.
     "embedding_kmeans_fixedpoint",
     "event_rate_cusum",
+    "entity_resolution_golden",
     "stream_drift_gate",
     "stratified_sample_exact",
     "ccnet_perplexity_buckets",
