@@ -181,8 +181,15 @@ def embedding_drift(
     hist = hist.withColumn("tr", F.sum("n_ref").over(wd)).withColumn(
         "tc", F.sum("n_cur").over(wd)
     )
-    p = F.col("n_ref") / F.col("tr") + F.lit(eps)
-    q = F.col("n_cur") / F.col("tc") + F.lit(eps)
+    # Empty-population short-circuit (the url_domain_dedup empty-list rule):
+    # tr/tc == 0 would make n/total NULL in Spark but is double 0/0 = NaN or
+    # an error in other engines — pin both sides to the bare eps term instead.
+    p = F.when(F.col("tr") == 0, F.lit(eps)).otherwise(
+        F.col("n_ref") / F.col("tr") + F.lit(eps)
+    )
+    q = F.when(F.col("tc") == 0, F.lit(eps)).otherwise(
+        F.col("n_cur") / F.col("tc") + F.lit(eps)
+    )
     term = (
         F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)").alias("term")
     )

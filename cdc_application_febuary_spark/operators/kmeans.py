@@ -123,6 +123,16 @@ def kmeans_fixedpoint(
         raise ValueError(f"need ids 0..{k - 1} present for the exact init")
     cents = [[int(v) * CSCALE for v in r["q"]] for r in init]
     dim = len(cents[0])
+    # The 2^-DIST_SHIFT downscale uses (dist - dist % 2^20) / 2^20 with a
+    # DOUBLE division, exact only while per-point dist < 2^53. With
+    # coordinates in [-1, 1] each squared term is <= (2*4096*CSCALE)^2 =
+    # 2^46, so dist <= dim * 2^46 — exact up to dim 127 (fixture: 64).
+    if dim * (2 * 4096 * CSCALE) ** 2 >= 1 << 53:
+        raise ValueError(
+            f"kmeans_fixedpoint: dim={dim} can push per-point dist past "
+            f"2^53, desyncing the 2^-{DIST_SHIFT} downscale from the SQL "
+            "replay; max exact dim is 127"
+        )
     for _ in range(iters):
         upd = (
             _assign(pts, cents)

@@ -414,6 +414,7 @@ def stratified_sample_exact(
     total_n: int,
     seed: int = 0,
     counts: Mapping[str, int] | None = None,
+    validate_counts: bool = False,
 ) -> DataFrame:
     """Proportional stratified sample with EXACT quotas: the sample has
     exactly ``total_n`` rows, allocated across strata by largest
@@ -429,7 +430,14 @@ def stratified_sample_exact(
     bounded by the number of strata), then ONE window partitioned by the
     stratum column — rows shuffle once by stratum; no global sort, no
     second pass. Returns (stratum, rank, id columns...) with
-    ``__ss_rank`` 1-based within stratum."""
+    ``__ss_rank`` 1-based within stratum.
+
+    PRECONDITION on a caller-supplied ``counts``: it must cover every
+    stratum present in ``df`` with its ACCURATE row count. Rows whose
+    stratum is absent from ``counts`` are silently dropped (the quota
+    join is inner), and the "quota never exceeds stratum size" guarantee
+    only holds for accurate counts. Pass ``validate_counts=True`` to
+    spend one extra counting pass checking both properties."""
     from pyspark.sql import Window
 
     if counts is None:
@@ -439,6 +447,29 @@ def stratified_sample_exact(
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         }
+    elif validate_counts:
+        observed = {
+            r["s"]: r["c"]
+            for r in df.groupBy(F.col(stratum_col).alias("s"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        missing = sorted(set(observed) - set(counts))
+        if missing:
+            raise ValueError(
+                f"counts is missing observed strata {missing[:10]} — their"
+                " rows would be silently dropped by the quota join"
+            )
+        wrong = {
+            k: (counts[k], observed[k])
+            for k in observed
+            if counts[k] != observed[k]
+        }
+        if wrong:
+            raise ValueError(
+                "counts disagrees with observed stratum sizes (given,"
+                f" observed): {dict(list(wrong.items())[:10])}"
+            )
     quotas = allocate_exact(sorted(counts.items()), total_n)
     spark = df.sparkSession
     qdf = spark.createDataFrame(

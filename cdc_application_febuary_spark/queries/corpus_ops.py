@@ -2248,14 +2248,20 @@ tot AS (
          SUM(n_cur) OVER (PARTITION BY dim) AS tc
   FROM hist
 ),
+pq AS (
+  -- empty-population short-circuit mirrors operators/drift.py: tr/tc == 0
+  -- pins the smoothed share to the bare eps on both engines
+  SELECT dim, tr, tc,
+         CASE WHEN tr = 0 THEN 0.000001
+              ELSE CAST(n_ref AS DOUBLE) / tr + 0.000001 END AS p,
+         CASE WHEN tc = 0 THEN 0.000001
+              ELSE CAST(n_cur AS DOUBLE) / tc + 0.000001 END AS q
+  FROM tot
+),
 term AS (
   SELECT dim, tr, tc,
-         CAST(ROUND((CAST(n_ref AS DOUBLE) / tr + 0.000001
-                     - (CAST(n_cur AS DOUBLE) / tc + 0.000001))
-                    * ln((CAST(n_ref AS DOUBLE) / tr + 0.000001)
-                         / (CAST(n_cur AS DOUBLE) / tc + 0.000001)), 6)
-              AS DECIMAL(18,6)) AS term
-  FROM tot
+         CAST(ROUND((p - q) * ln(p / q), 6) AS DECIMAL(18,6)) AS term
+  FROM pq
 )
 SELECT CAST(dim AS BIGINT) AS dim,
        CAST(MAX(tr) AS BIGINT) AS n_ref,
@@ -2399,11 +2405,32 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}")
         )
     m = sig.agg(*aggs)
+    # Overflow guard: n*sp / n*sq / sx*sx are raw BIGINT products. Spark
+    # (non-ANSI) would WRAP silently past 2^63 while DuckDB errors, so at
+    # ~1e7+ docs the engines would diverge instead of both failing. Fail
+    # loudly on the Spark side before that regime (double-magnitude check
+    # with margin: 4.0e18 < 2^62, 2.0e9^2 = 4.0e18).
+    mags = [F.abs(F.col(f"sq_{a}").cast("double")) for a in names] + [
+        F.abs(F.col(f"sp_{a}_{b}").cast("double")) for a, b in _SIGCORR_PAIRS
+    ]
+    sxs = [F.abs(F.col(f"sx_{a}").cast("double")) for a in names]
+    safe = (F.col("n").cast("double") * F.greatest(*mags) < F.lit(4.0e18)) & (
+        F.greatest(*sxs) < F.lit(2.0e9)
+    )
     for a, b in _SIGCORR_PAIRS:
         num = (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"sx_{a}") * F.col(f"sx_{b}")).cast("double")
         da = (F.col("n") * F.col(f"sq_{a}") - F.col(f"sx_{a}") * F.col(f"sx_{a}")).cast("double")
         db = (F.col("n") * F.col(f"sq_{b}") - F.col(f"sx_{b}") * F.col(f"sx_{b}")).cast("double")
-        m = m.withColumn(f"corr_{a}_{b}", num / (F.sqrt(da) * F.sqrt(db)))
+        m = m.withColumn(
+            f"corr_{a}_{b}",
+            F.when(safe, num / (F.sqrt(da) * F.sqrt(db))).otherwise(
+                F.raise_error(
+                    "quality_signal_correlation: BIGINT moment product "
+                    "would overflow int64 — corpus too large for the "
+                    "exact-integer path"
+                )
+            ),
+        )
     stack_args = ", ".join(
         f"'{a}', '{b}', corr_{a}_{b}" for a, b in _SIGCORR_PAIRS
     )

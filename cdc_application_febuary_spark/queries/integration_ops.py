@@ -431,9 +431,8 @@ def pipeline_lifecycle_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="public",
         tables=["customer"],
     )
-    assert all(
-        re.fullmatch(plan.subscribe_pattern, t) for t in plan.topics
-    ), "subscribe pattern must cover every generated topic"
+    if not all(re.fullmatch(plan.subscribe_pattern, t) for t in plan.topics):
+        raise RuntimeError("subscribe pattern must cover every generated topic")
 
     work = tempfile.mkdtemp(prefix="lifederby_")
     db, target = f"{work}/db", f"{work}/target"
@@ -501,7 +500,8 @@ def pipeline_lifecycle_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ms.append_batch(batch2, 2, target, ["k"])
     # crash-replay of batch 2 must be a no-op (exactly-once)
-    assert ms.append_batch(batch2, 2, target, ["k"]) is None
+    if ms.append_batch(batch2, 2, target, ["k"]) is not None:
+        raise RuntimeError("batch-2 replay was not the exactly-once no-op")
 
     cs = current_state(
         mt.read_table(spark, target), ["k"], order_cols=["__source_ts_ms"]

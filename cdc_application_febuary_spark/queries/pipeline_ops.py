@@ -6324,7 +6324,8 @@ def _near_fold_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     decided bit-identically to `incremental_dedup.near_dedup_batch(
     portable=True)`."""
     rpb = num_hashes // bands
-    assert rpb == 2, "oracle generator assumes 2-row bands"
+    if rpb != 2:
+        raise RuntimeError("oracle generator assumes 2-row bands")
     h32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
     sig_mins = ",\n         ".join(
         "MIN(" + h32.format(x=f"g || ':{i}'") + f") AS h{i}"
@@ -8912,7 +8913,8 @@ q2b AS MATERIALIZED (
         "CAST(SUM(tok) AS BIGINT),\n         0 FROM q2b\n  UNION ALL\n"
         "  SELECT 4, 'language'",
     )
-    assert "q2b" in s and "SELECT 8, 'packed'" in s
+    if "q2b" not in s or "SELECT 8, 'packed'" not in s:
+        raise RuntimeError("funnel oracle template drifted from the expected shape")
     return s
 
 
@@ -9183,7 +9185,8 @@ def incremental_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for k, b in enumerate(batches, start=1):
         v = sketches.sketch_fold_batch(b, store, k, "user_id", "event_type")
-        assert v is not None, f"fold {k} unexpectedly replayed"
+        if v is None:
+            raise RuntimeError(f"fold {k} unexpectedly replayed")
         est = {
             r["shard"]: r["distinct_estimate"]
             for r in sketches.sketch_store_estimates(spark, store).collect()
