@@ -40,186 +40,84 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 
 
 # The round driver checks the first ~50 registry entries per round, so
-# ordering is evidence curation: lead with whatever this round added or
-# changed, then sentinels; every query keeps at least one green verdict
-# across rounds (zero rotation debt since r5).
+# ordering is evidence curation; every query keeps at least one green
+# verdict across rounds (zero rotation debt since r5).
 _ROUND_PRIORITY = [
-    # Round-7 window (the driver checks the first ~50 registry entries):
-    # zero rotation debt carries in (VERDICT r6), so the window leads
-    # with what round 7 DID — first the second-session additions (exact
-    # stratified sampling, CCNet tertiles, embedding drift PSI, HLL set
-    # intersections, the quality-signal correlation matrix), then the
-    # SIXTEEN rows-only -> oracle-paired conversions that EMPTY the
-    # rows-only pool (literal-VALUES multimodal oracles, fixed-point-
-    # integer GD, portable-hash dedup-store lifecycles, the full
-    # 100-merge BPE unroll, banded-verdict ANN/semdedup contracts,
-    # planted-sentinel simhash) — then the queries the r6 ADVICE fixes
-    # touched, then the round-6 additions, then green sentinels.
-    "embedding_kmeans_fixedpoint",
-    "event_rate_cusum",
-    "entity_resolution_golden",
-    "stream_drift_gate",
-    "stratified_sample_exact",
-    "ccnet_perplexity_buckets",
-    "embedding_drift_report",
-    "retrieval_ndcg_report",
-    "hll_intersection_report",
-    "incremental_sketch_fold",
-    "k_anonymity_audit",
-    "quality_signal_correlation",
-    "line_corpus_dedup",
-    "doremi_domain_weights",
-    "vocab_growth_curve",
-    "mixture_temperature_allocation",
-    "incremental_line_dedup_fold",
-    "token_budget_epochs",
-    "coreset_diversity_sample",
-    "lexical_diversity_report",
-    "quality_classifier",
-    "bpe_token_stats",
-    "near_dedup_fold",
-    "incremental_semdedup_fold",
-    "multimodal_decode",
-    "multimodal_thumbnails",
-    "audio_decode",
-    "video_probe",
-    "video_frame_index",
-    "multimodal_features",
-    "ann_topk_ivf_pq",
-    "ann_topk_pq",
-    "ann_topk_lsh",
-    "dedup_embedding_srp",
-    "dedup_simhash",
-    "semantic_dedup_report",
-    "split_distribution_shift",
-    "c4_filter_report",
-    "stream_quality_gate",
-    "documents_weighted_sample",
-    "corpus_splits",
-    "gopher_repetition_report",
-    "embedding_covariance_report",
-    "corpus_prep_funnel_v3",
-    "embedding_pca_variance",
-    "ann_topk_ivf_recluster",
-    "pagerank_parts",
-    "ann_topk_ivf",
-    "documents_mixture",
-    "value_percentiles_approx",
-    "profile_approx_distinct",
-    "value_quantile_sketch",
-    "cms_user_counts",
-    "hll_shard_distinct",
-    "dedup_simhash_portable",
-    "srp_semantic_dedup",
-    "dsir_importance_weights",
-    "consumer_lag_report",
-    "substring_dup_spans",
-    "csv_json_roundtrip_report",
-    "url_domain_dedup",
-    "alert_rules_fired",
-    "fk_lineage_report",
-    "pipeline_lifecycle_derby",
-    "stream_stream_left_outer",
-    "stream_windowed_counts",
-    "stateful_totals_v2",
-    "gdpr_delete_audit",
-    "lm_perplexity_profile",
-    "corpus_prep_funnel_v2",
-    "q10",
-    "type_inference_report",
-    "object_listing_report",
-    "table_size_report",
-    "identifier_pipeline_report",
-    "quantile_bucket_auc",
-    "doc_entropy_filter",
-    "hybrid_retrieval_fusion",
-    "embedding_sq8_report",
-    "stream_stream_attribution",
-    "stream_dedup_report",
-    "ann_topk_lsh_portable",
-    "doc_similarity_tfidf",
-    "leakage_safe_splits",
-    "lineitem_correlation_matrix",
-    "doc_length_auc",
-    "contamination_check_hash",
-    "ann_topk_ivf_append",
-    "pii_scan",
-    "golden_record_users",
-    "mutual_info_features",
-    "skyline_orders",
-    "optimize_compaction_audit",
-    "shuffle_free_bucket_join",
-    "stream_join_enrichment",
-    "bm25_topk",
-    "part_price_twap",
-    "vacuum_retention_audit",
-    "tpch_q12_late_lines_by_status",
-    "asof_nearest_click",
-    "document_chunks",
-    "market_basket_rules",
-    "dau_wau_stickiness",
-    "conversion_funnel",
-    "conversion_funnel_windowed",
-    "value_drift_psi",
-    "event_rate_anomalies",
-    "bigram_merge_candidates",
-    "curriculum_quartiles",
-    "part_name_jw_pairs",
-    "ann_topk_ivf_index",
-    "incremental_dedup_fold",
-    "value_outliers_mad",
-    "repetition_filters",
-    "referential_integrity",
-    "corpus_report",
-    "order_expectations",
-    "html_normalize_roundtrip",
-    "chi_square_type_band",
-    "benford_price_audit",
-    "ks_price_distance",
-    "attribution_models",
-    "heavy_hitter_users",
-    "retention_cohorts",
-    "rfm_segments",
-    "user_value_gap_fill",
-    "event_interarrival_stats",
-    "event_transitions",
-    "yoy_revenue_growth",
-    "pareto_abc_parts",
-    "triangle_copurchase",
-    "value_equidepth_hist",
-    "bloom_filtered_revenue",
-    "changelog_net_effect",
-    "event_trend_slopes",
-    "change_feed_attribution",
-    "pit_dimension_join",
-    "sql_interface_segments",
-    "cross_source_overlap",
-    "lang_source_mixture",
-    "doc_length_percentile_by_lang",
-    "cohort_ltv_curves",
-    "event_trigram_paths",
-    "backfill_gap_plan",
-    "doc_embedding_integrity",
-    "supplier_lead_times",
-    "profile_orders",
+    # Round-8 window (the driver checks the first ~50 registry entries):
+    # zero rotation debt carries in (VERDICT r7), so per VERDICT r7 item 7
+    # the window leads with the STALEST driver verdicts — every query whose
+    # latest driver hash-MATCH dates to round 1, oldest-first (computed from
+    # the CORRECTNESS_r01..r07 union) — then any round-8 additions, then the
+    # remaining registry ascending by verdict age.
+    # --- latest driver verdict: round 1 ---
+    "ann_topk_bruteforce",
+    "changelog_normalize",
+    "daily_zero_filled",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_norm_stats",
+    "fingerprint_stats",
+    "lang_id_confusion",
+    "latest_event_per_type",
+    "lsn_roundtrip",
+    "monitoring_dashboard",
+    "price_quantity_correlation",
+    "profile_nulls",
+    "profile_top_values",
+    "q1",
+    "q11",
+    "q12",
+    "q13",
+    "q14",
+    "q15",
+    "q16",
+    "q17",
+    "q18",
+    "q19",
+    "q2",
+    "q20",
+    "q3",
+    "q4",
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "scd2_current_state",
+    "scd2_history_spans",
+    "sliding_hourly_counts",
+    "text_quality",
+    "token_stats",
+    "user_sessions",
+    "value_histogram",
+    # --- latest driver verdict: round 2 ---
+    # (round-8 additions are inserted ABOVE this line, after the r1 block)
     "asof_attribution",
-    "pack_documents",
     "contamination_check",
+    "corpus_prep_funnel",
+    "cube_status_priority",
+    "daily_moving_avg",
+    "daily_pivot",
+    "daily_rollup",
+    "events_filtered_page",
+    "events_skew_report",
+    "grouping_sets_mktsegment_nation",
     "ivm_segment_totals",
-    "zorder_layout_stats",
+    "lineage_reachability",
     "manifest_change_feed",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q20_potential_promotion",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_price_part",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
+    "pack_documents",
+    "part_name_near_pairs",
+    "part_name_tokens",
+    "profile_orders",
+    "set_reconcile",
+    "stateful_running_counts",
+    "supplier_balance_ranks",
+    "tfidf_top_terms",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
@@ -227,28 +125,174 @@ _ROUND_PRIORITY = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume",
     "tpch_q19_disjunctive",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_potential_promotion",
     "tpch_q21_last_to_ship_supplier",
     "tpch_q22_idle_customers",
-    "corpus_prep_funnel",
-    "grouping_sets_mktsegment_nation",
-    "cube_status_priority",
-    "daily_rollup",
-    "daily_pivot",
+    "tpch_q2_min_price_part",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "user_session_windows",
+    "value_band_join",
     "value_percentiles",
     "value_quartiles",
-    "supplier_balance_ranks",
-    "value_band_join",
-    "user_session_windows",
-    "events_skew_report",
-    "part_name_tokens",
-    "lineage_reachability",
-    "set_reconcile",
-    "events_filtered_page",
-    "stateful_running_counts",
-    "daily_moving_avg",
-    "tfidf_top_terms",
-    "part_name_near_pairs",
-    "dedup_embedding",
+    "zorder_layout_stats",
+    # --- latest driver verdict: round 3 ---
+    "ann_topk_ivf_index",
+    "attribution_models",
+    "backfill_gap_plan",
+    "benford_price_audit",
+    "bigram_merge_candidates",
+    "bloom_filtered_revenue",
+    "change_feed_attribution",
+    "changelog_net_effect",
+    "chi_square_type_band",
+    "cohort_ltv_curves",
+    "corpus_report",
+    "cross_source_overlap",
+    "curriculum_quartiles",
+    "doc_embedding_integrity",
+    "doc_length_percentile_by_lang",
+    "event_interarrival_stats",
+    "event_rate_anomalies",
+    "event_transitions",
+    "event_trend_slopes",
+    "event_trigram_paths",
+    "heavy_hitter_users",
+    "html_normalize_roundtrip",
+    "incremental_dedup_fold",
+    "ks_price_distance",
+    "lang_source_mixture",
+    "order_expectations",
+    "pareto_abc_parts",
+    "part_name_jw_pairs",
+    "pit_dimension_join",
+    "referential_integrity",
+    "repetition_filters",
+    "retention_cohorts",
+    "rfm_segments",
+    "sql_interface_segments",
+    "supplier_lead_times",
+    "triangle_copurchase",
+    "user_value_gap_fill",
+    "value_drift_psi",
+    "value_equidepth_hist",
+    "value_outliers_mad",
+    "yoy_revenue_growth",
+    # --- latest driver verdict: round 4 ---
+    "asof_nearest_click",
+    "bm25_topk",
+    "conversion_funnel",
+    "conversion_funnel_windowed",
+    "corpus_prep_funnel_v2",
+    "dau_wau_stickiness",
+    "document_chunks",
+    "golden_record_users",
+    "market_basket_rules",
+    "mutual_info_features",
+    "optimize_compaction_audit",
+    "part_price_twap",
+    "q10",
+    "shuffle_free_bucket_join",
+    "skyline_orders",
+    "stateful_totals_v2",
+    "stream_join_enrichment",
+    "stream_windowed_counts",
+    "tpch_q12_late_lines_by_status",
+    "vacuum_retention_audit",
+    # --- latest driver verdict: round 5 ---
+    "pii_scan",
+    # --- latest driver verdict: round 6 ---
+    "alert_rules_fired",
+    "ann_topk_ivf_append",
+    "ann_topk_lsh_portable",
+    "cms_user_counts",
+    "consumer_lag_report",
+    "contamination_check_hash",
+    "csv_json_roundtrip_report",
+    "dedup_simhash_portable",
+    "doc_entropy_filter",
+    "doc_length_auc",
+    "doc_similarity_tfidf",
+    "dsir_importance_weights",
+    "embedding_sq8_report",
+    "fk_lineage_report",
+    "gdpr_delete_audit",
+    "hll_shard_distinct",
+    "hybrid_retrieval_fusion",
+    "identifier_pipeline_report",
+    "leakage_safe_splits",
+    "lineitem_correlation_matrix",
+    "lm_perplexity_profile",
+    "object_listing_report",
+    "pipeline_lifecycle_derby",
+    "profile_approx_distinct",
+    "quantile_bucket_auc",
+    "srp_semantic_dedup",
+    "stream_dedup_report",
+    "stream_stream_attribution",
+    "stream_stream_left_outer",
+    "substring_dup_spans",
+    "table_size_report",
+    "type_inference_report",
+    "url_domain_dedup",
+    "value_quantile_sketch",
+    # --- latest driver verdict: round 7 ---
+    "ann_topk_ivf",
+    "ann_topk_ivf_pq",
+    "ann_topk_ivf_recluster",
+    "ann_topk_lsh",
+    "ann_topk_pq",
+    "audio_decode",
+    "bpe_token_stats",
+    "c4_filter_report",
+    "ccnet_perplexity_buckets",
+    "coreset_diversity_sample",
+    "corpus_prep_funnel_v3",
+    "corpus_splits",
+    "dedup_embedding_srp",
+    "dedup_simhash",
+    "documents_mixture",
+    "documents_weighted_sample",
+    "doremi_domain_weights",
+    "embedding_covariance_report",
+    "embedding_drift_report",
+    "embedding_kmeans_fixedpoint",
+    "embedding_pca_variance",
+    "entity_resolution_golden",
+    "event_rate_cusum",
+    "gopher_repetition_report",
+    "hll_intersection_report",
+    "incremental_line_dedup_fold",
+    "incremental_semdedup_fold",
+    "incremental_sketch_fold",
+    "k_anonymity_audit",
+    "lexical_diversity_report",
+    "line_corpus_dedup",
+    "mixture_temperature_allocation",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_thumbnails",
+    "near_dedup_fold",
+    "pagerank_parts",
+    "quality_classifier",
+    "quality_signal_correlation",
+    "retrieval_ndcg_report",
+    "semantic_dedup_report",
+    "split_distribution_shift",
+    "stratified_sample_exact",
+    "stream_drift_gate",
+    "stream_quality_gate",
+    "token_budget_epochs",
+    "value_percentiles_approx",
+    "video_frame_index",
+    "video_probe",
+    "vocab_growth_curve",
 ]
 
 
