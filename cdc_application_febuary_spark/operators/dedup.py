@@ -597,6 +597,90 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_between(
+    probe: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_blocks: int = 2,
+    corpus_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine >= threshold pairs with at least one endpoint in
+    ``probe`` — the bounded-sample exact-reference scorer (VERDICT r8
+    item 3): scoring a FIXED-SIZE probe set against the corpus is
+    O(|probe| x n) flops and probe_blocks x corpus_blocks tasks, vs the
+    O(n^2) / B^2-task all-pairs self-join — the shape that lets a banded
+    verdict keep an exact reference at 100 TB. Pairs are normalized to
+    (a, b) = (min, max) and deduplicated (a pair with BOTH endpoints in
+    probe is scored from each side). Self-pairs are excluded; rows of
+    ``probe`` must be a subset of ``corpus`` by ``id_col``."""
+
+    def pack_side(df: DataFrame, nb: int, bcol: str, pfx: str) -> DataFrame:
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["_id"].to_numpy()
+            M = np.vstack(pdf["_vec"].to_numpy()).astype("float64")
+            nn = np.linalg.norm(M, axis=1, keepdims=True)
+            nn[nn == 0] = 1.0
+            return pd.DataFrame(
+                {
+                    bcol: [int(pdf["block"].iloc[0])],
+                    f"{pfx}_ids": [ids.tolist()],
+                    f"{pfx}_mat": [(M / nn).ravel().tolist()],
+                }
+            )
+
+        return (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_vec"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("block"),
+            )
+            .groupBy("block")
+            .applyInPandas(
+                pack,
+                f"{bcol} int, {pfx}_ids array<long>, {pfx}_mat array<double>",
+            )
+        )
+
+    spark = probe.sparkSession
+    packed_p = pack_side(probe, probe_blocks, "bi", "a")
+    packed_c = pack_side(corpus, corpus_blocks, "bj", "b")
+    pair_idx = spark.createDataFrame(
+        [(i, j) for i in range(probe_blocks) for j in range(corpus_blocks)],
+        "bi int, bj int",
+    )
+    joined = (
+        pair_idx.join(packed_p, "bi")
+        .join(packed_c, "bj")
+        .select("a_ids", "a_mat", "b_ids", "b_mat")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.a_ids, dtype="int64")
+                ib = np.asarray(r.b_ids, dtype="int64")
+                Ma = np.asarray(r.a_mat, dtype="float64").reshape(len(ia), -1)
+                Mb = np.asarray(r.b_mat, dtype="float64").reshape(len(ib), -1)
+                sims = Ma @ Mb.T
+                keep = (sims >= threshold) & (ia[:, None] != ib[None, :])
+                i, j = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "a": np.minimum(ia[i], ib[j]),
+                        "b": np.maximum(ia[i], ib[j]),
+                        "sim": sims[i, j],
+                    }
+                )
+
+    return (
+        joined.mapInPandas(score, "a long, b long, sim double")
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", F.round("sim", 6).alias("sim"))
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -249,6 +249,60 @@ def portable_unit_hash32_sql(id_expr: str, seed: int = 0) -> str:
     )
 
 
+def embedding_fingerprint(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row (fixture_fp bigint) content fingerprint of a vector table,
+    identical in any engine with md5 (VERDICT r8 item 4): every
+    coordinate quantizes by ``floor(CAST(v AS DOUBLE) * 2^20)`` (exact
+    IEEE float->double cast, correctly-rounded multiply, floor — the
+    drift-bucket convention), each (id, dim, q) triple hashes through the
+    portable 32-bit md5 line, and the BIGINT sum over the table is the
+    fingerprint (order-independent exact integer sum; max 2^32 per term
+    keeps any realistic table far below 2^63). Recall-floor calibrations
+    (ann_topk_lsh / dedup_embedding_srp / semantic_dedup_report) embed
+    this as a hash-compared column so a regenerated embeddings fixture
+    FAILS the gate and forces a floor re-measure instead of silently
+    grading against stale calibration. SQL twin:
+    :func:`embedding_fingerprint_sql`."""
+    q = F.expr(
+        f"transform({vec_col},"
+        " v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT))"
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(q).alias("_dim", "_q")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("_id").cast("string"),
+                    F.col("_dim").cast("string"),
+                    F.col("_q").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return exploded.agg(F.sum(h).cast("bigint").alias("fixture_fp"))
+
+
+def embedding_fingerprint_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`embedding_fingerprint` (same BIGINT)."""
+    return f"""
+SELECT CAST(SUM(('0x' || substr(md5(
+         CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR) || ':'
+         || CAST(CAST(floor(emb[i] * 1048576) AS BIGINT) AS VARCHAR)
+       ), 1, 8))::BIGINT) AS BIGINT) AS fixture_fp
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM {table}),
+     UNNEST(generate_series(1, len(emb))) AS t(i)
+""".strip()
+
+
 def split_thresholds(fractions: Mapping[str, float]) -> list[tuple[str, int]]:
     """(name, cumulative-integer-threshold) pairs on the 2^32 hash line,
     computed once driver-side in exact Python arithmetic; the final split

@@ -466,135 +466,344 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(emb, threshold=0.45).orderBy("a", "b")
 
 
-_SRP_DEDUP_ORACLE = """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+_SRP_DEDUP_SAMPLE = 512
+_SRP_DEDUP_SEED = 17
+
+
+def _srp_dedup_oracle() -> str:
+    from ..operators.sampling import (
+        embedding_fingerprint_sql,
+        portable_unit_hash32_sql,
+    )
+
+    h = portable_unit_hash32_sql("vec_id", _SRP_DEDUP_SEED)
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rnk
+    FROM embeddings
+  ) WHERE rnk <= {_SRP_DEDUP_SAMPLE}
+),
+es AS (
+  SELECT DISTINCT LEAST(p.vec_id, c.vec_id) AS a,
+                  GREATEST(p.vec_id, c.vec_id) AS b
+  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id IN (SELECT vec_id FROM s)
+    AND list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])) >= 0.45
+)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample,
+       CAST((SELECT COUNT(*) FROM es) AS BIGINT) AS n_exact_pairs_sample,
        TRUE AS subset_ok,
-       TRUE AS recall_ok
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+       TRUE AS recall_ok,
+       ({embedding_fingerprint_sql()}) AS fixture_fp
 """
 
 
-@_q("dedup_embedding_srp", _SRP_DEDUP_ORACLE)
+@_q("dedup_embedding_srp", None)
 def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-linear tier of the same operator: SRP-bucketed
     candidate equi-join (3 planes x 12 OR-amplified tables — per-pair miss
     prob at cosine 0.45 is (1-0.648^3)^12 ≈ 0.03) + vectorized cosine
-    verify. Upgraded rows-only -> oracle-paired in r7 with the banded-
-    verdict pattern: the query runs the EXACT pair set beside the SRP
-    pass and hashes its own contracts — precision 1 (every emitted pair
-    is in the exact >=0.45 set; the cosine verify makes this structural,
-    and the gate now proves it) and recall >= 75% of the exact pairs
-    (measured 0.93/0.99 at sf0.01/0.1; per-pair miss prob ~0.03 makes
-    the floor safe). The exact pair count itself is the hash-compared
-    value (all-pairs SQL oracle). The seeded hyperplanes stay
+    verify. Banded-verdict contracts (r7), exact reference BOUNDED in r8
+    (VERDICT item 3): the exact pair set is computed only for pairs with
+    an endpoint in a deterministic portable-md5 sample of
+    min(n, {_SRP_DEDUP_SAMPLE}) vectors (`dedup.
+    embedding_near_dup_pairs_between` — O(sample x corpus) at any scale;
+    sample size stated in the oracle), and the >=75% recall floor is
+    evaluated on those sampled exact pairs (~64 pairs at sf0.1 with
+    per-pair miss ~0.03 keeps the floor >9 sigma safe; at sf0.01 the
+    sample covers the whole table, so the check is the old full one).
+    Precision is audited on EVERY emitted pair by an independent
+    JVM-expression cosine recheck (zip_with/aggregate dot product — a
+    different code path from the numpy verify, with 1e-9 boundary slack
+    for last-ulp arithmetic-order differences). The embeddings content
+    fingerprint is hash-compared (item 4) so a regenerated fixture
+    forces a floor re-measure. The seeded hyperplanes stay
     SQL-inexpressible; `srp_semantic_dedup` is the bit-replayable tier."""
+    from ..operators.sampling import portable_unit_hash32
+
     emb = load_table(spark, sf_dir, "embeddings")
     srp = dedup.embedding_near_dup_pairs(
         emb, threshold=0.45, use_srp_buckets=True, planes=3, tables=12
-    ).select("a", "b")
-    exact = dedup.embedding_near_dup_pairs(emb, threshold=0.45).select(
-        "a", "b"
+    ).select("a", "b").persist()
+    S = emb.orderBy(
+        portable_unit_hash32("vec_id", _SRP_DEDUP_SEED), "vec_id"
+    ).limit(_SRP_DEDUP_SAMPLE)
+    # the sampled exact pair set is bounded by |S| x duplicate-degree —
+    # collect it once (guarded) and reuse as a broadcast literal
+    exact_rows = _bounded_pairs(
+        dedup.embedding_near_dup_pairs_between(S, emb, threshold=0.45),
+        "dedup_embedding_srp sampled exact pairs",
     )
-    n_exact = exact.count()
-    n_srp = srp.count()
-    n_common = srp.join(exact, ["a", "b"], "left_semi").count()
+    n_sample = S.count()
+    n_exact_s = len(exact_rows)
+    # precision: independent expression-side cosine recheck of every
+    # emitted pair (numpy emitted them; zip_with/aggregate re-derives)
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    nrm = "SQRT(aggregate({v}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    cos = F.expr(
+        f"({dot}) / ({nrm.format(v='va')} * {nrm.format(v='vb')})"
+    )
+    n_below = (
+        srp.join(ea, "a")
+        .join(eb, "b")
+        .where(cos < F.lit(0.45 - 1e-9))
+        .count()
+    )
+    # every sampled exact pair touches S by construction, so the
+    # intersection with srp needs no separate srp-restricted-to-S set
+    if exact_rows:
+        exact_lit = spark.createDataFrame(exact_rows, "a long, b long")
+        hits = srp.join(
+            F.broadcast(exact_lit), ["a", "b"], "left_semi"
+        ).count()
+    else:
+        hits = 0
+    srp.unpersist()
+    fp = _fixture_fp(spark, sf_dir, emb)
     return spark.createDataFrame(
-        [(n_exact, n_common == n_srp, n_common * 100 >= 75 * n_exact)],
-        "n_exact_pairs bigint, subset_ok boolean, recall_ok boolean",
+        [
+            (
+                n_sample,
+                n_exact_s,
+                n_below == 0,
+                hits * 100 >= 75 * n_exact_s,
+                fp,
+            )
+        ],
+        "n_sample bigint, n_exact_pairs_sample bigint, subset_ok boolean,"
+        " recall_ok boolean, fixture_fp bigint",
     )
 
 
-_SEMDEDUP_ORACLE = """
-WITH RECURSIVE pr AS MATERIALIZED (
-  SELECT a.vec_id AS a, b.vec_id AS b
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[])) >= 0.45
+ORACLES["dedup_embedding_srp"] = _srp_dedup_oracle().strip()
+
+
+_SEMDEDUP_SAMPLE = 512
+_SEMDEDUP_SEED = 19
+
+
+def _semdedup_oracle() -> str:
+    from ..operators.sampling import (
+        embedding_fingerprint_sql,
+        portable_unit_hash32_sql,
+    )
+
+    h = portable_unit_hash32_sql("vec_id", _SEMDEDUP_SEED)
+    return f"""
+WITH RECURSIVE s AS MATERIALIZED (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rnk
+    FROM embeddings
+  ) WHERE rnk <= {_SEMDEDUP_SAMPLE}
 ),
-edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pr
-                       UNION SELECT b, a FROM pr),
+p1 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(p.vec_id, c.vec_id) AS a,
+                  GREATEST(p.vec_id, c.vec_id) AS b
+  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id IN (SELECT vec_id FROM s)
+    AND list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])) >= 0.45
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id FROM s
+  UNION SELECT a FROM p1 UNION SELECT b FROM p1
+),
+p2 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(p.vec_id, c.vec_id) AS a,
+                  GREATEST(p.vec_id, c.vec_id) AS b
+  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id IN (SELECT vec_id FROM s1)
+    AND list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])) >= 0.45
+),
+leaky AS MATERIALIZED (
+  -- s1 nodes with an exact partner OUTSIDE s1 (their components may
+  -- extend past the sampled closure, so they cannot be judged closed)
+  SELECT a AS node FROM p2 WHERE b NOT IN (SELECT vec_id FROM s1)
+  UNION
+  SELECT b FROM p2 WHERE a NOT IN (SELECT vec_id FROM s1)
+),
+e_ind AS MATERIALIZED (
+  SELECT a, b FROM p2
+  WHERE a IN (SELECT vec_id FROM s1) AND b IN (SELECT vec_id FROM s1)
+),
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM e_ind
+                       UNION SELECT b, a FROM e_ind),
 reach(src, dst) AS (
   SELECT src, dst FROM edges
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 ),
-comp AS (SELECT src, LEAST(src, MIN(dst)) AS root FROM reach GROUP BY src)
+comp AS MATERIALIZED (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS root FROM reach GROUP BY src
+),
+closed AS MATERIALIZED (
+  SELECT c.root, COUNT(*) AS sz
+  FROM comp c LEFT JOIN leaky l ON c.node = l.node
+  GROUP BY c.root
+  HAVING COUNT(l.node) = 0
+)
 SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS total_docs,
-       CAST((SELECT COUNT(*) FROM comp) AS BIGINT) AS exact_pair_nodes,
-       CAST((SELECT COUNT(DISTINCT root) FROM comp) AS BIGINT)
-         AS exact_components,
+       CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample,
+       CAST((SELECT COUNT(*) FROM s
+             WHERE vec_id IN (SELECT a FROM p1 UNION SELECT b FROM p1))
+            AS BIGINT) AS exact_pair_nodes_sample,
+       CAST((SELECT COUNT(*) FROM closed) AS BIGINT)
+         AS n_closed_components,
+       CAST((SELECT COALESCE(SUM(sz), 0) FROM closed) AS BIGINT)
+         AS n_closed_nodes,
        TRUE AS partition_ok,
        TRUE AS dropped_have_partner,
-       TRUE AS dropped_within_bound
+       TRUE AS dropped_within_bound,
+       ({embedding_fingerprint_sql()}) AS fixture_fp
 """
 
 
-@_q("semantic_dedup_report", _SEMDEDUP_ORACLE)
+@_q("semantic_dedup_report", None)
 def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (k-means + intra-cluster cosine pruning,
     `operators/dedup.py:semantic_dedup`) over the embeddings table. The
     fixture corpus is near-orthogonal (max pairwise cosine ~0.51), so
     the 0.45 threshold plays the role production would give ~0.95 — the
     same calibration the exact-tier dedup_embedding query documents.
-    Upgraded rows-only -> oracle-paired in r7 with the banded-verdict
-    pattern: the k-means fixpoint stays float (numpy parity + planted-
-    duplicate semantics remain pinned in tests/test_semdedup.py), but
-    the query derives the EXACT >=threshold pair graph beside it and
-    hashes SemDeDup's structural contracts — kept+dropped partitions the
-    corpus, every dropped vector has an exact >=threshold partner
-    (SemDeDup only drops redundant members), and total drops never
-    exceed nodes-minus-components of the exact graph (each duplicate
-    component keeps at least one representative). The exact node and
-    component counts are themselves hash-compared against the SQL
-    transitive-closure replay."""
+    Banded-verdict contracts (r7), exact reference BOUNDED in r8
+    (VERDICT item 3): instead of the full O(n^2) pair graph + global
+    transitive closure, the exact reference is a reach-2 closure of a
+    deterministic portable-md5 sample S of min(n, 512) vectors — pairs
+    touching S (P1), then pairs touching S1 = S + partners(S) (P2), both
+    O(sample x corpus) via `dedup.embedding_near_dup_pairs_between`. A
+    component of the induced graph on S1 is CLOSED when no member has a
+    partner outside S1; a closed component IS a full-graph component, so
+    the per-component keep-at-least-one bound is checked exactly on
+    closed components (dropped_within_bound), and dropped_have_partner
+    is checked exactly for sampled drops. Hash-compared: the sampled
+    node count, closed-component count/size (both engines derive them
+    from the same portable draw), and the embeddings content fingerprint
+    (item 4) so a regenerated fixture forces a calibration re-measure.
+    The k-means fixpoint stays float (numpy parity + planted-duplicate
+    semantics pinned in tests/test_semdedup.py)."""
+    from ..operators.sampling import portable_unit_hash32
+
     emb = load_table(spark, sf_dir, "embeddings")
     flags = dedup.semantic_dedup(
         emb, n_clusters=8, threshold=0.45, seed=42
     ).persist()
-    total = flags.count()
-    dropped = flags.where(~F.col("keep"))
-    n_dropped = dropped.count()
-    n_kept = flags.where(F.col("keep")).count()
-    exact = dedup.embedding_near_dup_pairs(emb, threshold=0.45).select(
-        "a", "b"
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    ).first()
+    total, n_kept = int(agg["total"]), int(agg["kept"] or 0)
+    n_dropped = total - n_kept
+
+    S = emb.orderBy(
+        portable_unit_hash32("vec_id", _SEMDEDUP_SEED), "vec_id"
+    ).limit(_SEMDEDUP_SAMPLE)
+    s_ids = {int(r["vec_id"]) for r in S.select("vec_id").collect()}
+    n_sample = len(s_ids)
+    # P1/P2 are exact pair sets touching a fixed-size sample — bounded by
+    # |sample| x duplicate-degree at ANY corpus size, so the closure
+    # arithmetic runs driver-side in plain Python (guarded by the cap)
+    p1 = _bounded_pairs(
+        dedup.embedding_near_dup_pairs_between(S, emb, threshold=0.45),
+        "semantic_dedup_report P1",
     )
-    nodes = (
-        exact.select(F.col("a").alias("id"))
-        .unionByName(exact.select(F.col("b").alias("id")))
-        .distinct()
-        .persist()
+    s1 = set(s_ids)
+    for a, b in p1:
+        s1.add(a)
+        s1.add(b)
+    S1 = emb.join(
+        F.broadcast(
+            spark.createDataFrame([(i,) for i in sorted(s1)], "vec_id long")
+        ),
+        "vec_id",
+        "left_semi",
     )
-    n_nodes = nodes.count()
-    n_comp = (
-        dedup.connected_components(exact)
-        .select("component")
-        .distinct()
-        .count()
-        if n_nodes
-        else 0
+    p2 = _bounded_pairs(
+        dedup.embedding_near_dup_pairs_between(S1, emb, threshold=0.45),
+        "semantic_dedup_report P2",
     )
-    orphan_drops = dropped.select(
-        F.col("id")
-    ).join(nodes, "id", "left_anti").count()
+    leaky = {a for a, b in p2 if b not in s1} | {
+        b for a, b in p2 if a not in s1
+    }
+    e_ind = [(a, b) for a, b in p2 if a in s1 and b in s1]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e_ind:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, set[int]] = {}
+    for node in parent:
+        comps.setdefault(find(node), set()).add(node)
+    closed = {
+        root: members
+        for root, members in comps.items()
+        if not (members & leaky)
+    }
+    n_closed_comp = len(closed)
+    n_closed_nodes = sum(len(m) for m in closed.values())
+    p1_nodes = {a for a, _ in p1} | {b for _, b in p1}
+    exact_pair_nodes_sample = len(s_ids & p1_nodes)
+    # dropped flags restricted to S1 (bounded set): one semi-join collect
+    dropped_s1 = {
+        int(r["id"])
+        for r in flags.where(~F.col("keep"))
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(i,) for i in sorted(s1)], "id long"
+                )
+            ),
+            "id",
+            "left_semi",
+        )
+        .select("id")
+        .collect()
+    }
+    orphan_drops = len((dropped_s1 & s_ids) - p1_nodes)
+    overfull = sum(
+        1
+        for members in closed.values()
+        if len(members & dropped_s1) > len(members) - 1
+    )
     flags.unpersist()
-    nodes.unpersist()
+    fp = _fixture_fp(spark, sf_dir, emb)
     return spark.createDataFrame(
         [
             (
                 total,
-                n_nodes,
-                n_comp,
+                n_sample,
+                exact_pair_nodes_sample,
+                n_closed_comp,
+                n_closed_nodes,
                 n_kept + n_dropped == total,
                 orphan_drops == 0,
-                n_dropped <= n_nodes - n_comp,
+                overfull == 0,
+                fp,
             )
         ],
-        "total_docs bigint, exact_pair_nodes bigint, exact_components"
-        " bigint, partition_ok boolean, dropped_have_partner boolean,"
-        " dropped_within_bound boolean",
+        "total_docs bigint, n_sample bigint, exact_pair_nodes_sample"
+        " bigint, n_closed_components bigint, n_closed_nodes bigint,"
+        " partition_ok boolean, dropped_have_partner boolean,"
+        " dropped_within_bound boolean, fixture_fp bigint",
     )
+
+
+ORACLES["semantic_dedup_report"] = _semdedup_oracle().strip()
 
 
 # ---------------------------------------------------------------------------
@@ -633,31 +842,101 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@_q(
-    "ann_topk_lsh",
-    """
+_FIXTURE_FP_CACHE: dict[tuple[str, str, float, int], int] = {}
+
+
+def _fixture_fp(spark: SparkSession, sf_dir: str, emb: DataFrame) -> int:
+    """Embeddings-table content fingerprint (`operators/sampling.
+    embedding_fingerprint`), memoized per (SparkContext, fixture file
+    mtime+size): the three recall-floor queries each hash-compare it, and
+    the fixture cannot change under a running app without its parquet
+    mtime moving, so one pass per session is sound."""
+    import os as _os
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    try:
+        st = _os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            path,
+            st.st_mtime,
+            st.st_size,
+        )
+    except OSError:  # non-standard layout: don't cache
+        key = None
+    if key is not None and key in _FIXTURE_FP_CACHE:
+        return _FIXTURE_FP_CACHE[key]
+    from ..operators.sampling import embedding_fingerprint
+
+    fp = int(emb.transform(embedding_fingerprint).first()["fixture_fp"])
+    if key is not None:
+        _FIXTURE_FP_CACHE[key] = fp
+    return fp
+
+
+_PAIR_COLLECT_CAP = 200_000
+
+
+def _bounded_pairs(df: DataFrame, what: str) -> list[tuple[int, int]]:
+    """Collect a SAMPLE-BOUNDED pair set (a, b) to the driver. The
+    banded-verdict queries restrict their exact references to pairs
+    touching a fixed-size portable-hash sample, so the set is
+    O(sample x duplicate-degree) at any corpus size; the cap turns a
+    pathological all-duplicates corpus into a loud failure instead of a
+    driver OOM (an exact reference that large would be unverifiable
+    in-band anyway)."""
+    rows = df.select("a", "b").limit(_PAIR_COLLECT_CAP + 1).collect()
+    if len(rows) > _PAIR_COLLECT_CAP:
+        raise RuntimeError(
+            f"{what}: sampled exact pair set exceeds "
+            f"{_PAIR_COLLECT_CAP} rows — duplicate density too high for "
+            "an in-band exact reference; shrink the sample"
+        )
+    return [(r["a"], r["b"]) for r in rows]
+
+
+_ANN_LSH_SAMPLE = 64
+_ANN_LSH_SEED = 13
+
+
+def _ann_lsh_oracle() -> str:
+    from ..operators.sampling import embedding_fingerprint_sql
+
+    return f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(5 AS BIGINT) AS k,
+       CAST(LEAST(COUNT(*), {_ANN_LSH_SAMPLE}) AS BIGINT) AS n_recall_sample,
        TRUE AS coverage_ok,
-       TRUE AS recall_ok
+       TRUE AS recall_ok,
+       ({embedding_fingerprint_sql()}) AS fixture_fp
 FROM embeddings WHERE vec_id % 10 = 0
-""",
-)
+"""
+
+
+@_q("ann_topk_lsh", None)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH ANN with both recall dials engaged: 6 independent hash
     tables (OR-amplification) x hamming-1 multi-probe over 5-plane
     buckets — measured 0.92/0.95 recall@5 at sf0.01/0.1, whose uniform
     random embeddings are LSH's worst case (near neighbors barely beat
     random similarity; clustered production embeddings need fewer
-    tables). Upgraded rows-only -> oracle-paired in r7 with the banded-
-    verdict pattern (the hll/percentile-sketch treatment): the query
-    runs the EXACT blocked top-k beside the LSH pass and hashes its own
-    contracts — coverage (returned slots >= 90% of k*n_queries) and
-    recall (hits >= 80% of exact slots; at 250+ slots with per-slot
-    recall ~0.92 the floor is >10 sigma safe). An LSH regression now
-    hash-fails the gate instead of being trusted. The seeded hyperplane
-    family itself stays SQL-inexpressible; `ivf_topk_srp` is the
-    bit-replayable ANN tier."""
+    tables). Banded-verdict contracts (r7), now with the exact reference
+    BOUNDED (VERDICT r8 item 3): coverage still audits ALL queries
+    (returned slots >= 90% of k*n_queries — the LSH output is already
+    materialized, counting it is free), but the exact blocked top-k runs
+    only for a DETERMINISTIC portable-md5 sample of
+    min(n_queries, {_ANN_LSH_SAMPLE}) queries (stated in the oracle as
+    n_recall_sample) and the >=80% recall floor is evaluated on those
+    sampled slots — 320 slots at per-slot recall ~0.92 keeps the floor
+    ~8 sigma safe while the exact pass stays O(sample x corpus) at any
+    scale. The oracle additionally hash-compares the embeddings table's
+    content fingerprint (VERDICT r8 item 4), so a regenerated fixture
+    fails the gate and forces a recall-floor re-measure instead of
+    silently grading against stale calibration. The seeded hyperplane
+    family itself stays SQL-inexpressible; `ann_topk_lsh_portable` is
+    the bit-replayable tier."""
+    from ..operators.sampling import portable_unit_hash32
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -666,17 +945,40 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, dim=64, planes=5, query_id_col="query_id",
         probes=1, tables=6,
     ).select("query_id", "neighbor_id")
-    exact = similarity.cosine_topk_blocked(
-        emb, queries, k=5, query_id_col="query_id"
+    qs = queries.orderBy(
+        portable_unit_hash32("query_id", _ANN_LSH_SEED), "query_id"
+    ).limit(_ANN_LSH_SAMPLE)
+    exact_s = similarity.cosine_topk_blocked(
+        emb, qs, k=5, query_id_col="query_id"
     ).select("query_id", "neighbor_id")
     nq = queries.count()
-    slots = exact.count()
+    n_sample = qs.count()
     got = lsh.count()
-    hits = lsh.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
-    return spark.createDataFrame(
-        [(nq, 5, got * 100 >= 90 * 5 * nq, hits * 100 >= 80 * slots)],
-        "n_queries bigint, k bigint, coverage_ok boolean, recall_ok boolean",
+    slots_s = exact_s.count()
+    lsh_s = lsh.join(
+        F.broadcast(qs.select("query_id")), "query_id", "left_semi"
     )
+    hits = lsh_s.join(
+        exact_s, ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    fp = _fixture_fp(spark, sf_dir, emb)
+    return spark.createDataFrame(
+        [
+            (
+                nq,
+                5,
+                n_sample,
+                got * 100 >= 90 * 5 * nq,
+                hits * 100 >= 80 * slots_s,
+                fp,
+            )
+        ],
+        "n_queries bigint, k bigint, n_recall_sample bigint,"
+        " coverage_ok boolean, recall_ok boolean, fixture_fp bigint",
+    )
+
+
+ORACLES["ann_topk_lsh"] = _ann_lsh_oracle().strip()
 
 
 @_q(
