@@ -118,6 +118,7 @@ def run_connected_pipeline(
     work_root: str,
     mode: str = "full_load_and_cdc",
     stream_timeout_sec: int = 120,
+    snapshot_ts_ms: int | None = None,
 ) -> tuple[ConnectedPipelinePlan, PipelineRunResult]:
     """The one-call pipeline start: config-gen + snapshot + change stream.
     The change feed is the file twin of the generated topics (no broker in
@@ -142,6 +143,7 @@ def run_connected_pipeline(
         engine=connection.database_type,
         mode=mode,
         stream_timeout_sec=stream_timeout_sec,
+        snapshot_ts_ms=snapshot_ts_ms,
     )
     return plan, result
 
@@ -171,7 +173,8 @@ def run_file_pipeline(
 
     fl: FullLoadResult | None = None
     if plan.run_full_load and mode != "cdc_only":
-        assert source is not None, "full load requires a source"
+        if source is None:
+            raise ValueError("full load requires a source")
         from ..sources.typemap import conform_to_schema
 
         # the snapshot must land with the SAME physical types the stream

@@ -94,6 +94,7 @@ _ROUND_PRIORITY = [
     "user_sessions",
     "value_histogram",
     # --- latest driver verdict: round 2 ---
+    "pipeline_lifecycle_runner",
     # (round-8 additions are inserted ABOVE this line, after the r1 block)
     "asof_attribution",
     "contamination_check",

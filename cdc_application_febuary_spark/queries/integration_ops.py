@@ -738,3 +738,160 @@ def quantile_bucket_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("y"),
     )
     return bucketed_auc_score(docs, "n_chars", "y", "doc_id", n_buckets=64)
+
+
+@_q("pipeline_lifecycle_runner", _LIFECYCLE_ORACLE)
+def pipeline_lifecycle_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Derby lifecycle's engine-native twin (VERDICT r8 item 5):
+    the SAME logical lifecycle — snapshot -> offset capture -> change
+    stream -> SCD2 current state — but composed through the ONE-CALL
+    `plans/runner.py:run_connected_pipeline` (config-gen + snapshot plan
+    + changelog stream) over a file changelog and the engine's parquet/
+    event-log target instead of Derby JDBC. Embedded Derby's single-
+    process file lock keeps `pipeline_lifecycle_derby` out of the
+    multi-JVM sweep; every stage of THIS twin (full-load conform/stamp,
+    Debezium-envelope normalization, availableNow drain, commit-time
+    current state) runs on real executors, so the lifecycle LOGIC gets
+    the two-executor value verdict the Derby driver cannot. Same oracle
+    as the Derby query: the two must agree with each other and with the
+    fixture replay."""
+    import json as _json
+    import os as _os
+    import pathlib
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..plans.runner import run_connected_pipeline, target_current_state
+    from ..sources.connect_config import SourceConnection
+    from .pipeline_ops import _replay_shuffle
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 200
+    )
+    src = cust.where(F.col("c_custkey") < 150).select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.lit(None).cast("string").alias("segment"),
+    )
+    # bounded by the key predicate (< 200 keys at every SF): the change
+    # feed is authored driver-side as Debezium envelopes
+    rows = [
+        (int(r["c_custkey"]), float(r["c_acctbal"]), str(r["c_mktsegment"]))
+        for r in cust.select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ).collect()
+    ]
+
+    def env(op, before, after, ts):
+        return _json.dumps(
+            {
+                "payload": {
+                    "before": before,
+                    "after": after,
+                    "source": {
+                        "ts_ms": ts,
+                        "db": "appdb",
+                        "schema": "public",
+                        "table": "customer",
+                    },
+                    "op": op,
+                    "ts_ms": ts,
+                }
+            }
+        )
+
+    work = tempfile.mkdtemp(prefix="liferunner_")
+    feed = pathlib.Path(work, "feed")
+    feed.mkdir()
+    ticks = [
+        (
+            "t1_inserts.json",
+            [
+                env("c", None, {"k": k, "bal": bal, "segment": seg}, 2000)
+                for k, bal, seg in rows
+                if k >= 150
+            ],
+        ),
+        (
+            "t2_updates.json",
+            [
+                env(
+                    "u",
+                    {"k": k, "bal": bal, "segment": None},
+                    {"k": k, "bal": bal + 1000.0, "segment": None},
+                    3000,
+                )
+                for k, bal, _ in rows
+                if k < 30
+            ],
+        ),
+        (
+            "t3_deletes.json",
+            [
+                env("d", {"k": k, "bal": bal, "segment": None}, None, 4000)
+                for k, bal, _ in rows
+                if k % 10 == 7 and k < 150
+            ],
+        ),
+    ]
+    for i, (name, lines) in enumerate(ticks):
+        f = feed / name
+        f.write_text("\n".join(lines) + "\n")
+        _os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    payload = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("bal", DoubleType()),
+            StructField("segment", StringType()),
+        ]
+    )
+    with _replay_shuffle(spark):
+        plan, res = run_connected_pipeline(
+            spark,
+            pipeline_id="liferunner",
+            connection=SourceConnection(
+                host="localhost",
+                port=5432,
+                username="app",
+                password="app",
+                database_type="postgresql",
+                database="appdb",
+            ),
+            database="appdb",
+            schema="public",
+            tables=["customer"],
+            source=src,
+            changelog_dir=str(feed),
+            payload_schema=payload,
+            work_root=work,
+            snapshot_ts_ms=1000,
+        )
+    import re as _re
+
+    if not all(_re.fullmatch(plan.subscribe_pattern, t) for t in plan.topics):
+        raise RuntimeError("subscribe pattern must cover every topic")
+    if res.full_load is None or res.full_load.rows != src.count():
+        raise RuntimeError("full load did not land the snapshot rows")
+    cs = target_current_state(spark, res.target_path, ["k"])
+    return (
+        cs.groupBy(
+            F.coalesce(F.col("segment"), F.lit("(pre-drift)")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum(F.col("bal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
