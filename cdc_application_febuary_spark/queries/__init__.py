@@ -95,6 +95,9 @@ _ROUND_PRIORITY = [
     "value_histogram",
     # --- latest driver verdict: round 2 ---
     "pipeline_lifecycle_runner",
+    "scd2_time_travel_snapshots",
+    "rerank_cross_encoder",
+    "stream_session_eviction",
     # (round-8 additions are inserted ABOVE this line, after the r1 block)
     "asof_attribution",
     "contamination_check",

@@ -10111,3 +10111,358 @@ def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("cluster")
         .orderBy("canonical_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 time travel: calendar-spine snapshot reads over validity spans
+# ---------------------------------------------------------------------------
+# pit_dimension_join answers "which dimension version was valid at THIS
+# fact's timestamp"; the time-travel read answers the complementary
+# lakehouse question "what did the WHOLE table look like at each calendar
+# date" (the VERSION AS OF / month-end-snapshot family). Spans come from
+# the per-user event changelog (lead over (ts, event_id) — the SCD2
+# validity construction); each span row emits the snapshot dates it was
+# live for via an INLINE filtered-array explode (six literals — no join,
+# no BroadcastNestedLoop, O(1) per row at any corpus size).
+_TT_SNAP_DATES = [
+    "2024-01-05", "2024-01-10", "2024-01-15",
+    "2024-01-20", "2024-01-25", "2024-01-30",
+]
+
+
+@_q(
+    "scd2_time_travel_snapshots",
+    f"""
+WITH spine AS (
+  SELECT CAST(d AS TIMESTAMP) AS snap_ts, d AS snap_date
+  FROM (VALUES {", ".join(f"('{d}')" for d in _TT_SNAP_DATES)}) AS t(d)
+),
+spans AS MATERIALIZED (
+  SELECT user_id, event_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_ts
+  FROM events
+)
+SELECT s.snap_date, sp.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(sp.event_id) AS BIGINT) AS sum_event_id,
+       CAST(MIN(sp.user_id) AS BIGINT) AS min_user,
+       CAST(MAX(sp.user_id) AS BIGINT) AS max_user
+FROM spans sp JOIN spine s
+  ON sp.ts < s.snap_ts AND (sp.next_ts IS NULL OR sp.next_ts >= s.snap_ts)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def scd2_time_travel_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension time travel over SCD2 validity spans (VERDICT
+    r8 item 8 family): reconstruct the as-of state of every user at six
+    month-spread snapshot dates from the event changelog — per user the
+    LAST event strictly before the date wins ((ts, event_id)
+    lexicographic, the `scd2.history_with_validity` order) — and roll up
+    each snapshot by the as-of event_type with exact integer aggregates.
+    Every span matches at most six dates, so the expansion is bounded at
+    any corpus size; a tied-timestamp earlier version yields an empty
+    span on BOTH engines (ts < T <= next_ts is unsatisfiable when
+    ts == next_ts), so the argmax is decided identically."""
+    from pyspark.sql import Window
+
+    from ..catalog import load_events_raw
+
+    ev = load_events_raw(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.withColumn("next_ts", F.lead("ts").over(w))
+    # epoch-nanos literals for the UTC midnight snapshot instants
+    import datetime as _dt
+
+    snaps = [
+        int(
+            _dt.datetime.fromisoformat(d)
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+        * 1_000_000_000
+        for d in _TT_SNAP_DATES
+    ]
+    arr = F.array(*[F.lit(t) for t in snaps])
+    live = spans.withColumn(
+        "snap_ns",
+        F.explode(
+            F.filter(
+                arr,
+                lambda t: (F.col("ts") < t)
+                & (F.col("next_ts").isNull() | (F.col("next_ts") >= t)),
+            )
+        ),
+    )
+    label = F.date_format(
+        F.timestamp_micros((F.col("snap_ns") / 1000).cast("long")),
+        "yyyy-MM-dd",
+    )
+    return (
+        live.groupBy(label.alias("snap_date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+        )
+        .orderBy("snap_date", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder-style reranking atop the retrieval stack
+# ---------------------------------------------------------------------------
+# The production retrieval pattern: a cheap recall tier fetches top-20
+# candidates per query, then an expensive interaction model re-scores
+# ONLY those candidates (two-tower retrieve -> cross-encoder rerank).
+# The "model" here is a deterministic fixed-point interaction scorer
+# (per-dimension products of 4096-grid quantized coordinates, weighted by
+# a Knuth-hash dimension table) so every rerank decision replays in SQL;
+# swapping in a learned scorer changes one Arrow UDF, not the shape.
+_RERANK_CAND_K = 20
+_RERANK_TOP_K = 5
+_RERANK_QUANT_SQL = (
+    "list_transform(CAST({c} AS DOUBLE[]),"
+    " v -> CAST(floor(v * 4096) AS BIGINT))"
+)
+
+
+@_q(
+    "rerank_cross_encoder",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         {_RERANK_QUANT_SQL.format(c="embedding")} AS qq
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         {_RERANK_QUANT_SQL.format(c="embedding")} AS dq
+  FROM embeddings
+),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, qq, dq FROM (
+    SELECT q.query_id, v.vec_id AS neighbor_id, q.qq, v.dq,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, v.emb) DESC, v.vec_id
+           ) AS rnk
+    FROM q JOIN v ON v.vec_id <> q.query_id
+  ) WHERE rnk <= {_RERANK_CAND_K}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(qq[i] * dq[i] * (((i - 1) * 2654435761) % 97 - 48))
+              AS BIGINT) AS score
+  FROM cand, UNNEST(generate_series(1, len(qq))) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rerank AS BIGINT) AS rerank, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id)
+             AS rerank
+      FROM scored) t
+WHERE rerank <= {_RERANK_TOP_K}
+ORDER BY query_id, rerank
+""",
+)
+def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with cross-encoder-style reranking (VERDICT r8
+    item 8 family): the exact blocked cosine tier retrieves top-20
+    candidates per query (`similarity.cosine_topk_blocked` — the recall
+    stage any ANN tier substitutes for), then ONLY those 20 are re-scored
+    by a fixed-point interaction model — sum over dimensions of
+    qq_i * dq_i * w_i on the 4096 quantization grid with the Knuth-hash
+    weight table w_i = (i * 2654435761) % 97 - 48 — and the top-5 by
+    reranked score emit. Integer-exact end to end, so the full rerank
+    decision (including every tie) hash-matches the SQL replay. Scale
+    shape: rerank cost is queries x 20 x dim regardless of corpus size —
+    the candidate tier is the only corpus-sized pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        "transform(embedding,"
+        " v -> CAST(floor(CAST(v AS DOUBLE) * 4096) AS BIGINT))"
+    )
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = similarity.cosine_topk_blocked(
+        emb, queries, k=_RERANK_CAND_K, query_id_col="query_id"
+    ).select("query_id", "neighbor_id")
+    qq = emb.select(F.col("vec_id").alias("query_id"), quant.alias("qq"))
+    dq = emb.select(F.col("vec_id").alias("neighbor_id"), quant.alias("dq"))
+    # two-parameter transform: (element, INDEX) — the index IS the dim
+    score = F.expr(
+        "aggregate(transform(zip_with(qq, dq, (x, y) -> x * y),"
+        " (p, i) -> p * ((i * 2654435761) % 97 - 48)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(qq, "query_id")
+        .join(dq, "neighbor_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rerank", F.row_number().over(w).cast("long"))
+        .where(F.col("rerank") <= _RERANK_TOP_K)
+        .select("query_id", "neighbor_id", "rerank", "score")
+        .orderBy("query_id", "rerank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows with timer-driven state eviction (tws v2)
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_session_eviction",
+    """
+WITH e AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+  FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+),
+g AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(ts_us) AS BIGINT) AS start_us,
+       CAST(MAX(ts_us) AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, start_us
+""",
+)
+def stream_session_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows under the transformWithState v2 API
+    with TIMER-driven state eviction (VERDICT r8 item 8 candidate): two
+    days of events replay as two event-time-boundary batches through
+    `streaming/stateful_v2.py:SessionWindowProcessor` (typed ValueState
+    + RocksDB + event-time timers); an idle user's open session may only
+    emit once the watermark passes its gap horizon — the append-mode
+    output IS the set of watermark-finalized sessions, value-checked
+    against the batch gap-and-island replay (every session boundary,
+    count, and span must match exactly). Two out-of-band sentinel files
+    advance the watermark past the horizon and trigger the timer sweep
+    (timers fire one batch after the watermark passes — the r5 eviction
+    rule); the sentinels' own session never finalizes and never appears.
+    """
+    import json as _json
+    import os as _os
+    import pathlib
+    import tempfile
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..catalog import load_events_raw
+    from ..compat.protobuf_compat import ensure_protobuf_on_workers
+    from ..streaming.stateful_v2 import (
+        session_windows_tws,
+        use_rocksdb_state,
+    )
+
+    if not ensure_protobuf_on_workers(spark):
+        raise RuntimeError(
+            "no protobuf runtime available for transformWithState"
+        )
+    ev = load_events_raw(spark, sf_dir).select("user_id", "ts")
+    bound = 1704240000 * 10**9  # 2024-01-03 00:00 UTC in nanos
+    split = 1704153600 * 10**9  # 2024-01-02 00:00 UTC
+    work = tempfile.mkdtemp(prefix="sess_tws_")
+    feed = pathlib.Path(work, "feed")
+    feed.mkdir()
+    halves = [
+        (F.col("ts") < split, "h0"),
+        ((F.col("ts") >= split) & (F.col("ts") < bound), "h1"),
+    ]
+    for i, (cond, name) in enumerate(halves):
+        stage = f"{work}/stage_{name}"
+        (
+            ev.where(cond)
+            .select(
+                F.to_json(
+                    F.struct(
+                        "user_id",
+                        F.expr("ts div 1000").alias("ts_us"),
+                    )
+                ).alias("value")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(stage)
+        )
+        part = next(pathlib.Path(stage).glob("part-*"))
+        dest = feed / f"{name}.txt"
+        part.rename(dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    # sentinels: 2024-01-05 00:00 / 00:10 UTC — the watermark they push
+    # (minus the 30-min delay) clears every real session's gap horizon,
+    # but never their own
+    for i, (name, ts_us) in enumerate(
+        (("z1", 1704412800_000_000), ("z2", 1704413400_000_000)), start=2
+    ):
+        dest = feed / f"{name}.txt"
+        dest.write_text(
+            _json.dumps({"user_id": -1, "ts_us": ts_us}) + "\n"
+        )
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(feed))
+        .select(F.from_json("value", schema).alias("p"))
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.ts_us").alias("ts_us"),
+            F.timestamp_micros(F.col("p.ts_us")).alias("ts"),
+        )
+        .withWatermark("ts", "30 minutes")
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    use_rocksdb_state(spark)
+    target = f"{work}/target"
+    try:
+        with _replay_shuffle(spark):
+            out = session_windows_tws(
+                stream.groupBy("user_id"), gap_ms=3_600_000
+            )
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", target)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return (
+        spark.read.parquet(target)
+        .where(F.col("user_id") >= 0)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .orderBy("user_id", "start_us")
+    )

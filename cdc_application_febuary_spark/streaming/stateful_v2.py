@@ -116,3 +116,106 @@ def running_counts_tws(grouped) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+class SessionWindowProcessor(_WorkerProtobufBridge, StatefulProcessor):
+    """Event-time session windows with TIMER-driven state eviction — the
+    transformWithState capability the classic applyInPandasWithState
+    session operator approximates with processing-time timeouts: an idle
+    key's open session finalizes (emits + clears state) via an EVENT-TIME
+    timer once the watermark proves no in-order event can extend it.
+
+    Correctness does not depend on Spark's input-vs-timer ordering within
+    a micro-batch: `handleExpiredTimer` finalizes ONLY when
+    ``watermark_ms >= last_event_ms + gap_ms`` (any future event then has
+    ``ts > watermark >= last + gap`` and would start a NEW session under
+    batch gap-and-island semantics too); a premature fire re-registers
+    the timer at the session's current horizon instead. Within one batch,
+    all-but-the-last session of a key finalize inline (a future event is
+    above the key's batch maximum under event-time-boundary feed splits,
+    so only the last session is extendable). State per key is one
+    (start, last, n) triple; eviction is the watermark, so state size
+    tracks active keys x gap, never stream length."""
+
+    def __init__(self, gap_ms: int) -> None:
+        self._gap_ms = int(gap_ms)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+
+    def _emit(self, key, st) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "start_us": [int(st[0])],
+                "end_us": [int(st[1])],
+                "n_events": [int(st[2])],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        ts = []
+        for pdf in rows:
+            ts.extend(int(t) for t in pdf["ts_us"])
+        ts.sort()
+        gap_us = self._gap_ms * 1000
+        st = self._sess.get()
+        st = (int(st[0]), int(st[1]), int(st[2])) if st is not None else None
+        for t in ts:
+            if st is None:
+                st = (t, t, 1)
+            elif t - st[1] > gap_us:
+                yield self._emit(key, st)
+                st = (t, t, 1)
+            else:
+                st = (st[0], max(st[1], t), st[2] + 1)
+        if st is not None:
+            self._sess.update(st)
+            self._handle.registerTimer(st[1] // 1000 + self._gap_ms)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        st = self._sess.get()
+        if st is None:
+            return
+        st = (int(st[0]), int(st[1]), int(st[2]))
+        wm = timerValues.getCurrentWatermarkInMs()
+        if wm >= st[1] // 1000 + self._gap_ms:
+            self._sess.clear()
+            yield self._emit(key, st)
+        else:  # extended since this timer was set — wait out the new horizon
+            self._handle.registerTimer(st[1] // 1000 + self._gap_ms)
+
+    def close(self) -> None:
+        pass
+
+
+def session_windows_tws(grouped, gap_ms: int) -> DataFrame:
+    """`grouped` is `stream.withWatermark(ts, d).groupBy(key)` where rows
+    carry ``ts_us`` (epoch-micros long). Emits one row per FINALIZED
+    session in append mode; open sessions emit only when their event-time
+    timer passes the watermark."""
+    return grouped.transformWithStateInPandas(
+        SessionWindowProcessor(gap_ms),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
