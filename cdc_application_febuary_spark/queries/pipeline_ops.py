@@ -8328,14 +8328,15 @@ def stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "append"
             ).parquet(target)
 
-        q = (
-            out.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
+        with _replay_shuffle(spark):
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
         emitted = spark.read.parquet(target)
         return (
             emitted.groupBy("key")
