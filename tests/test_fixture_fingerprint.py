@@ -63,3 +63,29 @@ def test_fixture_queries_carry_fingerprint():
         "semantic_dedup_report",
     ):
         assert "fixture_fp" in oracles[name], name
+
+
+def test_bounded_pairs_cap_fails_loudly(spark, monkeypatch):
+    """The sample-bounded exact-reference collect must REFUSE a
+    pathological duplicate density instead of silently truncating or
+    OOMing the driver."""
+    import pytest as _pytest
+
+    from cdc_application_febuary_spark.operators.dedup import (
+        embedding_near_dup_pairs_between,
+    )
+    from cdc_application_febuary_spark.queries import pipeline_ops as P
+
+    # 40 identical vectors -> 40*39/2 = 780 pairs > the patched cap
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_dup_pairs_between(df, df, threshold=0.9)
+    monkeypatch.setattr(P, "_PAIR_COLLECT_CAP", 100)
+    with _pytest.raises(RuntimeError, match="exceeds"):
+        P._bounded_pairs(pairs, "cap test")
+    # and under the cap it returns the full exact set
+    monkeypatch.setattr(P, "_PAIR_COLLECT_CAP", 10_000)
+    got = P._bounded_pairs(pairs, "cap test")
+    assert len(got) == 40 * 39 // 2
