@@ -288,16 +288,23 @@ def embedding_fingerprint(
         16,
         10,
     ).cast("bigint")
-    return exploded.agg(F.sum(h).cast("bigint").alias("fixture_fp"))
+    # COALESCE: an EMPTY table sums to NULL on both engines — fingerprint
+    # it as 0 (still != any real calibration fp, so the gate stays loud)
+    # instead of TypeError-ing at the int() call site (ADVICE r8).
+    return exploded.agg(
+        F.coalesce(F.sum(h).cast("bigint"), F.lit(0).cast("bigint")).alias(
+            "fixture_fp"
+        )
+    )
 
 
 def embedding_fingerprint_sql(table: str = "embeddings") -> str:
     """DuckDB twin of :func:`embedding_fingerprint` (same BIGINT)."""
     return f"""
-SELECT CAST(SUM(('0x' || substr(md5(
+SELECT CAST(COALESCE(SUM(('0x' || substr(md5(
          CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR) || ':'
          || CAST(CAST(floor(emb[i] * 1048576) AS BIGINT) AS VARCHAR)
-       ), 1, 8))::BIGINT) AS BIGINT) AS fixture_fp
+       ), 1, 8))::BIGINT), 0) AS BIGINT) AS fixture_fp
 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM {table}),
      UNNEST(generate_series(1, len(emb))) AS t(i)
 """.strip()
@@ -523,6 +530,16 @@ def stratified_sample_exact(
             raise ValueError(
                 "counts disagrees with observed stratum sizes (given,"
                 f" observed): {dict(list(wrong.items())[:10])}"
+            )
+        phantom = sorted(
+            k for k in set(counts) - set(observed) if counts[k] != 0
+        )
+        if phantom:
+            raise ValueError(
+                f"counts names strata absent from df {phantom[:10]} with"
+                " nonzero sizes — they would steal quota from real strata"
+                " via allocate_exact and the sample would silently land"
+                f" below total_n={total_n}"
             )
     quotas = allocate_exact(sorted(counts.items()), total_n)
     spark = df.sparkSession

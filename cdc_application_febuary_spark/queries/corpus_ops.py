@@ -2400,23 +2400,34 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in names:
         aggs.append(F.sum(a).cast("long").alias(f"sx_{a}"))
         aggs.append(F.sum(F.col(a) * F.col(a)).cast("long").alias(f"sq_{a}"))
+        aggs.append(F.max(F.abs(F.col(a))).cast("long").alias(f"mx_{a}"))
     for a, b in _SIGCORR_PAIRS:
         aggs.append(
             F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}")
         )
     m = sig.agg(*aggs)
-    # Overflow guard: n*sp / n*sq / sx*sx are raw BIGINT products. Spark
-    # (non-ANSI) would WRAP silently past 2^63 while DuckDB errors, so at
-    # ~1e7+ docs the engines would diverge instead of both failing. Fail
-    # loudly on the Spark side before that regime (double-magnitude check
-    # with margin: 4.0e18 < 2^62, 2.0e9^2 = 4.0e18).
-    mags = [F.abs(F.col(f"sq_{a}").cast("double")) for a in names] + [
-        F.abs(F.col(f"sp_{a}_{b}").cast("double")) for a, b in _SIGCORR_PAIRS
+    # Overflow guard: n*sp / n*sq / sx*sx are raw BIGINT products, and the
+    # SUMs themselves can wrap in non-ANSI Spark while DuckDB errors, so
+    # at ~1e7+ docs the engines would diverge instead of both failing.
+    # Bound the INPUTS, not the outputs: per-column MAX(ABS(x)) is a
+    # single row value that cannot wrap, so n * mx_a * mx_b >= |SUM(a*b)|
+    # and n * mx_a >= |SUM(a)| hold in exact arithmetic — checking those
+    # products in double (with margin: 4.0e18 < 2^62) proves every SUM
+    # and every downstream product stayed inside int64, even though a
+    # wrapped sum could alias to a small magnitude (ADVICE r8).
+    n_d = F.col("n").cast("double")
+    mx = {a: F.col(f"mx_{a}").cast("double") for a in names}
+    sum_bounds = [n_d * mx[a] * mx[a] < F.lit(4.0e18) for a in names] + [
+        n_d * mx[a] * mx[b] < F.lit(4.0e18) for a, b in _SIGCORR_PAIRS
     ]
-    sxs = [F.abs(F.col(f"sx_{a}").cast("double")) for a in names]
-    safe = (F.col("n").cast("double") * F.greatest(*mags) < F.lit(4.0e18)) & (
-        F.greatest(*sxs) < F.lit(2.0e9)
-    )
+    # n * (n * mx_a^2) bounds n*sq_a; (n*mx_a) * (n*mx_b) bounds sx_a*sx_b.
+    prod_bounds = [n_d * n_d * mx[a] * mx[a] < F.lit(4.0e18) for a in names] + [
+        (n_d * mx[a]) * (n_d * mx[b]) < F.lit(4.0e18)
+        for a, b in _SIGCORR_PAIRS
+    ]
+    safe = F.lit(True)
+    for c in sum_bounds + prod_bounds:
+        safe = safe & c
     for a, b in _SIGCORR_PAIRS:
         num = (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"sx_{a}") * F.col(f"sx_{b}")).cast("double")
         da = (F.col("n") * F.col(f"sq_{a}") - F.col(f"sx_{a}") * F.col(f"sx_{a}")).cast("double")

@@ -10461,6 +10461,8 @@ def stream_session_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+        else:  # was unset: unset again, or RocksDB leaks into the session
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     return (
         spark.read.parquet(target)
         .where(F.col("user_id") >= 0)

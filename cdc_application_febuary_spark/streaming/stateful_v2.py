@@ -153,7 +153,12 @@ class SessionWindowProcessor(_WorkerProtobufBridge, StatefulProcessor):
     above the key's batch maximum under event-time-boundary feed splits,
     so only the last session is extendable). State per key is one
     (start, last, n) triple; eviction is the watermark, so state size
-    tracks active keys x gap, never stream length."""
+    tracks active keys x gap, never stream length.
+
+    The event-time-boundary split discipline (each batch's events for a
+    key sort at-or-after the key's stored session start) is enforced at
+    runtime: a violating row raises instead of silently corrupting or
+    splitting a session (ADVICE r8)."""
 
     def __init__(self, gap_ms: int) -> None:
         self._gap_ms = int(gap_ms)
@@ -183,6 +188,18 @@ class SessionWindowProcessor(_WorkerProtobufBridge, StatefulProcessor):
         for t in ts:
             if st is None:
                 st = (t, t, 1)
+            elif t < st[0]:
+                # The inline all-but-last finalization and the kept-start
+                # merge are only sound under the event-time-boundary feed
+                # discipline (each batch's events for a key >= the key's
+                # stored start). A violating row would silently corrupt or
+                # split sessions — fail loudly instead (ADVICE r8).
+                raise RuntimeError(
+                    "SessionWindowProcessor: input event at "
+                    f"{t}us for key {key!r} precedes the stored session "
+                    f"start {st[0]}us — the feed violated the event-time-"
+                    "boundary split discipline (see class docstring)"
+                )
             elif t - st[1] > gap_us:
                 yield self._emit(key, st)
                 st = (t, t, 1)

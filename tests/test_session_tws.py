@@ -58,6 +58,9 @@ def _run_feed(spark, tmp_path, files):
         .withWatermark("ts", "10 minutes")
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     use_rocksdb_state(spark)
     target = str(tmp_path / "target")
@@ -74,6 +77,12 @@ def _run_feed(spark, tmp_path, files):
         q.awaitTermination(120)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:  # was unset: unset again so RocksDB doesn't leak session-wide
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     return sorted(
         (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
         for r in spark.read.parquet(target).collect()
