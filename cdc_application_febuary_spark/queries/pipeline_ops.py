@@ -10469,3 +10469,234 @@ def stream_session_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "start_us", "end_us", "n_events")
         .orderBy("user_id", "start_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming state-store observability (VERDICT r8 item 4)
+# ---------------------------------------------------------------------------
+_STATE_METRICS_ORACLE = """
+WITH all_ev AS MATERIALIZED (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-01 12:00:00' THEN 0
+              WHEN ts < TIMESTAMP '2024-01-02 00:00:00' THEN 1
+              WHEN ts < TIMESTAMP '2024-01-02 12:00:00' THEN 2
+              ELSE 3 END AS batch_id,
+         ts, event_type
+  FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+  UNION ALL
+  SELECT * FROM (VALUES
+    (4, TIMESTAMP '2024-01-03 01:00:00', '__sentinel'),
+    (5, TIMESTAMP '2024-01-03 01:10:00', '__sentinel')
+  ) v(batch_id, ts, event_type)
+),
+-- watermark DURING batch k = max event time over batches < k, minus delay
+wm AS MATERIALIZED (
+  SELECT batch_id, input_rows,
+         MAX(mx) OVER (ORDER BY batch_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 30 MINUTE AS wm_ts
+  FROM (SELECT batch_id, MAX(ts) AS mx, COUNT(*) AS input_rows
+        FROM all_ev GROUP BY 1)
+),
+grp AS MATERIALIZED (
+  SELECT batch_id, date_trunc('hour', ts) AS wstart, event_type
+  FROM all_ev GROUP BY 1, 2, 3
+),
+-- state lifetime of each (window, type) group: enters at first touch,
+-- leaves in the first batch whose watermark passed its window end
+life AS MATERIALIZED (
+  SELECT wstart, event_type, MIN(batch_id) AS fs,
+         (SELECT MIN(w.batch_id) FROM wm w
+          WHERE w.wm_ts >= f.wstart + INTERVAL 1 HOUR) AS rb
+  FROM grp f GROUP BY wstart, event_type
+)
+SELECT b.batch_id,
+       'stateStoreSave' AS operator_name,
+       CAST(b.input_rows AS BIGINT) AS input_rows,
+       CAST((SELECT COUNT(*) FROM grp g
+             WHERE g.batch_id = b.batch_id) AS BIGINT) AS rows_updated,
+       CAST((SELECT COUNT(*) FROM life r
+             WHERE r.rb = b.batch_id) AS BIGINT) AS rows_removed,
+       CAST((SELECT COUNT(*) FROM life r
+             WHERE r.fs <= b.batch_id
+               AND (r.rb IS NULL OR r.rb > b.batch_id)) AS BIGINT)
+         AS rows_in_state,
+       CASE WHEN (SELECT COUNT(*) FROM life r
+                  WHERE r.fs <= b.batch_id
+                    AND (r.rb IS NULL OR r.rb > b.batch_id)) >= 500
+              THEN 'critical'
+            WHEN (SELECT COUNT(*) FROM life r
+                  WHERE r.fs <= b.batch_id
+                    AND (r.rb IS NULL OR r.rb > b.batch_id)) >= 30
+              THEN 'warning'
+            ELSE 'ok' END AS state_health
+FROM wm b
+ORDER BY batch_id
+"""
+
+
+@_q("stream_state_metrics_report", _STATE_METRICS_ORACLE)
+def stream_state_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible STATE-STORE observability for the streaming tier —
+    the state-side analog of the reference's lag/health monitoring
+    (`/root/reference/backend/ingestion/cdc_health_monitor.py:24-31`
+    warning/critical thresholds, applied here to state rows instead of
+    replication-slot bytes): per micro-batch, the stateful-aggregation
+    operator's exact numRowsTotal / numRowsUpdated / numRowsRemoved from
+    ``StreamingQueryProgress.stateOperators``, plus a thresholded health
+    bucket.
+
+    Why this is oracle-checkable: on a deterministic mtime-ordered feed
+    (four event-time-boundary files + two watermark sentinels,
+    maxFilesPerTrigger=1) every metric is a pure function of the feed —
+    the watermark during batch k is max(event time over batches < k)
+    minus the delay; rows_updated(k) is the distinct (window, type)
+    groups in file k; a group leaves state in the first batch whose
+    watermark passed its window end; rows_in_state is entered-minus-left.
+    The oracle re-derives all four batches' metrics from the events table
+    alone — so this query VERIFIES Spark's state accounting against an
+    independent model, not just reads it. The report is scoped to the
+    six data batches (a trailing no-data batch only advances the
+    watermark; its occurrence is config-dependent, so it is out of
+    contract). Scale shape: the report is one row per (batch, operator)
+    — KBs at any corpus size; the replay feed is sf-bounded."""
+    import json as _json
+    import os as _os
+    import pathlib
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    work = tempfile.mkdtemp(prefix="state_metrics_")
+    feed = pathlib.Path(work, "feed")
+    feed.mkdir()
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    bounds = [
+        ("2024-01-01 00:00:00", "2024-01-01 12:00:00"),
+        ("2024-01-01 12:00:00", "2024-01-02 00:00:00"),
+        ("2024-01-02 00:00:00", "2024-01-02 12:00:00"),
+        ("2024-01-02 12:00:00", "2024-01-03 00:00:00"),
+    ]
+    for i, (lo, hi) in enumerate(bounds):
+        stage = f"{work}/stage_{i}"
+        (
+            ev.where(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("event_type"),
+                        F.unix_micros("ts").alias("ts_us"),
+                    )
+                ).alias("value")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(stage)
+        )
+        part = next(pathlib.Path(stage).glob("part-*"))
+        dest = feed / f"b{i}.json"
+        part.rename(dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    # sentinels: 2024-01-03 01:00 / 01:10 UTC — z1's watermark covers every
+    # real window, z2 triggers the eviction batch; neither sentinel window
+    # ever finalizes (wm never reaches 02:00)
+    for j, (name, us) in enumerate(
+        [("z1.json", 1704243600_000_000), ("z2.json", 1704244200_000_000)]
+    ):
+        p = feed / name
+        p.write_text(
+            _json.dumps({"event_type": "__sentinel", "ts_us": us}) + "\n"
+        )
+        _os.utime(p, (1_700_000_000 + 4 + j,) * 2)
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(feed))
+        .select(F.from_json("value", schema).alias("p"))
+        .select(
+            F.col("p.event_type").alias("event_type"),
+            F.timestamp_micros(F.col("p.ts_us")).alias("ts"),
+        )
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_files = len(bounds) + 2
+    with _replay_shuffle(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{work}/target")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = list(q.recentProgress)
+    rows = []
+    for p in progress:
+        bid = int(p["batchId"])
+        if bid >= n_files:  # trailing no-data batch: out of contract
+            continue
+        ops = p["stateOperators"]
+        if len(ops) != 1:
+            raise RuntimeError(
+                f"expected one stateful operator in batch {bid}, got"
+                f" {len(ops)}"
+            )
+        s = ops[0]
+        if int(s.get("numRowsDroppedByWatermark", 0)) != 0:
+            raise RuntimeError(
+                "late rows dropped by watermark — the event-time-boundary"
+                " feed discipline was violated"
+            )
+        rows.append(
+            (
+                bid,
+                str(s["operatorName"]),
+                int(p["numInputRows"]),
+                int(s["numRowsUpdated"]),
+                int(s["numRowsRemoved"]),
+                int(s["numRowsTotal"]),
+            )
+        )
+    if sorted(r[0] for r in rows) != list(range(n_files)):
+        raise RuntimeError(
+            f"progress did not cover batches 0..{n_files - 1}:"
+            f" {sorted(r[0] for r in rows)}"
+        )
+    out_schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("operator_name", StringType()),
+            StructField("input_rows", LongType()),
+            StructField("rows_updated", LongType()),
+            StructField("rows_removed", LongType()),
+            StructField("rows_in_state", LongType()),
+        ]
+    )
+    return (
+        spark.createDataFrame(rows, out_schema)
+        .withColumn(
+            "state_health",
+            F.when(F.col("rows_in_state") >= 500, F.lit("critical"))
+            .when(F.col("rows_in_state") >= 30, F.lit("warning"))
+            .otherwise(F.lit("ok")),
+        )
+        .orderBy("batch_id")
+    )

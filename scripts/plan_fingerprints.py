@@ -61,6 +61,7 @@ SKIP = {
     "incremental_sketch_fold",
     "embedding_kmeans_fixedpoint",
     "stream_drift_gate",
+    "stream_state_metrics_report",
 }
 
 _NODE_RE = re.compile(r"^[\s:+\-*>()\d]*([A-Za-z][A-Za-z0-9]*)")
