@@ -10700,3 +10700,169 @@ def stream_state_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sliding-window distinct tier (VERDICT r8 item 5)
+# ---------------------------------------------------------------------------
+_WINDOWED_HLL_ORACLE = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id, ts FROM events
+  WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+),
+spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:00:00',
+                                TIMESTAMP '2024-01-02 23:00:00',
+                                INTERVAL 1 HOUR)) AS ws
+),
+per_w AS (
+  SELECT s.ws, COUNT(DISTINCT e.user_id) AS ed
+  FROM spine s
+  JOIN ev e ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 2 HOUR
+  GROUP BY 1
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_key,
+       CAST(ed AS BIGINT) AS exact_distinct,
+       TRUE AS in_band
+FROM per_w
+UNION ALL
+SELECT '<all>', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM ev
+ORDER BY window_key
+"""
+
+
+@_q("stream_windowed_hll_distinct", _WINDOWED_HLL_ORACLE)
+def stream_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live sliding-window distinct users — the "DAU over a sliding
+    window" dashboard tier every monitoring consumer asks of a CDC event
+    log (the streaming twin of the reference's daily/hourly analytics
+    buckets, `/root/reference/frontend/app/analytics/page.tsx:274-348`,
+    which are computed after landing): two days of events replay through
+    a file stream; a 2-hour window sliding every hour aggregates ONE
+    fixed-size HLL register blob per window (`hll_sketch_agg` — a typed
+    imperative aggregate, so the streaming state store holds the
+    registers themselves; this IS the windowed-HLL-under-streaming-state
+    tier, expressed with the built-in operator instead of a hand-rolled
+    transformWithState processor). Append mode + watermark emit each
+    window's FINAL blob exactly once; two out-of-band sentinels flush the
+    last real windows while their own windows never finalize.
+
+    Verification (the hll_shard_distinct banded pattern): per emitted
+    window, the streamed sketch's estimate must sit within 10% of the
+    exact distinct count (~6 sigma at lg_k=12), and the '<all>' rollup —
+    a REGISTER-WISE UNION of the stored per-window blobs via
+    `hll_union_agg`, never a rescan — must sit within 10% of the global
+    exact count. The oracle recomputes every exact count (hash-compared)
+    and asserts the verdicts; a missing, duplicated, or out-of-band
+    window row fails the gate. Scale shape: state and shuffle carry only
+    KB-sized register blobs per window; rollups read the blobs, not the
+    stream; the replay feed is sf-bounded."""
+    import json as _json
+    import os as _os
+    import pathlib
+    import tempfile
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    work = tempfile.mkdtemp(prefix="hll_win_")
+    feed = pathlib.Path(work, "feed")
+    feed.mkdir()
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    halves = [
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"),
+        F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"),
+    ]
+    for i, cond in enumerate(halves):
+        stage = f"{work}/stage_{i}"
+        (
+            ev.where(cond)
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("user_id"), F.unix_micros("ts").alias("ts_us")
+                    )
+                ).alias("value")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(stage)
+        )
+        part = next(pathlib.Path(stage).glob("part-*"))
+        dest = feed / f"b{i}.json"
+        part.rename(dest)
+        _os.utime(dest, (1_700_000_000 + i,) * 2)
+    # sentinels at 2024-01-03 02:00 / 02:10 UTC: z1's watermark (01:30)
+    # covers every real window end (max 01:00); neither sentinel's own
+    # windows (ends 03:00+) ever finalize
+    for j, (name, us) in enumerate(
+        [("z1.json", 1704247200_000_000), ("z2.json", 1704247800_000_000)]
+    ):
+        p = feed / name
+        p.write_text(_json.dumps({"user_id": -1, "ts_us": us}) + "\n")
+        _os.utime(p, (1_700_000_000 + 2 + j,) * 2)
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(feed))
+        .select(F.from_json("value", schema).alias("p"))
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            F.timestamp_micros(F.col("p.ts_us")).alias("ts"),
+        )
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("hll"))
+        .select(F.col("w.start").alias("ws"), "hll")
+    )
+    target = f"{work}/target"
+    with _replay_shuffle(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    blobs = spark.read.parquet(target)
+    est = blobs.select(
+        "ws", F.hll_sketch_estimate("hll").alias("est")
+    )
+    exact = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .select(F.col("w.start").alias("ws"), "exact_distinct")
+    )
+    per_window = est.join(exact, "ws").select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_key"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_distinct"))
+            <= 0.10 * F.col("exact_distinct")
+        ).alias("in_band"),
+    )
+    # sketch-once/merge-forever: the global rollup unions the STORED
+    # streamed blobs (register-wise), never rescanning the events
+    rollup = (
+        blobs.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("est")
+        )
+        .crossJoin(
+            ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+        )
+        .select(
+            F.lit("<all>").alias("window_key"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            (
+                F.abs(F.col("est").cast("double") - F.col("exact_distinct"))
+                <= 0.10 * F.col("exact_distinct")
+            ).alias("in_band"),
+        )
+    )
+    return per_window.unionByName(rollup).orderBy("window_key")

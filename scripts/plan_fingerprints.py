@@ -62,6 +62,7 @@ SKIP = {
     "embedding_kmeans_fixedpoint",
     "stream_drift_gate",
     "stream_state_metrics_report",
+    "stream_windowed_hll_distinct",
 }
 
 _NODE_RE = re.compile(r"^[\s:+\-*>()\d]*([A-Za-z][A-Za-z0-9]*)")
