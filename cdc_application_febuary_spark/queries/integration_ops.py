@@ -895,3 +895,245 @@ def pipeline_lifecycle_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Concurrent multi-pipeline lifecycle (VERDICT r8 item 7)
+# ---------------------------------------------------------------------------
+_MULTI_PIPELINE_ORACLE = """
+WITH p1 AS MATERIALIZED (
+  SELECT c_custkey AS k, c_acctbal AS bal FROM customer WHERE c_custkey < 60
+),
+p2 AS MATERIALIZED (
+  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+  WHERE c_custkey >= 60 AND c_custkey < 120
+),
+cur1 AS (
+  SELECT k, CASE WHEN k < 15 THEN bal + 500.0 ELSE bal END AS bal
+  FROM p1 WHERE k % 7 <> 3
+),
+cur2 AS (
+  SELECT k, CASE WHEN k >= 100 THEN bal + 250.0 ELSE bal END AS bal
+  FROM p2 WHERE k % 5 <> 2
+)
+SELECT 'p1' AS pipeline_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p1) AS events_insert,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p1 WHERE k < 15)
+         AS events_update,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p1 WHERE k % 7 = 3)
+         AS events_delete,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cur1) AS current_rows,
+       (SELECT CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) FROM cur1)
+         AS total_bal
+UNION ALL
+SELECT 'p2',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p2),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p2 WHERE k >= 100),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p2 WHERE k % 5 = 2),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cur2),
+       (SELECT CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) FROM cur2)
+ORDER BY pipeline_id
+"""
+
+
+@_q("multi_pipeline_concurrent", _MULTI_PIPELINE_ORACLE)
+def multi_pipeline_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two CDC pipelines running CONCURRENTLY in one engine — the
+    reference's multi-tenant posture (`/root/reference/backend/ingestion/
+    cdc_manager.py:100-193` per-pipeline status isolation) as a
+    driver-verdict query, promoting tests/test_multi_pipeline.py's logic:
+    both change streams are STARTED before either is awaited, each under
+    its own checkpoint and SCD2 target, both logging into ONE shared
+    event-log table. Sharing is by a `pipeline=` PARTITION under a common
+    table root (each writer owns its partition directory; readers see one
+    partitioned table, and every row's stamped pipeline_id is checked
+    against the partition that physically owns it) — two concurrent FileOutputCommitter jobs on the
+    SAME directory would race on `_temporary/0` staging (job A's cleanup
+    can delete job B's in-flight files), so partition-per-writer is the
+    multi-writer discipline a production lake uses, not a test
+    convenience.
+
+    Isolation is ASSERTED, not assumed: each target may contain only its
+    own key range and each event-log partition only its own pipeline's
+    rows (a violation raises). The report reads the SHARED log grouped by
+    the discovered pipeline_id partition column — per-pipeline normalized
+    op counts — joined with each pipeline's SCD2 current-state rollup;
+    the oracle re-derives every number from the customer fixture. Scale
+    shape: N pipelines = N streaming queries + N partition dirs; the
+    report reads event-log metadata-sized aggregates, never refeeds."""
+    import json as _json
+    import os as _os
+    import pathlib
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..plans.runner import target_current_state
+    from ..streaming.changelog_stream import (
+        StreamConfig,
+        file_source,
+        start_changelog_stream,
+    )
+    from .pipeline_ops import _replay_shuffle
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 120
+    )
+    rows = [
+        (int(r["c_custkey"]), float(r["c_acctbal"]))
+        for r in cust.select("c_custkey", "c_acctbal").collect()
+    ]  # bounded: < 120 keys at every SF
+
+    def env(op, before, after, ts):
+        return _json.dumps(
+            {
+                "payload": {
+                    "before": before,
+                    "after": after,
+                    "source": {
+                        "ts_ms": ts,
+                        "db": "appdb",
+                        "schema": "public",
+                        "table": "customer",
+                    },
+                    "op": op,
+                    "ts_ms": ts,
+                }
+            }
+        )
+
+    # p1 owns keys [0, 60); p2 owns [60, 120) — same envelope grammar,
+    # disjoint tenants
+    specs = {
+        "p1": {
+            "keys": [(k, b) for k, b in rows if k < 60],
+            "upd": lambda k: k < 15,
+            "delta": 500.0,
+            "del": lambda k: k % 7 == 3,
+        },
+        "p2": {
+            "keys": [(k, b) for k, b in rows if k >= 60],
+            "upd": lambda k: k >= 100,
+            "delta": 250.0,
+            "del": lambda k: k % 5 == 2,
+        },
+    }
+    work = tempfile.mkdtemp(prefix="multipipe_")
+    log_root = f"{work}/event_log"
+    payload = StructType(
+        [StructField("k", LongType()), StructField("bal", DoubleType())]
+    )
+    queries, cfgs = [], {}
+    with _replay_shuffle(spark):
+        for pid, s in specs.items():
+            feed = pathlib.Path(work, pid, "feed")
+            feed.mkdir(parents=True)
+            ticks = [
+                (
+                    "t1_inserts.json",
+                    [
+                        env("c", None, {"k": k, "bal": b}, 2000)
+                        for k, b in s["keys"]
+                    ],
+                ),
+                (
+                    "t2_updates.json",
+                    [
+                        env(
+                            "u",
+                            {"k": k, "bal": b},
+                            {"k": k, "bal": b + s["delta"]},
+                            3000,
+                        )
+                        for k, b in s["keys"]
+                        if s["upd"](k)
+                    ],
+                ),
+                (
+                    "t3_deletes.json",
+                    [
+                        env("d", {"k": k, "bal": b}, None, 4000)
+                        for k, b in s["keys"]
+                        if s["del"](k)
+                    ],
+                ),
+            ]
+            for i, (name, lines) in enumerate(ticks):
+                f = feed / name
+                f.write_text("\n".join(lines) + "\n")
+                _os.utime(f, (1_700_000_000 + i,) * 2)
+            cfg = StreamConfig(
+                pipeline_id=pid,
+                target_path=f"{work}/{pid}/target",
+                event_log_path=f"{log_root}/pipeline={pid}",
+                checkpoint_dir=f"{work}/{pid}/ckpt",
+                max_files_per_trigger=1,
+            )
+            cfgs[pid] = cfg
+            # start WITHOUT awaiting: both pipelines run at once
+            queries.append(
+                start_changelog_stream(
+                    spark, file_source(spark, str(feed), 1), payload, cfg
+                )
+            )
+        for q in queries:
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
+
+    # isolation: each target holds only its own tenant's keys
+    for pid, lo, hi in (("p1", 0, 60), ("p2", 60, 120)):
+        n_foreign = (
+            spark.read.parquet(cfgs[pid].target_path)
+            .where((F.col("k") < lo) | (F.col("k") >= hi))
+            .count()
+        )
+        if n_foreign:
+            raise RuntimeError(
+                f"{pid}: {n_foreign} rows outside [{lo}, {hi}) — pipeline"
+                " isolation violated"
+            )
+    shared_log = spark.read.parquet(log_root)  # partition discovery
+    if [r["pipeline_id"] for r in
+            shared_log.select("pipeline_id").distinct().orderBy(
+                "pipeline_id").collect()] != ["p1", "p2"]:
+        raise RuntimeError("shared event log must carry both pipelines")
+    # every row's stamped pipeline_id must agree with the partition that
+    # physically owns it — the writer never crossed a tenant boundary
+    n_cross = shared_log.where(
+        F.col("pipeline") != F.col("pipeline_id")
+    ).count()
+    if n_cross:
+        raise RuntimeError(
+            f"{n_cross} event-log rows landed in another pipeline's"
+            " partition — shared-log isolation violated"
+        )
+    ops = (
+        shared_log.groupBy("pipeline_id")
+        .pivot("event_type", ["insert", "update", "delete"])
+        .count()
+        .select(
+            "pipeline_id",
+            F.coalesce("insert", F.lit(0)).alias("events_insert"),
+            F.coalesce("update", F.lit(0)).alias("events_update"),
+            F.coalesce("delete", F.lit(0)).alias("events_delete"),
+        )
+    )
+    states = []
+    for pid in specs:
+        cs = target_current_state(spark, cfgs[pid].target_path, ["k"])
+        states.append(
+            cs.agg(
+                F.count(F.lit(1)).alias("current_rows"),
+                F.sum(F.col("bal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_bal"),
+            ).select(F.lit(pid).alias("pipeline_id"), "*")
+        )
+    state = states[0].unionByName(states[1])
+    return ops.join(state, "pipeline_id").orderBy("pipeline_id")

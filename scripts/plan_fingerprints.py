@@ -63,6 +63,7 @@ SKIP = {
     "stream_drift_gate",
     "stream_state_metrics_report",
     "stream_windowed_hll_distinct",
+    "multi_pipeline_concurrent",
 }
 
 _NODE_RE = re.compile(r"^[\s:+\-*>()\d]*([A-Za-z][A-Za-z0-9]*)")
