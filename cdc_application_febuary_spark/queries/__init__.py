@@ -43,65 +43,13 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 # ordering is evidence curation; every query keeps at least one green
 # verdict across rounds (zero rotation debt since r5).
 _ROUND_PRIORITY = [
-    # Round-8 window (the driver checks the first ~50 registry entries):
-    # zero rotation debt carries in (VERDICT r7), so per VERDICT r7 item 7
-    # the window leads with the STALEST driver verdicts — every query whose
-    # latest driver hash-MATCH dates to round 1, oldest-first (computed from
-    # the CORRECTNESS_r01..r07 union) — then any round-8 additions, then the
-    # remaining registry ascending by verdict age.
-    # --- latest driver verdict: round 1 ---
-    "ann_topk_bruteforce",
-    "changelog_normalize",
-    "daily_zero_filled",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "embedding_norm_stats",
-    "fingerprint_stats",
-    "lang_id_confusion",
-    "latest_event_per_type",
-    "lsn_roundtrip",
-    "monitoring_dashboard",
-    "price_quantity_correlation",
-    "profile_nulls",
-    "profile_top_values",
-    "q1",
-    "q11",
-    "q12",
-    "q13",
-    "q14",
-    "q15",
-    "q16",
-    "q17",
-    "q18",
-    "q19",
-    "q2",
-    "q20",
-    "q3",
-    "q4",
-    "q5",
-    "q6",
-    "q7",
-    "q8",
-    "q9",
-    "scd2_current_state",
-    "scd2_history_spans",
-    "sliding_hourly_counts",
-    "text_quality",
-    "token_stats",
-    "user_sessions",
-    "value_histogram",
+    # Round-9 window (the driver checks the first ~50 registry entries):
+    # VERDICT r8 item 6 — rotation continues OLDEST-FIRST. Post-r8 the
+    # stalest driver verdicts are the 44 r2-vintage queries; they lead,
+    # the three r9 additions follow, then the registry ascending by
+    # verdict age (r3, r4, r5, r6, r7, r8 — recomputed from the
+    # CORRECTNESS_r01..r08 union).
     # --- latest driver verdict: round 2 ---
-    "pipeline_lifecycle_runner",
-    "scd2_time_travel_snapshots",
-    "rerank_cross_encoder",
-    "stream_session_eviction",
-    # (round-8 additions are inserted ABOVE this line, after the r1 block)
-    "asof_attribution",
-    "contamination_check",
-    "corpus_prep_funnel",
     "cube_status_priority",
     "daily_moving_avg",
     "daily_pivot",
@@ -146,6 +94,10 @@ _ROUND_PRIORITY = [
     "value_percentiles",
     "value_quartiles",
     "zorder_layout_stats",
+    # --- latest driver verdict: NEW in round 9 (no driver verdict yet) ---
+    "stream_state_metrics_report",
+    "stream_windowed_hll_distinct",
+    "multi_pipeline_concurrent",
     # --- latest driver verdict: round 3 ---
     "ann_topk_ivf_index",
     "attribution_models",
@@ -297,6 +249,57 @@ _ROUND_PRIORITY = [
     "video_frame_index",
     "video_probe",
     "vocab_growth_curve",
+    # --- latest driver verdict: round 8 ---
+    "ann_topk_bruteforce",
+    "asof_attribution",
+    "changelog_normalize",
+    "contamination_check",
+    "corpus_prep_funnel",
+    "daily_zero_filled",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_norm_stats",
+    "fingerprint_stats",
+    "lang_id_confusion",
+    "latest_event_per_type",
+    "lsn_roundtrip",
+    "monitoring_dashboard",
+    "pipeline_lifecycle_runner",
+    "price_quantity_correlation",
+    "profile_nulls",
+    "profile_top_values",
+    "q1",
+    "q11",
+    "q12",
+    "q13",
+    "q14",
+    "q15",
+    "q16",
+    "q17",
+    "q18",
+    "q19",
+    "q2",
+    "q20",
+    "q3",
+    "q4",
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "rerank_cross_encoder",
+    "scd2_current_state",
+    "scd2_history_spans",
+    "scd2_time_travel_snapshots",
+    "sliding_hourly_counts",
+    "stream_session_eviction",
+    "text_quality",
+    "token_stats",
+    "user_sessions",
+    "value_histogram",
 ]
 
 
