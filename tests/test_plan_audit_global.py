@@ -97,6 +97,10 @@ SCALAR_BROADCAST_OK = {
     # 1-row doc-count broadcast for the decile bucketing (corpus_ops
     # vocab_growth_curve; the cumulative window runs over 10 rows)
     "vocab_growth_curve",
+    # the '<all>' rollup row: a 1-row register-union estimate crossed
+    # with the 1-row exact global distinct (pipeline_ops
+    # stream_windowed_hll_distinct) — two scalars into one report row
+    "stream_windowed_hll_distinct",
 }
 
 
