@@ -162,7 +162,12 @@ def _ratio_report(timings: dict[str, float]) -> dict:
     )
     ratios = {k: round(timings[k] / base[k], 3) for k in carried}
     rs = sorted(ratios.values())
-    median = rs[len(rs) // 2] if rs else None
+    if not rs:
+        median = None
+    elif len(rs) % 2:
+        median = rs[len(rs) // 2]
+    else:
+        median = round((rs[len(rs) // 2 - 1] + rs[len(rs) // 2]) / 2, 3)
     over = {
         k: {"base": base[k], "now": timings[k], "ratio": ratios[k]}
         for k in carried
