@@ -205,6 +205,7 @@ def pagerank_fixedpoint(
     damping_den: int = 20,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_nodes_max: int = 5_000_000,
 ) -> DataFrame:
     """PageRank in EXACT fixed-point integer arithmetic — the
     oracle-expressible member of the iterative family (same structure as
@@ -230,6 +231,16 @@ def pagerank_fixedpoint(
     keyed aggregation per step, localCheckpoint lineage cuts, two bounded
     driver scalars (flowing mass, current total) per iteration.
 
+    Join strategy is gated on the EXACT node count (already in hand from
+    the init scan): at or below ``broadcast_nodes_max`` the per-iteration
+    rank and inflow frames — both node-sized — are broadcast, so the
+    (much larger) edge table is never reshuffled per step; above it the
+    joins fall back to shuffle, the only plan that survives a
+    billion-node graph. Values are identical either way (join strategy
+    cannot change integer arithmetic); measured 12.9 -> 8.1 s min-of-3
+    at sf0.1 (r9). 5M nodes of (long, long) is ~80 MB broadcast — inside
+    a healthy executor budget, re-shipped once per iteration.
+
     Folding the two scalars into one job (VERDICT r6 item 5) was
     implemented and MEASURED SLOWER in r7 (13.8 s vs 11.7 s min-of-3 at
     sf0.1): `contrib` is persisted, so the "extra" total pass is a scan
@@ -251,10 +262,12 @@ def pagerank_fixedpoint(
     out_edges.count()
 
     base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    small = n <= broadcast_nodes_max
+    bcast = F.broadcast if small else (lambda df: df)
     ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("rank"))
     for _ in range(iterations):
         contrib = (
-            out_edges.join(ranks, "node")
+            out_edges.join(bcast(ranks), "node")
             .select("dst", F.expr("rank div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
@@ -265,7 +278,9 @@ def pagerank_fixedpoint(
         share = (int(total) - int(flowing)) // n  # dangling mass per node
         ranks = (
             nodes.join(
-                contrib.withColumnRenamed("dst", "node"), "node", "left"
+                bcast(contrib.withColumnRenamed("dst", "node")),
+                "node",
+                "left",
             )
             .select(
                 "node",

@@ -195,3 +195,27 @@ def test_pagerank_fixedpoint_tracks_float_pagerank(spark):
     assert set(fx) == set(fl)
     for k in fx:
         assert abs(fx[k] - fl[k]) < 1e-8
+
+
+def test_pagerank_fixedpoint_join_strategy_is_value_invariant(spark):
+    """The r9 node-count gate picks broadcast vs shuffle joins; the
+    integer ranks must be BIT-IDENTICAL either way (join strategy cannot
+    change arithmetic — this pin keeps it that way)."""
+    from cdc_application_febuary_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in range(12)
+         if a != b and (a * 7 + b) % 3 == 0],
+        "src long, dst long",
+    )
+    via_broadcast = sorted(
+        (r["node"], r["rank"])
+        for r in graph.pagerank_fixedpoint(df, iterations=5).collect()
+    )
+    via_shuffle = sorted(
+        (r["node"], r["rank"])
+        for r in graph.pagerank_fixedpoint(
+            df, iterations=5, broadcast_nodes_max=0
+        ).collect()
+    )
+    assert via_broadcast == via_shuffle
