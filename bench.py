@@ -23,7 +23,7 @@ mins (what a clean serial run would cost), with the raw wall-clock kept in
 
 Standing regression ledger (VERDICT r8 item 1): every run compares its
 per-query mins against the frozen base ledger ($SPARK_GRAFT_BENCH_BASE,
-default BENCHQ_r08.json — the r8 solo min-of-5 freeze; re-point when a
+default BENCHQ_r09.json — the r9 solo min-of-5 freeze; re-point when a
 round re-freezes). The carried-query median ratio and every query over
 1.5x its base min land in the sidecar BENCH_RATIOS.json and as
 "carried_median_vs_base" / "over_1_5x_count" in the headline line, so a
@@ -121,7 +121,7 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
-    ratio_summary = _ratio_report(timings)
+    ratio_summary = _ratio_report(timings, sf_val, runs)
     print(
         json.dumps(
             {
@@ -142,17 +142,24 @@ def main() -> None:
     spark.stop()
 
 
-def _ratio_report(timings: dict[str, float]) -> dict:
+def _ratio_report(timings: dict[str, float], sf_val, runs: int) -> dict:
     """Compare this run's per-query mins to the frozen base ledger; write
     the full table to BENCH_RATIOS.json and return headline fields.
     Ratios only make sense at the base's SF (0.1) and are noisy below
-    min-of-5 — both facts are recorded in the sidecar, not silently
-    assumed away."""
+    min-of-5 — so the run's sf and samples-per-query are RECORDED in the
+    sidecar, and a run at any other SF writes a separately named
+    BENCH_RATIOS_sf<sf>.json instead of clobbering the standing sf0.1
+    ledger with cross-SF garbage (ADVICE r9)."""
     here = Path(__file__).resolve().parent
-    base_name = os.environ.get("SPARK_GRAFT_BENCH_BASE", "BENCHQ_r08.json")
+    base_name = os.environ.get("SPARK_GRAFT_BENCH_BASE", "BENCHQ_r09.json")
     base_path = here / base_name
     if not base_path.exists():
         return {}
+    base_sf = 0.1  # every BENCHQ_r* freeze is a solo sf0.1 run
+    cross_sf = sf_val != base_sf
+    out_name = (
+        f"BENCH_RATIOS_sf{sf_val}.json" if cross_sf else "BENCH_RATIOS.json"
+    )
     base = {
         k: v["min"] if isinstance(v, dict) else float(v)
         for k, v in json.loads(base_path.read_text()).items()
@@ -175,6 +182,9 @@ def _ratio_report(timings: dict[str, float]) -> dict:
     }
     report = {
         "base_ledger": base_name,
+        "base_sf": base_sf,
+        "run_sf": sf_val,
+        "runs_per_query": runs,
         "carried_queries": len(carried),
         "new_queries": sorted(set(timings) - set(base)),
         "retired_queries": sorted(set(base) - set(timings)),
@@ -188,13 +198,18 @@ def _ratio_report(timings: dict[str, float]) -> dict:
             " calling it a code regression (CLAUDE.md)"
         ),
     }
-    (here / "BENCH_RATIOS.json").write_text(
-        json.dumps(report, indent=1, sort_keys=False)
-    )
+    if cross_sf:
+        report["cross_sf_warning"] = (
+            f"run sf={sf_val} differs from the base ledger's sf={base_sf};"
+            " ratios are NOT comparable — standing BENCH_RATIOS.json left"
+            " untouched"
+        )
+    (here / out_name).write_text(json.dumps(report, indent=1, sort_keys=False))
     return {
         "carried_median_vs_base": median,
         "over_1_5x_count": len(over),
-        "ratios_file": str(here / "BENCH_RATIOS.json"),
+        "ratios_file": str(here / out_name),
+        **({"cross_sf_ratios": True} if cross_sf else {}),
     }
 
 

@@ -1084,7 +1084,16 @@ def multi_pipeline_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in queries:
             q.awaitTermination(120)
             if q.isActive:
+                # ADVICE r9: a silent q.stop() here truncates the feed on a
+                # contended machine and the failure then surfaces downstream
+                # as an oracle hash mismatch / isolation noise — raise the
+                # actual cause instead.
                 q.stop()
+                raise RuntimeError(
+                    f"pipeline stream {q.name or q.id} still active after"
+                    " 120 s awaitTermination — feed did not drain; aborting"
+                    " instead of truncating (machine contention?)"
+                )
 
     # isolation: each target holds only its own tenant's keys
     for pid, lo, hi in (("p1", 0, 60), ("p2", 60, 120)):

@@ -77,12 +77,16 @@ def worker(repo: str) -> None:
     spark.stop()
 
 
-def _spawn(repo: str) -> subprocess.Popen:
+def _spawn(repo: str, tag: str) -> subprocess.Popen:
+    # ADVICE r9: worker stderr used to go to DEVNULL, so startup failures
+    # (e.g. an old worktree whose get_spark signature differs) surfaced only
+    # as a bare "worker failed to start" — tee it to a log file instead.
+    log = HERE / f"interleaved_probe_{tag}.stderr.log"
     return subprocess.Popen(
         [sys.executable, str(Path(__file__).resolve()), "--worker", repo],
         stdin=subprocess.PIPE,
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=open(log, "w"),
         text=True,
         cwd=repo,
     )
@@ -117,12 +121,15 @@ def main() -> None:
         ap.error("driver mode needs --old and query names")
 
     sides = {"new": str(HERE), "old": str(Path(args.old).resolve())}
-    procs = {k: _spawn(v) for k, v in sides.items()}
+    procs = {k: _spawn(v, k) for k, v in sides.items()}
     for k, p in procs.items():
         while True:
             line = p.stdout.readline()
             if not line:
-                raise RuntimeError(f"{k} worker failed to start")
+                raise RuntimeError(
+                    f"{k} worker failed to start — see"
+                    f" {HERE}/interleaved_probe_{k}.stderr.log"
+                )
             try:
                 if json.loads(line).get("ready"):
                     break
@@ -155,8 +162,10 @@ def main() -> None:
             p.kill()
     verdict = {}
     for q in args.queries:
+        # ADVICE r9: min over POSITIVE samples only — one transient -1.0
+        # error sample must not discard the remaining valid samples.
         mins = {
-            k: (min(v) if v and min(v) > 0 else None)
+            k: (min(good) if (good := [s for s in v if s > 0]) else None)
             for k, v in samples[q].items()
         }
         ratio = (

@@ -1,6 +1,7 @@
 """bench.py's standing regression ledger (_ratio_report): the computed
 artifact the round relies on must compute medians/ratios correctly and
-tolerate registry growth and retirement (VERDICT r8 item 1)."""
+tolerate registry growth and retirement (VERDICT r8 item 1), and must not
+clobber the sf0.1 ledger with cross-SF ratios (ADVICE r9)."""
 
 import importlib.util
 import json
@@ -28,7 +29,7 @@ def test_ratio_report_math_and_artifact(bench_mod, monkeypatch, tmp_path):
         bench_mod, "__file__", str(tmp_path / "bench.py"), raising=False
     )
     timings = {"a": 1.0, "b": 3.2, "new": 0.5}
-    out = bench_mod._ratio_report(timings)
+    out = bench_mod._ratio_report(timings, 0.1, 5)
     assert out["carried_median_vs_base"] == pytest.approx(1.3, abs=1e-9)
     assert out["over_1_5x_count"] == 1
     rep = json.loads((tmp_path / "BENCH_RATIOS.json").read_text())
@@ -38,6 +39,32 @@ def test_ratio_report_math_and_artifact(bench_mod, monkeypatch, tmp_path):
     assert rep["new_queries"] == ["new"]
     assert rep["retired_queries"] == ["gone"]
     assert rep["carried_queries"] == 2
+    # ADVICE r9: the sidecar records the run's SF and sample count
+    assert rep["run_sf"] == 0.1
+    assert rep["base_sf"] == 0.1
+    assert rep["runs_per_query"] == 5
+
+
+def test_ratio_report_cross_sf_does_not_clobber(
+    bench_mod, monkeypatch, tmp_path
+):
+    """A run at sf0.01 must write a separately named artifact and leave the
+    standing sf0.1 BENCH_RATIOS.json untouched (ADVICE r9)."""
+    (tmp_path / "BASE.json").write_text(json.dumps({"a": {"min": 1.0}}))
+    standing = tmp_path / "BENCH_RATIOS.json"
+    standing.write_text('{"sentinel": true}')
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BASE", "BASE.json")
+    monkeypatch.setattr(
+        bench_mod, "__file__", str(tmp_path / "bench.py"), raising=False
+    )
+    out = bench_mod._ratio_report({"a": 2.0}, 0.01, 3)
+    assert out["cross_sf_ratios"] is True
+    assert out["ratios_file"].endswith("BENCH_RATIOS_sf0.01.json")
+    # the standing ledger is untouched
+    assert json.loads(standing.read_text()) == {"sentinel": True}
+    rep = json.loads((tmp_path / "BENCH_RATIOS_sf0.01.json").read_text())
+    assert "cross_sf_warning" in rep
+    assert rep["run_sf"] == 0.01
 
 
 def test_ratio_report_missing_base_is_silent(bench_mod, monkeypatch, tmp_path):
@@ -45,7 +72,7 @@ def test_ratio_report_missing_base_is_silent(bench_mod, monkeypatch, tmp_path):
     monkeypatch.setattr(
         bench_mod, "__file__", str(tmp_path / "bench.py"), raising=False
     )
-    assert bench_mod._ratio_report({"a": 1.0}) == {}
+    assert bench_mod._ratio_report({"a": 1.0}, 0.1, 3) == {}
 
 
 def test_ratio_report_skips_errored_queries(bench_mod, monkeypatch, tmp_path):
@@ -54,13 +81,13 @@ def test_ratio_report_skips_errored_queries(bench_mod, monkeypatch, tmp_path):
     monkeypatch.setattr(
         bench_mod, "__file__", str(tmp_path / "bench.py"), raising=False
     )
-    out = bench_mod._ratio_report({"a": -1.0})  # errored: no ratio
+    out = bench_mod._ratio_report({"a": -1.0}, 0.1, 3)  # errored: no ratio
     assert out["carried_median_vs_base"] is None
     assert out["over_1_5x_count"] == 0
 
 
-def test_standing_base_is_the_r8_freeze():
-    """NOTES.md declares BENCHQ_r08 the base; the default must agree."""
+def test_standing_base_is_the_r9_freeze():
+    """NOTES.md declares BENCHQ_r09 the base; the default must agree."""
     src = (REPO / "bench.py").read_text()
-    assert '"SPARK_GRAFT_BENCH_BASE", "BENCHQ_r08.json"' in src
-    assert (REPO / "BENCHQ_r08.json").exists()
+    assert '"SPARK_GRAFT_BENCH_BASE", "BENCHQ_r09.json"' in src
+    assert (REPO / "BENCHQ_r09.json").exists()
