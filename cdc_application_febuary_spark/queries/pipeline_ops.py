@@ -1487,6 +1487,114 @@ def lsn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F2 completion (VERDICT r9 item 3): ALL FOUR engine offset formats the
+# reference emits round-trip through format + parse — PG 'X/Y', SQL Server
+# 'file:slot:op', Oracle 'SCN:n' (connectors/oracle.py:203-263), AS400
+# 'JOURNAL:lib:iso-ts' (connectors/as400.py:747-844). Each row synthesizes
+# a known offset long, renders the engine's wire string, re-parses it via
+# the engine-dispatching offset_to_long (the shape of a real multi-source
+# lag table), and re-formats; the oracle states the identity directly, so
+# any parse/format/dispatch bug breaks n_parse_ok / n_fmt_ok / the sums.
+# ---------------------------------------------------------------------------
+_OFFSET_ALL_ORACLE = """
+WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+v AS (
+  SELECT 'postgresql' AS engine, (k % 4096) * 4294967296 + (k % 65536) + 17 AS v FROM k
+  UNION ALL
+  SELECT 'sqlserver', (k % 1024) * 281474976710656 + (k % 100000) * 65536 + (k % 100) FROM k
+  UNION ALL
+  SELECT 'oracle', k * 7 + 1000003 FROM k
+  UNION ALL
+  SELECT 'as400', 1700000000000000 + (k % 999983) * 1000003 FROM k
+)
+SELECT engine,
+       COUNT(*) AS n,
+       COUNT(*) AS n_parse_ok,
+       COUNT(*) AS n_fmt_ok,
+       CAST(SUM(v % 86028157) AS BIGINT) AS sum_offset_mod,
+       MAX(v) AS max_offset
+FROM v GROUP BY engine ORDER BY engine
+"""
+
+
+@_q("offset_roundtrip_all_engines", _OFFSET_ALL_ORACLE)
+def offset_roundtrip_all_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.lsn import (
+        long_to_as400_journal,
+        long_to_oracle_scn,
+        long_to_sqlserver_lsn,
+        offset_to_long,
+    )
+
+    k = F.col("o_orderkey").cast("long")
+    o = load_table(spark, sf_dir, "orders").select(k.alias("k"))
+    b = lambda n: F.lit(n).cast("long")
+    frames = []
+    for engine, v_expr, fmt in [
+        (
+            "postgresql",
+            (F.col("k") % 4096) * b(4294967296) + (F.col("k") % 65536) + 17,
+            long_to_pg_lsn,
+        ),
+        (
+            "sqlserver",
+            (F.col("k") % 1024) * b(281474976710656)
+            + (F.col("k") % 100000) * b(65536)
+            + (F.col("k") % 100),
+            long_to_sqlserver_lsn,
+        ),
+        ("oracle", F.col("k") * 7 + 1000003, long_to_oracle_scn),
+        (
+            "as400",
+            b(1700000000000000) + (F.col("k") % 999983) * b(1000003),
+            lambda c: long_to_as400_journal(c, "JRNLIB"),
+        ),
+    ]:
+        frames.append(
+            o.select(
+                F.lit(engine).alias("engine"),
+                v_expr.alias("v"),
+                fmt(v_expr).alias("offset_str"),
+            )
+        )
+    all_rows = frames[0]
+    for fr in frames[1:]:
+        all_rows = all_rows.unionByName(fr)
+    parsed = offset_to_long("offset_str", "engine")
+    refmt = (
+        F.when(F.col("engine") == "postgresql", long_to_pg_lsn(parsed))
+        .when(F.col("engine") == "sqlserver", long_to_sqlserver_lsn(parsed))
+        .when(F.col("engine") == "oracle", long_to_oracle_scn(parsed))
+        .otherwise(long_to_as400_journal(parsed, "JRNLIB"))
+    )
+    rows = all_rows.select(
+        "engine",
+        "v",
+        parsed.alias("parsed"),
+        refmt.alias("refmt"),
+        F.col("offset_str"),
+    )
+    return (
+        rows.groupBy("engine")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("parsed") == F.col("v"), 1).otherwise(0)
+            ).alias("n_parse_ok"),
+            F.sum(
+                F.when(F.col("refmt") == F.col("offset_str"), 1).otherwise(0)
+            ).alias("n_fmt_ok"),
+            # sum a modular residue: raw offsets reach ~2.9e17 (sqlserver
+            # file<<48) and epoch-micros scale, so a straight SUM over 150k
+            # rows overflows int64 — the residue keeps the identity exact.
+            F.sum(F.col("parsed") % 86028157).alias("sum_offset_mod"),
+            F.max("parsed").alias("max_offset"),
+        )
+        .orderBy("engine")
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join (custom operator Spark lacks; union-tag implementation) —
 # purchase events attributed to the user's most recent prior click.
 # Timestamps compared as raw epoch-nanos on both sides for exact parity.

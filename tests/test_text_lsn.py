@@ -3,7 +3,14 @@
 from pyspark.sql import functions as F
 
 from cdc_application_febuary_spark.functions.lsn import (
+    as400_journal_library,
+    as400_journal_to_long,
+    long_to_as400_journal,
+    long_to_oracle_scn,
     long_to_pg_lsn,
+    long_to_sqlserver_lsn,
+    offset_to_long,
+    oracle_scn_to_long,
     pg_lsn_to_long,
     sqlserver_lsn_to_long,
 )
@@ -81,3 +88,65 @@ def test_sqlserver_lsn_orderable(spark):
     hi = _one(spark, sqlserver_lsn_to_long(F.lit("00000025:00000448:0002")))
     hi2 = _one(spark, sqlserver_lsn_to_long(F.lit("00000026:00000000:0000")))
     assert lo < hi < hi2
+
+
+def test_sqlserver_lsn_roundtrip(spark):
+    v = (0x25 << 48) | (0x448 << 16) | 0x2
+    s = _one(spark, long_to_sqlserver_lsn(F.lit(v).cast("long")))
+    assert s == "25:448:2"
+    assert _one(spark, sqlserver_lsn_to_long(F.lit(s))) == v
+
+
+def test_oracle_scn_roundtrip_and_malformed(spark):
+    # reference emits f"SCN:{current_scn}" (connectors/oracle.py:203-263)
+    assert _one(spark, oracle_scn_to_long(F.lit("SCN:274056831"))) == 274056831
+    assert _one(
+        spark, long_to_oracle_scn(F.lit(274056831).cast("long"))
+    ) == "SCN:274056831"
+    # ordering is integer ordering
+    assert _one(spark, oracle_scn_to_long(F.lit("SCN:99"))) < _one(
+        spark, oracle_scn_to_long(F.lit("SCN:100"))
+    )
+    # malformed -> NULL (the reference yields lsn=None on failure)
+    for bad in ("274056831", "SCN:", "SCN:12x", "LSN:5"):
+        assert _one(spark, oracle_scn_to_long(F.lit(bad))) is None
+
+
+def test_as400_journal_roundtrip_and_malformed(spark):
+    # reference emits f"JOURNAL:{library}:{utcnow().isoformat()}"
+    # (connectors/as400.py:747-844); orderable long = epoch micros (UTC)
+    s = "JOURNAL:QSYS:2023-11-14T22:13:20.000123"
+    v = _one(spark, as400_journal_to_long(F.lit(s)))
+    assert v == 1700000000000123
+    assert _one(spark, as400_journal_library(F.lit(s))) == "QSYS"
+    back = _one(spark, long_to_as400_journal(F.lit(v).cast("long"), "QSYS"))
+    assert back == s
+    # later timestamp -> larger long (the lag ordering contract)
+    later = "JOURNAL:QSYS:2023-11-14T22:13:21.000000"
+    assert _one(spark, as400_journal_to_long(F.lit(later))) > v
+    for bad in ("JOURNAL:QSYS", "2023-11-14T22:13:20", "JRN:Q:2023-01-01T00:00:00"):
+        assert _one(spark, as400_journal_to_long(F.lit(bad))) is None
+
+
+def test_offset_to_long_dispatch(spark):
+    df = spark.createDataFrame(
+        [
+            ("postgresql", "1/0"),
+            ("sqlserver", "1:0:0"),
+            ("oracle", "SCN:42"),
+            ("as400", "JOURNAL:JRNLIB:2023-11-14T22:13:20.000000"),
+            ("mysql", "binlog.000001:4"),  # unknown engine -> NULL
+        ],
+        ["engine", "offset_str"],
+    )
+    got = {
+        r["engine"]: r["v"]
+        for r in df.select(
+            "engine", offset_to_long("offset_str", "engine").alias("v")
+        ).collect()
+    }
+    assert got["postgresql"] == 1 << 32
+    assert got["sqlserver"] == 1 << 48
+    assert got["oracle"] == 42
+    assert got["as400"] == 1700000000000000
+    assert got["mysql"] is None
