@@ -3275,6 +3275,157 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Schema drift -> auto-evolution lifecycle (J2 driver-visible; VERDICT r9
+# item 4). The JDBC auto-DDL twin is Derby-e2e-tested
+# (tests/test_jdbc_derby_evolution.py); this drives the SAME classifier
+# (evolution.plan_evolution over operators.drift.diff_schemas, reference
+# data_quality.py:117-211 / validation.py:196-295) against the
+# file/manifest target: additive column, lossless int->bigint widen proven
+# by overflow rows, and a conflict PARK that must leave the committed
+# table state untouched. The oracle re-derives the post-evolution table
+# state from the customer fixture alone.
+# ---------------------------------------------------------------------------
+_SCHEMA_EVOLUTION_ORACLE = """
+WITH b1 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
+  FROM customer WHERE c_custkey < 40
+),
+b2 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           + 3000000000 AS bal,
+         c_mktsegment AS seg
+  FROM customer WHERE c_custkey >= 40 AND c_custkey < 80
+)
+SELECT * FROM (
+  SELECT 'meta:added_cols' AS item, CAST(1 AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS sum_bal
+  UNION ALL SELECT 'meta:widened_cols', 1, 0
+  UNION ALL SELECT 'meta:parked_conflicts', 1, 0
+  UNION ALL SELECT 'meta:version_after_park', 1, 0
+  UNION ALL
+  SELECT 'rows:pre_evolution_null_segment', COUNT(*),
+         CAST(SUM(bal) AS BIGINT) FROM b1
+  UNION ALL
+  SELECT 'rows:over_int32', COUNT(*), CAST(SUM(bal) AS BIGINT) FROM b2
+  UNION ALL
+  SELECT 'segment:' || seg, COUNT(*), CAST(SUM(bal) AS BIGINT)
+  FROM b2 GROUP BY seg
+) ORDER BY item
+"""
+
+
+@_q("schema_evolution_report", _SCHEMA_EVOLUTION_ORACLE)
+def schema_evolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 end-to-end: v0 commits (k int, bal int); the next poll observes
+    (k, bal BIGINT with every row above int32 max, + segment) —
+    ``plan_evolution`` classifies the drift (1 add, 1 widen), the batch is
+    conformed to the evolved schema and appended, and the manifest log's
+    own widening lattice must agree. A third batch re-types bal to STRING:
+    both the planner and the commit path must PARK it (SchemaConflictError
+    / commit refusal) leaving the committed version at 1. The final
+    snapshot read proves NULL-backfill (pre-evolution rows surface
+    segment=NULL) and the lossless widen (40 rows above int32 max)."""
+    import tempfile
+
+    from ..sources import manifest_table as mt
+    from ..sources.evolution import (
+        SchemaConflictError,
+        conform_for_append,
+        evolved_schema,
+        plan_evolution,
+    )
+
+    t = tempfile.mkdtemp(prefix="schemaevo_") + "/t"
+    bal100 = (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    cust = load_table(spark, sf_dir, "customer")
+    batch1 = (
+        cust.where(F.col("c_custkey") < 40)
+        .select(
+            F.col("c_custkey").cast("int").alias("k"),
+            bal100.cast("int").alias("bal"),
+        )
+        .coalesce(4)
+    )
+    mt.write_table(batch1, t, ["k"])
+
+    batch2 = (
+        cust.where((F.col("c_custkey") >= 40) & (F.col("c_custkey") < 80))
+        .select(
+            F.col("c_custkey").cast("int").alias("k"),
+            (bal100 + 3000000000).alias("bal"),  # bigint: every row > int32
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .coalesce(4)
+    )
+    target_v0 = mt.read_table(spark, t).schema
+    plan = plan_evolution(target_v0, batch2.schema)
+    evolved = evolved_schema(target_v0, plan)
+    mt.write_table(
+        conform_for_append(batch2, evolved, null_fill=True),
+        t,
+        ["k"],
+        mode="append",
+    )
+
+    # conflict batch: bal re-typed to string — NOT a lossless widening.
+    conflict = batch2.select("k", F.col("bal").cast("string").alias("bal"))
+    parked = 0
+    try:
+        plan_evolution(mt.read_table(spark, t).schema, conflict.schema)
+    except SchemaConflictError:
+        parked = 1
+    try:
+        mt.write_table(conflict, t, ["k"], mode="append")
+        raise RuntimeError(
+            "manifest commit accepted a bal bigint->string re-type — the"
+            " conflict park failed"
+        )
+    except ValueError:
+        pass  # the commit path refused independently of the planner
+
+    final = mt.read_table(spark, t)
+    if final.schema["bal"].dataType.simpleString() != "bigint":
+        raise RuntimeError("bal did not widen to bigint in the table log")
+    meta = spark.createDataFrame(
+        [
+            ("meta:added_cols", len(plan.add), 0),
+            ("meta:widened_cols", len(plan.widen), 0),
+            ("meta:parked_conflicts", parked, 0),
+            ("meta:version_after_park", mt.current_version(spark, t), 0),
+        ],
+        "item string, n bigint, sum_bal bigint",
+    )
+    row_agg = lambda df, tag: df.agg(
+        F.lit(tag).alias("item"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal").alias("sum_bal"),
+    ).select("item", "n", "sum_bal")
+    pre = row_agg(
+        final.where(F.col("segment").isNull()),
+        "rows:pre_evolution_null_segment",
+    )
+    over = row_agg(
+        final.where(F.col("bal") > 2147483647), "rows:over_int32"
+    )
+    segs = (
+        final.where(F.col("segment").isNotNull())
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bal").alias("sum_bal"))
+        .select(
+            F.concat(F.lit("segment:"), F.col("segment")).alias("item"),
+            "n",
+            "sum_bal",
+        )
+    )
+    return (
+        meta.unionByName(pre).unionByName(over).unionByName(segs)
+        .orderBy("item")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (training-batch construction)
 # ---------------------------------------------------------------------------
 @_q(
