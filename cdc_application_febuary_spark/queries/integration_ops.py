@@ -1146,3 +1146,217 @@ def multi_pipeline_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     state = states[0].unionByName(states[1])
     return ops.join(state, "pipeline_id").orderBy("pipeline_id")
+
+
+# ---------------------------------------------------------------------------
+# Backpressure / bounded-batch replay (VERDICT r9 item 7): the reference
+# throttles throughput via sink batch sizes
+# (`/root/reference/backend/ingestion/sink_config.py` batch.size /
+# consumer.override.max.poll.records; SURVEY §4 batch-sizing row) — in
+# Spark the same knob is maxFilesPerTrigger / maxOffsetsPerTrigger. The
+# contract worth a driver verdict: a THROTTLED replay (many small
+# micro-batches) must land the exact same target state as an UNBOUNDED
+# replay (one big batch) — rate limiting may never change results, only
+# batch boundaries.
+# ---------------------------------------------------------------------------
+_BACKPRESSURE_ORACLE = """
+WITH k AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, c_acctbal AS bal
+  FROM customer WHERE c_custkey < 100
+),
+surv AS (
+  SELECT k,
+         bal + CASE WHEN k % 3 = 0 THEN 100.0 ELSE 0.0 END
+             + CASE WHEN k % 5 = 1 THEN 50.0 ELSE 0.0 END AS bal
+  FROM k WHERE k % 7 <> 0
+),
+newk AS (SELECT k + 1000 AS k, bal + 7.25 + 25.0 AS bal FROM k WHERE k % 11 = 0),
+cur AS (SELECT * FROM surv UNION ALL SELECT * FROM newk)
+SELECT * FROM (
+  SELECT 'batches:bounded' AS item, CAST(6 AS BIGINT) AS n,
+         CAST(0 AS DOUBLE) AS total_bal
+  UNION ALL SELECT 'batches:unbounded', 1, 0
+  UNION ALL SELECT 'equal:current_state', 1, 0
+  UNION ALL SELECT 'ops:insert',
+    (SELECT COUNT(*) FROM k) + (SELECT COUNT(*) FROM k WHERE k % 11 = 0), 0
+  UNION ALL SELECT 'ops:update',
+      (SELECT COUNT(*) FROM k WHERE k % 3 = 0)
+    + (SELECT COUNT(*) FROM k WHERE k % 5 = 1 AND k % 7 <> 0)
+    + (SELECT COUNT(*) FROM k WHERE k % 11 = 0), 0
+  UNION ALL SELECT 'ops:delete', (SELECT COUNT(*) FROM k WHERE k % 7 = 0), 0
+  UNION ALL SELECT 'state:current_rows', (SELECT COUNT(*) FROM cur),
+    (SELECT CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) FROM cur)
+) ORDER BY item
+"""
+
+
+@_q("stream_backpressure_bounded_replay", _BACKPRESSURE_ORACLE)
+def stream_backpressure_bounded_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One six-file changelog feed (inserts, two update waves, deletes,
+    late inserts, late updates — strictly increasing source ts and file
+    mtimes) replayed through the SAME pipeline twice: unbounded
+    (every file in one micro-batch) and throttled
+    (``max_files_per_trigger=1`` — six micro-batches, the
+    maxOffsetsPerTrigger analog for the file twin). The query ASSERTS the
+    two SCD2 current states are row-for-row identical (a difference
+    raises), then reports the throttled run's batch count (6), the
+    unbounded run's (1), the per-op event-log totals, and the final
+    current-state rollup — all re-derived by the oracle from the customer
+    fixture. Deltas are dyadic (100.0 / 50.0 / 25.0 / 7.25) so double
+    arithmetic is bit-identical across engines; sums route through
+    DECIMAL(18,2) per CLAUDE.md."""
+    import json as _json
+    import os as _os
+    import pathlib
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..plans.runner import target_current_state
+    from ..streaming.changelog_stream import (
+        StreamConfig,
+        file_source,
+        start_changelog_stream,
+    )
+    from .pipeline_ops import _replay_shuffle
+
+    rows = [
+        (int(r["c_custkey"]), float(r["c_acctbal"]))
+        for r in load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    ]  # bounded: < 100 keys at every SF
+
+    def env(op, before, after, ts):
+        return _json.dumps(
+            {
+                "payload": {
+                    "before": before,
+                    "after": after,
+                    "source": {
+                        "ts_ms": ts,
+                        "db": "appdb",
+                        "schema": "public",
+                        "table": "customer",
+                    },
+                    "op": op,
+                    "ts_ms": ts,
+                }
+            }
+        )
+
+    def bal2(k, b):
+        return b + (100.0 if k % 3 == 0 else 0.0)
+
+    def bal4(k, b):
+        return bal2(k, b) + 50.0
+
+    ticks = [
+        ("f1_ins.json", [env("c", None, {"k": k, "bal": b}, 1000)
+                         for k, b in rows]),
+        ("f2_upd.json", [env("u", {"k": k, "bal": b},
+                             {"k": k, "bal": bal2(k, b)}, 2000)
+                         for k, b in rows if k % 3 == 0]),
+        ("f3_del.json", [env("d", {"k": k, "bal": bal2(k, b)}, None, 3000)
+                         for k, b in rows if k % 7 == 0]),
+        ("f4_upd.json", [env("u", {"k": k, "bal": bal2(k, b)},
+                             {"k": k, "bal": bal4(k, b)}, 4000)
+                         for k, b in rows if k % 5 == 1 and k % 7 != 0]),
+        ("f5_ins.json", [env("c", None,
+                             {"k": k + 1000, "bal": b + 7.25}, 5000)
+                         for k, b in rows if k % 11 == 0]),
+        ("f6_upd.json", [env("u", {"k": k + 1000, "bal": b + 7.25},
+                             {"k": k + 1000, "bal": b + 7.25 + 25.0}, 6000)
+                         for k, b in rows if k % 11 == 0]),
+    ]
+    work = tempfile.mkdtemp(prefix="backpressure_")
+    feed = pathlib.Path(work, "feed")
+    feed.mkdir(parents=True)
+    for i, (name, lines) in enumerate(ticks):
+        f = feed / name
+        f.write_text("\n".join(lines) + "\n")
+        _os.utime(f, (1_700_000_000 + i,) * 2)  # strict arrival order
+
+    payload = StructType(
+        [StructField("k", LongType()), StructField("bal", DoubleType())]
+    )
+    cfgs = {}
+    with _replay_shuffle(spark):
+        for mode, mft in (("unbounded", None), ("bounded", 1)):
+            cfg = StreamConfig(
+                pipeline_id=f"bp_{mode}",
+                target_path=f"{work}/{mode}/target",
+                event_log_path=f"{work}/{mode}/event_log",
+                checkpoint_dir=f"{work}/{mode}/ckpt",
+                max_files_per_trigger=mft,
+            )
+            cfgs[mode] = cfg
+            q = start_changelog_stream(
+                spark, file_source(spark, str(feed), mft), payload, cfg
+            )
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
+                raise RuntimeError(
+                    f"backpressure replay ({mode}) still active after 120 s"
+                    " — feed did not drain"
+                )
+
+    states = {
+        m: target_current_state(spark, cfgs[m].target_path, ["k"]).select(
+            "k", "bal"
+        )
+        for m in cfgs
+    }
+    diff = (
+        states["bounded"].exceptAll(states["unbounded"]).count()
+        + states["unbounded"].exceptAll(states["bounded"]).count()
+    )
+    if diff:
+        raise RuntimeError(
+            f"throttled and unbounded replays diverged on {diff} current-"
+            "state rows — rate limiting changed RESULTS, not just batching"
+        )
+
+    def n_batches(mode):
+        return (
+            spark.read.parquet(cfgs[mode].target_path)
+            .select("__batch_id")
+            .distinct()
+            .count()
+        )
+
+    meta = spark.createDataFrame(
+        [
+            ("batches:bounded", n_batches("bounded"), 0.0),
+            ("batches:unbounded", n_batches("unbounded"), 0.0),
+            ("equal:current_state", 1, 0.0),
+        ],
+        "item string, n bigint, total_bal double",
+    )
+    ops = (
+        spark.read.parquet(cfgs["bounded"].event_log_path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit("ops:"), F.col("event_type")).alias("item"),
+            "n",
+            F.lit(0.0).alias("total_bal"),
+        )
+    )
+    state = states["bounded"].agg(
+        F.lit("state:current_rows").alias("item"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("bal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    ).select("item", "n", "total_bal")
+    return meta.unionByName(ops).unionByName(state).orderBy("item")
