@@ -43,65 +43,13 @@ def _hash_stable(fn: QueryFn) -> QueryFn:
 # ordering is evidence curation; every query keeps at least one green
 # verdict across rounds (zero rotation debt since r5).
 _ROUND_PRIORITY = [
-    # Round-9 window (the driver checks the first ~50 registry entries):
-    # VERDICT r8 item 6 — rotation continues OLDEST-FIRST. Post-r8 the
-    # stalest driver verdicts are the 44 r2-vintage queries; they lead,
-    # the three r9 additions follow, then the registry ascending by
-    # verdict age (r3, r4, r5, r6, r7, r8 — recomputed from the
-    # CORRECTNESS_r01..r08 union).
-    # --- latest driver verdict: round 2 ---
-    "cube_status_priority",
-    "daily_moving_avg",
-    "daily_pivot",
-    "daily_rollup",
-    "events_filtered_page",
-    "events_skew_report",
-    "grouping_sets_mktsegment_nation",
-    "ivm_segment_totals",
-    "lineage_reachability",
-    "manifest_change_feed",
-    "pack_documents",
-    "part_name_near_pairs",
-    "part_name_tokens",
-    "profile_orders",
-    "set_reconcile",
-    "stateful_running_counts",
-    "supplier_balance_ranks",
-    "tfidf_top_terms",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_brand_supplier_cnt",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_last_to_ship_supplier",
-    "tpch_q22_idle_customers",
-    "tpch_q2_min_price_part",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "user_session_windows",
-    "value_band_join",
-    "value_percentiles",
-    "value_quartiles",
-    "zorder_layout_stats",
-    # --- latest driver verdict: NEW in round 9 (no driver verdict yet) ---
-    "stream_state_metrics_report",
-    "stream_windowed_hll_distinct",
-    "multi_pipeline_concurrent",
+    # Round-10 window: VERDICT r9 item 1 — rotation continues
+    # OLDEST-FIRST. Post-r9 the stalest driver verdicts are the 38
+    # r3-vintage queries; they lead, the three r10 additions follow
+    # (inside the ~50 window so they get birth verdicts), then the
+    # registry ascending by verdict age (r4, r5, r6, r7, r8, r9 —
+    # recomputed from the CORRECTNESS_r01..r09 union).
     # --- latest driver verdict: round 3 ---
-    "ann_topk_ivf_index",
-    "attribution_models",
-    "backfill_gap_plan",
     "benford_price_audit",
     "bigram_merge_candidates",
     "bloom_filtered_revenue",
@@ -140,6 +88,10 @@ _ROUND_PRIORITY = [
     "value_equidepth_hist",
     "value_outliers_mad",
     "yoy_revenue_growth",
+    # --- latest driver verdict: NEW in round 10 (no driver verdict yet) ---
+    "offset_roundtrip_all_engines",
+    "schema_evolution_report",
+    "stream_backpressure_bounded_replay",
     # --- latest driver verdict: round 4 ---
     "asof_nearest_click",
     "bm25_topk",
@@ -300,6 +252,57 @@ _ROUND_PRIORITY = [
     "token_stats",
     "user_sessions",
     "value_histogram",
+    # --- latest driver verdict: round 9 ---
+    "ann_topk_ivf_index",
+    "attribution_models",
+    "backfill_gap_plan",
+    "cube_status_priority",
+    "daily_moving_avg",
+    "daily_pivot",
+    "daily_rollup",
+    "events_filtered_page",
+    "events_skew_report",
+    "grouping_sets_mktsegment_nation",
+    "ivm_segment_totals",
+    "lineage_reachability",
+    "manifest_change_feed",
+    "multi_pipeline_concurrent",
+    "pack_documents",
+    "part_name_near_pairs",
+    "part_name_tokens",
+    "profile_orders",
+    "set_reconcile",
+    "stateful_running_counts",
+    "stream_state_metrics_report",
+    "stream_windowed_hll_distinct",
+    "supplier_balance_ranks",
+    "tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_brand_supplier_cnt",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_last_to_ship_supplier",
+    "tpch_q22_idle_customers",
+    "tpch_q2_min_price_part",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "user_session_windows",
+    "value_band_join",
+    "value_percentiles",
+    "value_quartiles",
+    "zorder_layout_stats",
 ]
 
 
