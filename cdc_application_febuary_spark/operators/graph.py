@@ -149,6 +149,7 @@ def pagerank(
     keeps the result deterministic and oracle-independent of float
     convergence tests.
     """
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
@@ -194,6 +195,9 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         contrib.unpersist()
+    nodes.unpersist()
+    out_edges.unpersist()
+    edges.unpersist()
     return ranks
 
 
@@ -241,14 +245,28 @@ def pagerank_fixedpoint(
     at sf0.1 (r9). 5M nodes of (long, long) is ~80 MB broadcast — inside
     a healthy executor budget, re-shipped once per iteration.
 
-    Folding the two scalars into one job (VERDICT r6 item 5) was
+    Folding the two scalars into one JOIN (VERDICT r6 item 5) was
     implemented and MEASURED SLOWER in r7 (13.8 s vs 11.7 s min-of-3 at
-    sf0.1): `contrib` is persisted, so the "extra" total pass is a scan
-    of the just-checkpointed rank frame (no shuffle, no recompute),
-    while the fold — flowing as sum(deg * (rank div deg)) over
-    ranks ⟕ deg — adds a second JOIN per iteration to save one trivial
-    scan. Kept as-is; at cluster scale the same reasoning holds (the
-    total scan is narrow and shuffle-free; an extra join is not)."""
+    sf0.1): flowing as sum(deg * (rank div deg)) over ranks ⟕ deg adds a
+    second JOIN per iteration. The r10 fold is join-free instead: the two
+    scalar sums ride ONE action as a tagged union (two independent scans
+    inside one job — contrib materializes its cache in the same pass), so
+    each iteration costs one driver round trip, not two.
+
+    r10 optimization (guide §1.2 "remove passes", §5 caching): the edge
+    input is persisted ONCE up front — nodes, deg and out_edges each
+    re-derived it before (an expensive co-occurrence self-join was being
+    recomputed ~6x during init: nodes.count unioned it twice,
+    out_edges.count paid it twice directly plus twice under deg). The
+    per-iteration checkpoint is now LAZY (localCheckpoint(eager=False)):
+    the logical lineage is truncated immediately — without truncation the
+    sums union doubles the analyzed tree every iteration (exponential
+    driver-side planning, the CLAUDE.md chain rule) — but the
+    materialization rides the next job that scans the rank frame instead
+    of paying a dedicated eager checkpoint job per step. A two-deep
+    window keeps each contrib persisted until the lazy rank frame built
+    from it has materialized."""
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
@@ -265,6 +283,7 @@ def pagerank_fixedpoint(
     small = n <= broadcast_nodes_max
     bcast = F.broadcast if small else (lambda df: df)
     ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("rank"))
+    prev_contrib = None
     for _ in range(iterations):
         contrib = (
             out_edges.join(bcast(ranks), "node")
@@ -273,26 +292,52 @@ def pagerank_fixedpoint(
             .agg(F.sum("c").alias("inflow"))
             .persist()
         )
-        flowing = contrib.agg(F.sum("inflow")).first()[0] or 0
-        total = ranks.agg(F.sum("rank")).first()[0]
+        # one job for both scalars: tag-unioned partial sums (flowing
+        # over the materializing contrib cache, total over the current
+        # rank frame) — no join, two narrow scans, one driver round trip
+        sums = {
+            r["k"]: r["s"]
+            for r in contrib.select(
+                F.lit(0).alias("k"), F.col("inflow").alias("v")
+            )
+            .unionByName(
+                ranks.select(F.lit(1).alias("k"), F.col("rank").alias("v"))
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        }
+        flowing = sums.get(0) or 0
+        total = sums[1]
         share = (int(total) - int(flowing)) // n  # dangling mass per node
-        ranks = (
-            nodes.join(
-                bcast(contrib.withColumnRenamed("dst", "node")),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                F.expr(
-                    f"CAST({base} + ({damping_num} * ({share} + "
-                    f"coalesce(inflow, CAST(0 AS BIGINT)))) div {damping_den} "
-                    "AS BIGINT)"
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            bcast(contrib.withColumnRenamed("dst", "node")), "node", "left"
+        ).select(
+            "node",
+            F.expr(
+                f"CAST({base} + ({damping_num} * ({share} + "
+                f"coalesce(inflow, CAST(0 AS BIGINT)))) div {damping_den} "
+                "AS BIGINT)"
+            ).alias("rank"),
         )
-        contrib.unpersist()
+        # LAZY checkpoint: truncates the logical lineage immediately (the
+        # sums union references the rank frame alongside contrib, so an
+        # untruncated chain doubles the analyzed tree every iteration —
+        # the CLAUDE.md exponential-chain rule, driver-side edition) but
+        # materializes inside the NEXT job that scans ranks instead of
+        # paying a dedicated per-step checkpoint job.
+        ranks = ranks.localCheckpoint(eager=False)
+        # contrib must outlive the lazy rank frame's first materialization
+        # (next iteration's sums job), hence the two-deep window
+        if prev_contrib is not None:
+            prev_contrib.unpersist()
+        prev_contrib = contrib
+    # materialize the final lazy checkpoint so the returned frame is
+    # self-contained before its inputs are unpersisted
+    ranks.count()
+    if prev_contrib is not None:
+        prev_contrib.unpersist()
     nodes.unpersist()
     out_edges.unpersist()
+    edges.unpersist()
     return ranks
