@@ -258,14 +258,8 @@ def pagerank_fixedpoint(
     re-derived it before (an expensive co-occurrence self-join was being
     recomputed ~6x during init: nodes.count unioned it twice,
     out_edges.count paid it twice directly plus twice under deg). The
-    per-iteration checkpoint is now LAZY (localCheckpoint(eager=False)):
-    the logical lineage is truncated immediately — without truncation the
-    sums union doubles the analyzed tree every iteration (exponential
-    driver-side planning, the CLAUDE.md chain rule) — but the
-    materialization rides the next job that scans the rank frame instead
-    of paying a dedicated eager checkpoint job per step. A two-deep
-    window keeps each contrib persisted until the lazy rank frame built
-    from it has materialized."""
+    per-iteration eager localCheckpoint stays — the in-loop comment
+    records why the lazy variant was probed and rejected."""
     edges = edges.persist()
     nodes = (
         edges.select(F.col(src_col).alias("node"))
@@ -283,7 +277,6 @@ def pagerank_fixedpoint(
     small = n <= broadcast_nodes_max
     bcast = F.broadcast if small else (lambda df: df)
     ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("rank"))
-    prev_contrib = None
     for _ in range(iterations):
         contrib = (
             out_edges.join(bcast(ranks), "node")
@@ -320,23 +313,18 @@ def pagerank_fixedpoint(
                 "AS BIGINT)"
             ).alias("rank"),
         )
-        # LAZY checkpoint: truncates the logical lineage immediately (the
+        # EAGER checkpoint per step: truncates the logical lineage (the
         # sums union references the rank frame alongside contrib, so an
         # untruncated chain doubles the analyzed tree every iteration —
-        # the CLAUDE.md exponential-chain rule, driver-side edition) but
-        # materializes inside the NEXT job that scans ranks instead of
-        # paying a dedicated per-step checkpoint job.
-        ranks = ranks.localCheckpoint(eager=False)
-        # contrib must outlive the lazy rank frame's first materialization
-        # (next iteration's sums job), hence the two-deep window
-        if prev_contrib is not None:
-            prev_contrib.unpersist()
-        prev_contrib = contrib
-    # materialize the final lazy checkpoint so the returned frame is
-    # self-contained before its inputs are unpersisted
-    ranks.count()
-    if prev_contrib is not None:
-        prev_contrib.unpersist()
+        # the CLAUDE.md exponential-chain rule, driver-side edition) and
+        # keeps every broadcast build of the rank frame a plain read of
+        # materialized partitions. A LAZY checkpoint variant (materialize
+        # inside the next sums scan) was probed in r10 and found fragile:
+        # each rank broadcast then nests a contrib broadcast build inside
+        # it, which degraded under long-session load (interleaved probe
+        # 1.5x worst case) for a saving of only 8 trivial jobs.
+        ranks = ranks.localCheckpoint(eager=True)
+        contrib.unpersist()
     nodes.unpersist()
     out_edges.unpersist()
     edges.unpersist()

@@ -61,6 +61,25 @@ def _manifest_dir(table_path: str) -> str:
     return f"{table_path.rstrip('/')}/_manifest"
 
 
+def _read_small_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file (manifest / commit meta / clone marker) ON
+    THE DRIVER through the Hadoop FS API — works on any Hadoop
+    filesystem, costs zero Spark jobs. The previous
+    ``spark.read.text(path).collect()`` scheduled a full distributed job
+    (scan task + result fetch) per KB-sized metadata read; lifecycle
+    queries (index appends, incremental folds, change feeds) issue many
+    such reads per run, and metadata planning belongs on the driver (the
+    Delta/Iceberg log-read design) — r10 optimization, guide §1.2."""
+    fs, p = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def _list_versions(spark: SparkSession, table_path: str) -> list[int]:
     import re
 
@@ -82,8 +101,6 @@ def current_version(spark: SparkSession, table_path: str) -> int | None:
 
 
 def _read_manifest(spark: SparkSession, table_path: str, version: int) -> list[FileEntry]:
-    # manifests are small driver-side JSON; spark.read.text handles any
-    # Hadoop filesystem without py4j byte-stream gymnastics
     path = f"{_manifest_dir(table_path)}/v{version}.json"
     fs, p = _fs(spark, path)
     if not fs.exists(p):
@@ -91,8 +108,7 @@ def _read_manifest(spark: SparkSession, table_path: str, version: int) -> list[F
             f"version {version} of {table_path} does not exist "
             f"(vacuumed or never committed)"
         )
-    text = "\n".join(r["value"] for r in spark.read.text(path).collect())
-    doc = json.loads(text)
+    doc = json.loads(_read_small_text(spark, path))
     entries = doc["entries"] if isinstance(doc, dict) else doc
     return [FileEntry(**e) for e in entries]
 
@@ -107,8 +123,7 @@ def read_commit_meta(
     fs, p = _fs(spark, path)
     if not fs.exists(p):
         raise FileNotFoundError(f"version {version} of {table_path} does not exist")
-    text = "\n".join(r["value"] for r in spark.read.text(path).collect())
-    doc = json.loads(text)
+    doc = json.loads(_read_small_text(spark, path))
     return doc.get("meta", {}) if isinstance(doc, dict) else {}
 
 
@@ -922,10 +937,7 @@ def _read_clone_marker(
     fs, marker = _clone_marker(spark, source_path, target_path)
     if not fs.exists(marker):
         return {}
-    text = "\n".join(
-        r["value"] for r in spark.read.text(marker.toString()).collect()
-    )
-    return json.loads(text)
+    return json.loads(_read_small_text(spark, marker.toString()))
 
 
 def _deregister_clone(
@@ -946,10 +958,7 @@ def registered_clones(spark: SparkSession, table_path: str) -> list[str]:
     for st in fs.listStatus(cdir):
         if not st.getPath().getName().endswith(".json"):
             continue
-        text = "\n".join(
-            r["value"]
-            for r in spark.read.text(st.getPath().toString()).collect()
-        )
+        text = _read_small_text(spark, st.getPath().toString())
         targets.append(json.loads(text)["target"])
     return sorted(targets)
 
