@@ -618,6 +618,11 @@ def srp_semantic_dedup_batch(
         admitted = keepers.join(hits, "_id", "left_anti")
     else:
         admitted = keepers
+    # persist: the store append below is the first execution and the
+    # checkpointed return projection the second — without the cache the
+    # whole admit pipeline (bucket join, in-batch cosine collapse, store
+    # probe) re-ran per batch (r10; semantic_dedup_batch already did this)
+    admitted = admitted.persist()
     mt.write_table(
         admitted.select(
             "bucket", F.col("_id").alias("id"), F.col("_vec").alias("vec")
@@ -630,5 +635,6 @@ def srp_semantic_dedup_batch(
     out = admitted.select(
         F.col("_id").alias(id_col), "bucket"
     ).localCheckpoint(eager=True)
+    admitted.unpersist()
     withb.unpersist()
     return out

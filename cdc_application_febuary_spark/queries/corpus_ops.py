@@ -1796,7 +1796,7 @@ def incremental_line_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = line_dedup_batch(
         lined.where(F.col("doc_id") % 3 == 1), store, 1
     )
-    total = mt.read_table(spark, store).count()
+    total = mt.table_rows(spark, store)
     rows.append((99, 0, 0, int(total), -1 if replay is None else -2))
     return spark.createDataFrame(
         rows,

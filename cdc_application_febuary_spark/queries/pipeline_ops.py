@@ -196,7 +196,7 @@ def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     t = tempfile.mkdtemp(prefix="gdpr_") + "/cust"
     mt.write_table(cust.repartitionByRange(8, "c_custkey"), t, ["c_custkey"])
-    before = mt.read_table(spark, t).count()
+    before = mt.table_rows(spark, t)
     stats = mt.delete_where(
         spark, t, "c_mktsegment = 'BUILDING'", ["c_custkey"]
     )
@@ -7053,7 +7053,7 @@ def near_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable=True,
         )
         rows.append((bi, out.count()))
-    sig_rows = mt.read_table(spark, _sig_store_path(store)).count()
+    sig_rows = mt.table_rows(spark, _sig_store_path(store))
     return spark.createDataFrame(
         [(b, n, sig_rows) for b, n in rows],
         "batch_id int, admitted bigint, store_sigs bigint",
@@ -9035,7 +9035,7 @@ def incremental_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 3 == 1), store, 2,
         planes=8, threshold=0.45,
     )
-    store_rows = mt.read_table(spark, store).count()
+    store_rows = mt.table_rows(spark, store)
     rows.append((99, 0, -1 if replay is None else replay.count()))
     return spark.createDataFrame(
         [(b, n, a, store_rows) for b, n, a in rows],

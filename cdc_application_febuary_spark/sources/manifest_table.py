@@ -279,6 +279,23 @@ def read_table(
     return _read_entries(spark, table_path, version, entries)
 
 
+def table_rows(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> int:
+    """Exact row count of one committed version from the manifest's
+    per-file entry stats — identical to what a full scan returns
+    (``entry.rows`` is measured from the staged files at commit time),
+    for zero Spark jobs and zero data I/O. The log-is-the-truth count,
+    same as Delta's ``numRecords`` / Iceberg's manifest counts (r10
+    optimization: lifecycle queries paid a full store scan per fold just
+    to report the store footprint)."""
+    if version is None:
+        version = current_version(spark, table_path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    return sum(e.rows for e in _read_manifest(spark, table_path, version))
+
+
 def version_as_of(
     spark: SparkSession, table_path: str, ts_ms: int
 ) -> int | None:

@@ -13,6 +13,7 @@ from cdc_application_febuary_spark.sources.manifest_table import (
     merge_upsert,
     read_table,
     snapshots,
+    table_rows,
     vacuum,
     version_as_of,
     write_table,
@@ -32,6 +33,23 @@ def test_write_read_roundtrip_and_versions(spark, tmp_path):
     assert v1 == 1
     got = {(r["k"], r["v"]) for r in read_table(spark, t).collect()}
     assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_table_rows_matches_scan_every_version(spark, tmp_path):
+    """table_rows (manifest-entry stat sum, zero jobs) must equal the
+    full-scan count on every committed version — the r10 replacement for
+    lifecycle queries' per-fold store-count scans."""
+    t = str(tmp_path / "trows")
+    with pytest.raises(FileNotFoundError):
+        table_rows(spark, t)
+    write_table(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t, ["k"])
+    write_table(_df(spark, [(4, "d")]), t, ["k"], mode="append")
+    write_table(_df(spark, [(9, "z"), (10, "y")]), t, ["k"], mode="overwrite")
+    for v in (0, 1, 2):
+        assert table_rows(spark, t, version=v) == read_table(
+            spark, t, version=v
+        ).count()
+    assert table_rows(spark, t) == 2
 
 
 def test_overwrite_replaces_snapshot(spark, tmp_path):
