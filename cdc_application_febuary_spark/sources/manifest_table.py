@@ -225,15 +225,116 @@ def _write_manifest_atomic(
         )
 
 
+def _footer_entries(
+    spark: SparkSession, stage: str, key_cols: list[str]
+) -> list[FileEntry] | None:
+    """Per-file (rows, key min/max) from the just-written parquet FOOTERS,
+    read on the driver — zero Spark jobs, zero data I/O (r10 optimization;
+    this is where Iceberg/Delta get their manifest stats too). Returns
+    None when any file's statistics can't be mapped faithfully (missing
+    stats, exotic physical type, truncated binary) so the caller can fall
+    back to the scan-based aggregate — stats feed file PRUNING, so a
+    wrong value here would silently corrupt reads; only exact mappings
+    (int32/int64/float/double/UTF-8 binary) are accepted."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs, sdir = _fs(spark, stage)
+    entries: list[FileEntry] = []
+    for st in fs.listStatus(sdir):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet") or name.startswith((".", "_")):
+            continue
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath(), conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            footer = reader.getFooter()
+            blocks = footer.getBlocks()
+            rows = 0
+            mins: dict = {}
+            maxs: dict = {}
+            for bi in range(blocks.size()):
+                block = blocks.get(bi)
+                rows += block.getRowCount()
+                cols = block.getColumns()
+                for ci in range(cols.size()):
+                    col = cols.get(ci)
+                    k = col.getPath().toDotString()
+                    if k not in key_cols:
+                        continue
+                    stats = col.getStatistics()
+                    if stats is None or stats.isEmpty():
+                        return None  # no stats recorded: can't be faithful
+                    if not stats.hasNonNullValue():
+                        continue  # all-null chunk contributes no min/max
+                    tname = str(
+                        stats.type().getPrimitiveTypeName().toString()
+                    )
+                    if tname in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+                        lo, hi = stats.genericGetMin(), stats.genericGetMax()
+                    elif tname == "BINARY":
+                        lt = stats.type().getLogicalTypeAnnotation()
+                        if lt is None or "string" not in str(lt).lower():
+                            return None
+                        lo = stats.genericGetMin().toStringUsingUTF8()
+                        hi = stats.genericGetMax().toStringUsingUTF8()
+                    else:
+                        return None  # INT96/decimal/etc: fall back
+                    if k not in mins or lo < mins[k]:
+                        mins[k] = lo
+                    if k not in maxs or hi > maxs[k]:
+                        maxs[k] = hi
+            if rows == 0:
+                continue  # empty task file: the scan path never listed it
+            missing = [k for k in key_cols if k not in mins]
+            if missing:
+                # either an all-null key column (scan min = NULL) or a
+                # column absent from the footer; only the former is
+                # faithful — fall back unless the schema really has it
+                schema_cols = {
+                    str(
+                        footer.getFileMetaData()
+                        .getSchema()
+                        .getFields()
+                        .get(i)
+                        .getName()
+                    )
+                    for i in range(
+                        footer.getFileMetaData().getSchema().getFieldCount()
+                    )
+                }
+                if any(k not in schema_cols for k in missing):
+                    return None
+            entries.append(
+                FileEntry(
+                    path=str(st.getPath().toString()),
+                    rows=int(rows),
+                    key_min={k: mins.get(k) for k in key_cols},
+                    key_max={k: maxs.get(k) for k in key_cols},
+                )
+            )
+        finally:
+            reader.close()
+    return entries
+
+
 def _stage_files(
     df: DataFrame, table_path: str, key_cols: list[str]
 ) -> list[FileEntry]:
     """Write ``df`` as new immutable parquet files under a unique subdir and
-    return their entries with per-file key min/max stats (one pass over the
-    written files' footers via a count/min/max aggregate per file)."""
+    return their entries with per-file key min/max stats — from the
+    written files' footers when faithfully mappable (driver-side, no
+    second pass over the data), else via a count/min/max aggregate scan."""
     spark = df.sparkSession
     stage = f"{table_path.rstrip('/')}/data-{uuid.uuid4().hex}"
     df.write.parquet(stage)
+    try:
+        footer = _footer_entries(spark, stage, key_cols)
+    except Exception:
+        footer = None
+    if footer is not None:
+        return footer
     staged = spark.read.parquet(stage).withColumn(
         "__file", F.input_file_name()
     )

@@ -52,6 +52,53 @@ def test_table_rows_matches_scan_every_version(spark, tmp_path):
     assert table_rows(spark, t) == 2
 
 
+def test_footer_stats_match_scan_stats(spark, tmp_path):
+    """The r10 footer-based staging stats must be value-identical to the
+    scan-based aggregate they replaced — stats drive file pruning, so a
+    divergence here silently corrupts reads. Covers int/long/string keys,
+    a null-bearing string key, an all-null key, and the fallback type."""
+    from cdc_application_febuary_spark.sources.manifest_table import (
+        _stage_files,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, i * 10, f"{i:032x}" if i % 5 else None, float(i))
+            for i in range(100)
+        ],
+        "ki int, kl long, ks string, v double",
+    ).repartition(4)
+    entries = _stage_files(df, str(tmp_path / "tf"), ["ki", "kl", "ks"])
+    staged = spark.read.parquet(*[e.path for e in entries]).withColumn(
+        "__file", F.input_file_name()
+    )
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for k in ("ki", "kl", "ks"):
+        aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+
+    def _norm(p):
+        return p.replace("file:///", "file:/")
+
+    scan = {
+        _norm(r["__file"]): r
+        for r in staged.groupBy("__file").agg(*aggs).collect()
+    }
+    for e in entries:
+        r = scan[_norm(e.path)]
+        assert e.rows == r["rows"]
+        for k in ("ki", "kl", "ks"):
+            assert e.key_min[k] == r[f"mn_{k}"]
+            assert e.key_max[k] == r[f"mx_{k}"]
+    # all-null key column: min/max None, rows still counted
+    nulls = _stage_files(
+        spark.createDataFrame([(None, i) for i in range(10)], "ks string, v int"),
+        str(tmp_path / "tn"),
+        ["ks"],
+    )
+    assert sum(e.rows for e in nulls) == 10
+    assert all(e.key_min["ks"] is None and e.key_max["ks"] is None for e in nulls)
+
+
 def test_overwrite_replaces_snapshot(spark, tmp_path):
     t = str(tmp_path / "t2")
     write_table(_df(spark, [(1, "a")]), t, ["k"])
