@@ -1093,56 +1093,63 @@ def simhash_portable_pairs(
     sharing a 4-char prefix collide, the accepted trade for
     replayability; the production tier keeps full-token xxhash64.
 
-    Shape is the classic simhash pipeline, all JVM expressions: explode
-    tokens (multiplicity = weight), vote ±1 per fingerprint bit, sign
-    of the per-bit sum builds the fingerprint, chunk-banding
-    (``bands`` equi-join keys of ``bits/bands`` bits) generates
-    candidates — two fingerprints within ``max_hamming`` bits must
-    agree on at least one chunk when ``max_hamming < bands`` — and the
-    exact Hamming distance (``bit_count(a ^ b)``) verifies. Returns
-    (a, b, hamming), a < b."""
+    Shape (r10-optimized): token hashes are a JVM ``transform`` over the
+    pre-projected token array and the per-document ±1 bit-vote fold runs
+    as an Arrow-batched numpy pass PER ROW — the fingerprint needs no
+    shuffle at all (the previous form exploded tokens x ``bits`` rows,
+    ~32x the corpus token count, through two keyed aggregations; guide
+    §2.4/§4.2 — same exact integer votes, and the 64-bit xxhash tier's
+    janino-cliff note on the all-expression alternative applies here
+    too). Chunk-banding (``bands`` equi-join keys of ``bits/bands``
+    bits) then generates candidates — two fingerprints within
+    ``max_hamming`` bits must agree on at least one chunk when
+    ``max_hamming < bands`` — and the exact Hamming distance
+    (``bit_count(a ^ b)``) verifies. Returns (a, b, hamming), a < b."""
     assert bits % bands == 0
     chunk_bits = bits // bands
-    tok = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
-    )
-    v = sum(
-        (
-            F.ascii(F.substring(F.col("t"), i + 1, 1)).cast("bigint")
-            * (131 ** (3 - i))
-            for i in range(4)
-        ),
-        F.lit(0).cast("bigint"),
-    )
-    h = (v * F.lit(2654435761).cast("bigint")) % F.lit(2**bits).cast(
-        "bigint"
-    )
-    bitcol = F.explode(
-        F.array(*[F.lit(b) for b in range(bits)])
-    ).alias("b")
-    votes = (
-        tok.select("_id", h.alias("h"), bitcol)
-        .select(
-            "_id",
-            "b",
-            # SQL form: the python shiftright wrapper wants a literal
-            # bit count, not a column
-            F.when(F.expr("shiftright(h, b)") % 2 == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("vote"),
+
+    def _h(t):
+        v = sum(
+            (
+                F.ascii(F.substring(t, i + 1, 1)).cast("bigint")
+                * (131 ** (3 - i))
+                for i in range(4)
+            ),
+            F.lit(0).cast("bigint"),
         )
-        .groupBy("_id", "b")
-        .agg(F.sum("vote").alias("s"))
-    )
-    fp = votes.groupBy("_id").agg(
-        F.sum(
-            # bigint base: shiftleft(1, 31) overflows INT to negative
-            F.when(
-                F.col("s") >= 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("fp")
+        return (v * F.lit(2654435761).cast("bigint")) % F.lit(
+            2**bits
+        ).cast("bigint")
+
+    @pandas_udf("long")
+    def _fold(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = []
+        for row in hs:
+            arr = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            # (tokens, bits) of ±1 summed per bit; sign >= 0 sets the bit
+            # (the vote-sum tie keeps the bit, matching the previous
+            # `s >= 0` aggregate exactly)
+            signs = (
+                ((arr[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1
+            ).sum(axis=0)
+            val = ((signs >= 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64
+            )
+            out.append(np.int64(val))
+        return pd.Series(out, dtype="int64")
+
+    toks = tokens(F.lower(F.col(text_col)))
+    fp = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.transform(toks, _h).alias("_hs"),
+        )
+        # explode semantics of the previous form: a doc with no tokens
+        # produced no vote rows and therefore no fingerprint — filter
+        # instead of emitting an all-zero fp that would band-collide
+        .where(F.size("_hs") > 0)
+        .select("_id", _fold("_hs").alias("fp"))
     )
     banded = fp.select(
         "_id",

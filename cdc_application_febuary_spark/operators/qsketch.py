@@ -106,13 +106,39 @@ def merge_quantiles(
     cum = cent.withColumn("cum", F.sum("w").over(w)).withColumn(
         "total", F.sum("w").over(Window.partitionBy())
     )
-    picks = None
-    for p in probs:
-        hit = (
-            cum.where(F.col("cum") >= F.ceil(F.lit(p) * F.col("total")))
-            .orderBy("c")
-            .limit(1)
-            .select(F.lit(float(p)).alias("p"), F.col("c").alias("estimate"))
+    # ONE pass for every requested quantile: the pick for p is the
+    # smallest centroid mean whose cumulative weight crosses ceil(p*n),
+    # i.e. min(c) over qualifying rows — value-identical to the previous
+    # per-p orderBy+limit(1) subplans, which each re-ran the global
+    # cumulative window (r10 optimization, guide §1.2: the window sort
+    # executed once per probe point).
+    row = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(p) * F.col("total")),
+                    F.col("c"),
+                )
+            ).alias(f"_e{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    picks = (
+        row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(p)).alias("p"),
+                            F.col(f"_e{i}").alias("estimate"),
+                        )
+                        for i, p in enumerate(probs)
+                    ]
+                )
+            ).alias("r")
         )
-        picks = hit if picks is None else picks.unionAll(hit)
+        .select("r.*")
+        # empty centroid set: the old per-p form returned zero rows
+        .where(F.col("estimate").isNotNull())
+    )
     return picks.orderBy("p")

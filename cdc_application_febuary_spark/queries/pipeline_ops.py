@@ -954,16 +954,20 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # persist both tiers: each is counted AND re-joined below — without
+    # the cache the 6-table LSH pipeline and the exact blocked top-k each
+    # executed twice (r10; the coverage count is only "free" if the LSH
+    # output really is materialized)
     lsh = similarity.lsh_topk(
         emb, queries, k=5, dim=64, planes=5, query_id_col="query_id",
         probes=1, tables=6,
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").persist()
     qs = queries.orderBy(
         portable_unit_hash32("query_id", _ANN_LSH_SEED), "query_id"
     ).limit(_ANN_LSH_SAMPLE)
     exact_s = similarity.cosine_topk_blocked(
         emb, qs, k=5, query_id_col="query_id"
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").persist()
     nq = queries.count()
     n_sample = qs.count()
     got = lsh.count()
@@ -975,6 +979,8 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_s, ["query_id", "neighbor_id"], "left_semi"
     ).count()
     fp = _fixture_fp(spark, sf_dir, emb)
+    lsh.unpersist()
+    exact_s.unpersist()
     return spark.createDataFrame(
         [
             (
