@@ -102,7 +102,10 @@ def lm_scores(
             "doc_id", F.explode(char_windows(F.col("__t"))).alias("tri")
         )
     scored_tri = (
-        tri_tbl.join(model, "tri", "left")
+        # broadcast: the model is alphabet^3-bounded (distinct trigrams),
+        # while tri_tbl is corpus-character-sized — a shuffle join here
+        # moves the whole exploded corpus by trigram key
+        tri_tbl.join(F.broadcast(model), "tri", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
@@ -161,7 +164,9 @@ def lm_scores_exact(
     model = exploded.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
     totals = model.agg(F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("d"))
     scored = (
-        exploded.join(model, "tri")
+        # broadcast for the same reason as lm_scores: never shuffle the
+        # corpus-sized exploded table by trigram
+        exploded.join(F.broadcast(model), "tri")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",

@@ -104,8 +104,20 @@ def repetition_stats(
             lambda g: F.struct(nlit.alias("n"), g.alias("g")),
         )
 
+    # r10: LINES ride the same explode as the grams, tagged n = 0 (no
+    # gram size is 0, so the keyspaces cannot collide) — previously the
+    # line counters were a second explode + groupBy + join chain over the
+    # same token arrays, doubling the tokenization scans, shuffles, and
+    # per-doc joins; merged, the counters are value-identical because
+    # every (id, n, g) group is untouched, only co-shuffled.
     gram_arrays = F.flatten(
-        F.array(*[_tagged(n) for n in (*top_ns, *dup_ns)])
+        F.array(
+            *[_tagged(n) for n in (*top_ns, *dup_ns)],
+            F.transform(
+                _lines(F.col("_toks"), line_width),
+                lambda g: F.struct(F.lit(0).alias("n"), g.alias("g")),
+            ),
+        )
     )
     # explode_outer + null guard, NOT plain explode: the optimizer's
     # InferFiltersFromGenerate would otherwise plant a Filter(size>0)
@@ -120,6 +132,7 @@ def repetition_stats(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     cover = F.col("cnt") * F.length("g").cast("long")
+    line_row = F.col("n") == 0
     gram_aggs = [
         F.coalesce(
             F.max(F.when(F.col("n") == n, cover)), F.lit(0).cast("long")
@@ -131,41 +144,27 @@ def repetition_stats(
             F.lit(0).cast("long"),
         ).alias(f"dup{n}_cover")
         for n in dup_ns
-    ]
-    per_doc_grams = gram_counts.groupBy("id").agg(*gram_aggs)
-
-    line_counts = (
-        base.select(
-            "id",
-            F.explode_outer(_lines(F.col("_toks"), line_width)).alias(
-                "line"
-            ),
-        )
-        .where(F.col("line").isNotNull())
-        .groupBy("id", "line")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    per_doc_lines = line_counts.groupBy("id").agg(
-        F.sum("cnt").cast("long").alias("total_lines"),
+    ] + [
+        F.coalesce(F.sum(F.when(line_row, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("total_lines"),
         F.coalesce(
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+            F.sum(F.when(line_row & (F.col("cnt") > 1), F.col("cnt"))),
+            F.lit(0),
         ).cast("long").alias("dup_lines"),
         F.coalesce(
             F.sum(
                 F.when(
-                    F.col("cnt") > 1,
-                    F.col("cnt") * F.length("line").cast("long"),
+                    line_row & (F.col("cnt") > 1),
+                    F.col("cnt") * F.length("g").cast("long"),
                 )
             ),
             F.lit(0),
         ).cast("long").alias("dup_line_chars"),
-    )
+    ]
+    per_doc_grams = gram_counts.groupBy("id").agg(*gram_aggs)
 
-    out = (
-        base.drop("_toks")
-        .join(per_doc_lines, "id", "left")
-        .join(per_doc_grams, "id", "left")
-    )
+    out = base.drop("_toks").join(per_doc_grams, "id", "left")
     fill = {"total_lines": 0, "dup_lines": 0, "dup_line_chars": 0}
     for n in top_ns:
         fill[f"top{n}_cover"] = 0

@@ -3896,10 +3896,13 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_punct"),
         T.lang_marker_score(F.col("text"), "en").cast("long").alias("en_markers"),
         (T.lang_id(F.col("text")) == "en").cast("long").alias("y"),
-    )
+    ).persist()  # r10: feature extraction ran 4x (mean agg, scale agg, zq
+    # materialization, scoring pass) — tokenize/regexp/lang-id are the
+    # whole cost of this query, the cached frame is 6 longs per doc
     model = C.fit_logreg_fixedpoint(docs, _QC_FEATS, "y", iters=8, lr_shift=2)
     scored = docs.select(model.margin16_col().alias("s"), "y")
     auc = C.auc_exact_pair(scored, "s", "y").first()
+    docs.unpersist()
     rows = [
         ("w_e6:" + c, w) for c, w in zip(_QC_FEATS, model.weights_e6)
     ] + [
@@ -5100,7 +5103,10 @@ def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    q6 = q5.join(contam, "doc_id", "left_anti")
+    # r10: persist — q6 (and the 5-gram contamination join above it)
+    # is evaluated twice otherwise: once for its stage row, once
+    # under the packing branch
+    q6 = q5.join(contam, "doc_id", "left_anti").persist()
     packed = P.pack_documents(q6.select("doc_id", "source", "text"), budget=256)
 
     def stage(df: DataFrame, i: int, name: str) -> DataFrame:
@@ -9591,7 +9597,10 @@ def corpus_prep_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    q6 = q5.join(contam, "doc_id", "left_anti")
+    # r10: persist — q6 (and the 5-gram contamination join above it)
+    # is evaluated twice otherwise: once for its stage row, once
+    # under the packing branch
+    q6 = q5.join(contam, "doc_id", "left_anti").persist()
     packed = P.pack_documents(q6.select("doc_id", "source", "text"), budget=256)
 
     def stage(df: DataFrame, i: int, name: str) -> DataFrame:

@@ -1043,6 +1043,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("ps_partkey")
         .agg(F.sum(value).alias("value_dec"))
+        # r10: persist — the threshold scalar and the probe side each
+        # planned the full synth-partsupp join+agg tree (16 parquet
+        # scans, no exchange reuse); cached it is one pass + a tiny
+        # per-part frame
+        .persist()
     )
     total = grouped.agg(
         (F.sum("value_dec").cast("double") / F.count(F.lit(1)) * 1.5).alias(
