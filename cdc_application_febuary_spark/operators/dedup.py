@@ -1025,19 +1025,29 @@ def srp_semantic_dedup(
     pseudo-random), which is the accepted trade for a value oracle; the
     production tier remains `embedding_near_dup_pairs(use_srp_buckets)`.
 
-    Plan shape: the explode(dim x planes) is pure expressions (no join),
-    bucket assignment is one keyed agg, candidate generation is one
-    bucket equi-self-join verified by the vectorized cosine, and
-    clustering is the shared distributed label propagation. Returns
-    (id, grp, keep) for EVERY input row (singletons keep themselves).
+    Plan shape (r10): bucket assignment is a per-row fold — a JVM
+    transform to exact integer micro-units plus one Arrow numpy matmul
+    (`similarity.portable_srp_bucket_col`), no explode, no shuffle, no
+    join; candidate generation is one bucket equi-self-join verified by
+    the vectorized cosine, and clustering is the shared distributed
+    label propagation. Returns (id, grp, keep) for EVERY input row
+    (singletons keep themselves).
     """
     from ..functions.vectors import cosine_pairs
-    from .similarity import portable_srp_buckets
+    from .similarity import portable_srp_bucket_col
 
-    buckets = portable_srp_buckets(emb, id_col, vec_col, planes)
-    withb = emb.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    ).join(buckets, "_id")
+    # r10: the portable bucket is a per-row exact-decimal fold — attach
+    # it as a column instead of joining the aggregated bucket frame back
+    # by id (bit-identical values; NULL-bucket rows were dropped by the
+    # old inner join, the filter preserves that). persist: both sides of
+    # the bucket self-join consume it, and the interpreted decimal fold
+    # is the operator's per-row cost — evaluate it once (unpersist below:
+    # connected_components cuts lineage eagerly on both its paths)
+    withb = emb.where(F.size(F.col(vec_col)) > 0).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        portable_srp_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    ).persist()
     a = withb.select(
         F.col("_id").alias("a"),
         F.col("_vec").alias("va"),
@@ -1055,6 +1065,7 @@ def srp_semantic_dedup(
         .select("a", "b")
     )
     cc = dedup_clusters(pairs)
+    withb.unpersist()
     return (
         emb.select(F.col(id_col).alias("id"))
         .join(

@@ -573,16 +573,21 @@ def srp_semantic_dedup_batch(
     bucket size the way n_clusters does for the k-means tier."""
     from ..functions.vectors import cosine_pairs
     from .dedup import dedup_clusters
-    from .similarity import portable_srp_buckets
+    from .similarity import portable_srp_bucket_col
 
     spark = batch.sparkSession
     seen_batch = last_committed_batch(spark, store_path)
     if seen_batch is not None and batch_id <= seen_batch:
         return None
 
+    # r10: bucket attached as a per-row column (see dedup.srp_semantic_dedup)
     withb = (
-        batch.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .join(portable_srp_buckets(batch, id_col, vec_col, planes), "_id")
+        batch.where(F.size(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            portable_srp_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        )
         .persist()
     )
     a = withb.select(

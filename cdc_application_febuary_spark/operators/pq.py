@@ -29,8 +29,10 @@ recall test, not an oracle — quantization is lossy by design).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module scope: pandas_udf type hints must resolve
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -136,6 +138,29 @@ def encode_pq(
     return emb.select(id_col, vec_col).mapInPandas(
         batches, "id long, codes array<long>"
     )
+
+
+def _encode_codes_udf(codebooks: np.ndarray):
+    """Column form of :func:`encode_pq` (same normalization, same
+    per-subspace argmin arithmetic, codes bit-identical): lets a caller
+    compute codes IN THE SAME projection as other Arrow UDFs — e.g. the
+    IVF-PQ build's cluster assignment — so one pass over the corpus yields
+    both, instead of two mapInPandas scans re-joined on vec_id."""
+    m, k, sub = codebooks.shape
+
+    @pandas_udf("array<long>")
+    def encode(v: pd.Series) -> pd.Series:
+        vecs = _normalize(np.stack(v.to_numpy()).astype(np.float64))
+        codes = np.empty((len(vecs), m), dtype=np.int64)
+        for i in range(m):
+            seg = vecs[:, i * sub : (i + 1) * sub]
+            d = ((seg[:, None, :] - codebooks[i][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            codes[:, i] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
 
 
 def pq_search(

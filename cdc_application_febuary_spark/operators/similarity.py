@@ -445,6 +445,73 @@ def ivf_topk(
     )
 
 
+def _srp_bucket_fold_udf(planes: int):
+    """Arrow-batched fold of exact integer micro-units into the portable
+    SRP bucket: weights are the same ``((i * 2654435761 + (p+1) * 40503)
+    % 97) - 48`` integers, the dot products run as ONE int64 matmul per
+    record batch (exact — no floats anywhere), and the sign of the
+    micro-unit sum equals the sign of the DECIMAL(18,6) sum it scales by
+    10^6, so bits and buckets are bit-identical to the explode+groupBy
+    form and to the SQL oracles that replay it. Empty rows yield NULL
+    (callers pre-filter on size, preserving the old explode's drop
+    semantics without putting a UDF output in a filter — guide §4.4)."""
+    w_cache: dict = {}
+
+    @pandas_udf("long")
+    def fold(us: pd.Series) -> pd.Series:
+        p1 = np.arange(1, planes + 1, dtype=np.int64)
+        shifts = np.arange(planes, dtype=np.int64)
+
+        def weights(dim: int) -> np.ndarray:
+            W = w_cache.get(dim)
+            if W is None:
+                i = np.arange(1, dim + 1, dtype=np.int64)
+                W = (i[:, None] * 2654435761 + p1[None, :] * 40503) % 97 - 48
+                w_cache[dim] = W
+            return W
+
+        vals = us.to_numpy()
+        lens = np.asarray([len(r) if r is not None else 0 for r in vals])
+        if len(lens) and lens.min() == lens.max() and lens[0] > 0:
+            U = np.vstack(vals).astype(np.int64)
+            sums = U @ weights(U.shape[1])
+            return pd.Series(
+                ((sums >= 0).astype(np.int64) << shifts).sum(axis=1)
+            )
+        out = []
+        for r in vals:
+            if r is None or len(r) == 0:
+                out.append(None)
+                continue
+            u = np.asarray(r, dtype=np.int64)
+            s = u @ weights(len(u))
+            out.append(int(((s >= 0).astype(np.int64) << shifts).sum()))
+        return pd.Series(out, dtype="object")
+
+    return fold
+
+
+def portable_srp_bucket_col(vec_col, planes: int = 8):
+    """Per-row COLUMN form of the portable SRP bucket (r10): the same
+    plane weights and the same 6-rounded DECIMAL(18,6) dot-product
+    components as the old explode(dim x planes) + two-keyed-aggregation
+    form, bit-identical buckets, zero shuffle. A JVM ``transform`` scales
+    each rounded component to its exact integer micro-units (Spark's own
+    ROUND stays the rounding authority — decimal(18,6) x 10^6 is an
+    exact integer), then an Arrow numpy pass folds all plane dot
+    products per row (`_srp_bucket_fold_udf` — the simhash-portable
+    pattern). NULL/empty vectors fold to NULL; callers filter
+    ``size(vec) > 0`` to reproduce the explode form's drop semantics."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    units = F.transform(
+        v,
+        lambda e: (
+            F.round(e.cast("double"), 6).cast("decimal(18,6)") * 1000000
+        ).cast("bigint"),
+    )
+    return _srp_bucket_fold_udf(planes)(units)
+
+
 def portable_srp_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -459,35 +526,14 @@ def portable_srp_buckets(
     bits — and hence the bucket id — are bit-reproducible in any engine
     (the oracle-expressible trade: plane quality is mildly worse than
     the seeded-RNG planes of `_srp_buckets_udf`, which remain the
-    production tier). Everything is JVM-side expressions: one explode
-    over dim x planes, two keyed aggregations, no Python, no join."""
-    pl = F.explode(F.array(*[F.lit(p) for p in range(planes)])).alias("p")
-    ex = df.select(
+    production tier). Since r10 the dot products fold PER ROW
+    (`portable_srp_bucket_col`) — no explode, no shuffle, values
+    bit-identical; ids with NULL/empty vectors are dropped exactly as
+    the old explode form dropped them (the size filter sits on the
+    INPUT, so it pushes to the scan instead of gating a UDF output)."""
+    return df.where(F.size(F.col(vec_col)) > 0).select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.col(vec_col)).alias("i0", "e"),
-    ).select(
-        "_id",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("e").cast("double"), 6)
-        .cast("decimal(18,6)")
-        .alias("ev"),
-        pl,
-    )
-    weight = (
-        (F.col("i") * F.lit(2654435761).cast("bigint"))
-        + (F.col("p") + 1) * F.lit(40503)
-    ) % 97 - 48
-    bits = (
-        ex.select("_id", "p", (F.col("ev") * weight).alias("term"))
-        .groupBy("_id", "p")
-        .agg((F.sum("term") >= 0).alias("bit"))
-    )
-    return bits.groupBy("_id").agg(
-        F.sum(
-            F.when(F.col("bit"), F.expr("shiftleft(1, p)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("bucket")
+        portable_srp_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
 
 
@@ -521,20 +567,27 @@ def ivf_topk_srp(
 
     if planes == 0:
         # degenerate single-cell file: exact brute force (pinned in tests)
-        cb = corpus.select(F.col(id_col).alias("_id"), F.lit(0).alias("bucket"))
-        qb = queries.select(F.col(id_col).alias("_id"), F.lit(0).alias("bucket"))
+        bucket_of = lambda _v: F.lit(0).cast("bigint")  # noqa: E731
     else:
-        cb = portable_srp_buckets(corpus, id_col, vec_col, planes)
-        qb = portable_srp_buckets(queries, id_col, vec_col, planes)
+        # r10: the bucket is a per-row exact-decimal fold now — attach it
+        # as a COLUMN on each side instead of joining a separately
+        # aggregated (id, bucket) frame back by id (two shuffle joins and
+        # an explode-heavy aggregation removed; values bit-identical, see
+        # portable_srp_bucket_col)
+        bucket_of = lambda v: portable_srp_bucket_col(v, planes)  # noqa: E731
     masks = F.array(F.lit(0), *[F.lit(1 << j) for j in range(planes)])
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).join(cb.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+    c = corpus.where(F.size(F.col(vec_col)) > 0).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket_of(F.col(vec_col)).alias("bucket"),
+    )
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        queries.where(F.size(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            bucket_of(F.col(vec_col)).alias("bucket"),
         )
-        .join(qb.withColumnRenamed("_id", "query_id"), "query_id")
         .withColumn("probe", F.explode(masks))
         .select(
             "query_id",

@@ -72,16 +72,21 @@ def build_ivf_index(
         dtype="float64",
     )
     assign = _assign_cluster_udf(centers)
+    # persist: repartitionByRange pays a range-boundary sampling pass over
+    # its child BEFORE the shuffle write — unpersisted, the Arrow
+    # assignment UDF (the expensive part of a commit) would run twice per
+    # build (r10 optimization; same in append/PQ build below)
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         assign(F.col(vec_col)).alias("cluster"),
-    )
+    ).persist()
     n_files = max(1, n_centroids * files_per_cluster_group // 4)
     packed = assigned.repartitionByRange(n_files, "cluster")
     spark = corpus.sparkSession
     base = mt.current_version(spark, table_path)
     entries = mt._stage_files(packed, table_path, ["cluster"])
+    assigned.unpersist()
     mt._write_manifest_atomic(
         spark,
         table_path,
@@ -98,6 +103,10 @@ def build_ivf_index(
         "version": 0 if base is None else base + 1,
         "n_files": len(entries),
         "n_centroids": n_centroids,
+        # exact staged row count from the commit's own file entries — the
+        # manifest-is-the-truth count (mt.table_rows), free to callers that
+        # would otherwise re-scan the corpus just to report its size
+        "rows": sum(e.rows for e in entries),
     }
 
 
@@ -155,12 +164,13 @@ def append_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         assign(F.col(vec_col)).alias("cluster"),
-    )
+    ).persist()  # one Arrow assignment pass, not two (see build_ivf_index)
     n_files = max(
         1, int(meta["n_centroids"]) * files_per_cluster_group // 4
     )
     packed = assigned.repartitionByRange(n_files, "cluster")
     new_entries = mt._stage_files(packed, table_path, ["cluster"])
+    assigned.unpersist()
     old_entries = mt._read_manifest(spark, table_path, version)
     appended = sum(e.rows for e in new_entries)
     # Carry the stored batch_id forward on an unkeyed append: dropping it
@@ -233,34 +243,75 @@ def search_ivf_index(
             for c in probe_set
         )
     ]
-    qdf = spark.createDataFrame(
-        [(qid, list(map(float, qv)), row) for qid, qv, row in probed_per_query],
-        "query_id long, qvec array<double>, probed array<int>",
-    ).select("query_id", "qvec", F.explode("probed").alias("cluster"))
-
     if not candidates:
         empty = spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, sim double"
         )
         return {"result": empty, "files_total": len(entries), "files_opened": 0}
 
+    # Blocked scoring (r10, guide §4/§8): the old shape joined the
+    # candidate rows against a per-(query, probed-cluster) broadcast and
+    # shipped BOTH 64-dim vectors of every surviving pair through Arrow to
+    # `cosine_pairs` — queries x candidates duplicated vector payloads.
+    # Now the query matrix rides to executors once as a closure broadcast
+    # and each corpus partition is scored in one mapInPandas pass with the
+    # per-pair arithmetic kept BIT-IDENTICAL to cosine_pairs (same einsum
+    # signature, same float64 casts, same norm/divide order), so results
+    # cannot move. Per-partition top-k is selected under the same
+    # (sim desc, id asc) order as the global window, so the union of
+    # partition winners provably contains the global top-k (the
+    # cosine_topk_blocked argument; like that tier it assumes no zero-norm
+    # vectors — the fixture-wide invariant its parity tests pin).
+    qids = np.asarray([r["query_id"] for r in q_rows], dtype="int64")
+    qnorm = np.linalg.norm(Q, axis=1)
+    probe_sets = [
+        np.asarray(row, dtype="int64") for _, _, row in probed_per_query
+    ]
+    kk = int(k)
+
+    def score_blocks(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cl = pdf["cluster"].to_numpy()
+            M = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            cn = np.linalg.norm(M, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                mask = np.isin(cl, probe_sets[j]) & (ids != qids[j])
+                if not mask.any():
+                    continue
+                sub = M[mask]
+                num = np.einsum(
+                    "ij,ij->i", np.broadcast_to(Q[j], sub.shape), sub
+                )
+                s = num / (qnorm[j] * cn[mask])
+                sel = np.lexsort((ids[mask], -s))[: min(kk, len(s))]
+                out_q.extend([qids[j]] * len(sel))
+                out_n.extend(ids[mask][sel])
+                out_s.extend(s[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim0": out_s}
+            )
+
     corpus = spark.read.parquet(*[e.path for e in candidates])
-    scored = corpus.join(
-        F.broadcast(qdf),
-        (corpus.cluster == qdf.cluster)
-        & (F.col("query_id") != F.col("vec_id")),
-    ).withColumn("sim", cosine_pairs(F.col("qvec"), F.col("embedding")))
+    partial = corpus.select("vec_id", "cluster", "embedding").mapInPandas(
+        score_blocks, "query_id long, neighbor_id long, sim0 double"
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id").asc()
+        F.col("sim0").desc(), F.col("neighbor_id").asc()
     )
     result = (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             "rank",
-            F.round(F.col("sim"), 6).alias("sim"),
+            F.round(F.col("sim0"), 6).alias("sim"),
         )
     )
     return {
@@ -290,7 +341,7 @@ def build_ivf_pq_index(
     the commit metadata (self-describing, versioned with the data). The
     ADC scan reads (vec_id, cluster, codes) ONLY — column pruning keeps
     the big embedding column on disk unless a rerank asks for it."""
-    from .pq import encode_pq, train_pq_matrix
+    from .pq import _encode_codes_udf, train_pq_matrix
 
     # deterministic sample order (orderBy + limit = TakeOrderedAndProject):
     # a bare limit() shifts with input partitioning and would silently
@@ -309,21 +360,26 @@ def build_ivf_pq_index(
     )
     codebooks = train_pq_matrix(sample, pq_m, pq_k, iters=8, seed=seed)
 
+    # ONE Arrow pass (r10): cluster assignment and PQ codes are sibling
+    # pandas UDFs in the same projection (one ArrowEvalPython node), so
+    # the corpus is scanned once and never shuffled through the old
+    # assigned-join-codes equi-join; persist keeps repartitionByRange's
+    # range-sampling pass from re-running the Python work (see
+    # build_ivf_index). Codes/cluster values are bit-identical — both
+    # UDFs are unchanged arithmetic per row.
     assign = _assign_cluster_udf(centers)
+    encode = _encode_codes_udf(codebooks)
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         assign(F.col(vec_col)).alias("cluster"),
-    )
-    codes = encode_pq(corpus, codebooks, id_col=id_col, vec_col=vec_col).select(
-        F.col("id").alias("vec_id"), "codes"
-    )
-    packed = assigned.join(codes, "vec_id").repartitionByRange(
-        max(1, n_centroids // 4), "cluster"
-    )
+        encode(F.col(vec_col)).alias("codes"),
+    ).persist()
+    packed = assigned.repartitionByRange(max(1, n_centroids // 4), "cluster")
     spark = corpus.sparkSession
     base = mt.current_version(spark, table_path)
     entries = mt._stage_files(packed, table_path, ["cluster"])
+    assigned.unpersist()
     mt._write_manifest_atomic(
         spark,
         table_path,

@@ -4411,11 +4411,13 @@ def ann_topk_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = emb.where(F.col("vec_id") % 3 == 1)
     b2 = emb.where(F.col("vec_id") % 3 == 2)
     t = tempfile.mkdtemp(prefix="ivf_recl_") + "/idx"
-    vi.build_ivf_index(base, t, n_centroids=16, files_per_cluster_group=4)
+    s0 = vi.build_ivf_index(base, t, n_centroids=16, files_per_cluster_group=4)
     s1 = vi.append_ivf_index(b1, t, batch_id=1, files_per_cluster_group=4)
     replay = vi.append_ivf_index(b1, t, batch_id=1, files_per_cluster_group=4)
     s2 = vi.append_ivf_index(b2, t, batch_id=2, files_per_cluster_group=4)
-    base_rows = base.count()
+    # exact staged row count from the build commit's file entries — the
+    # same value base.count() scanned the corpus again for (r10)
+    base_rows = s0["rows"]
     appended_rows = s2["total_appended_rows"]
     dial_fired = appended_rows >= base_rows
 
