@@ -154,21 +154,23 @@ def doremi_domain_weights(
     from ..functions import text as T
 
     spark = docs.sparkSession
+    # persist hash-partitioned by w (r10): every iteration joins probs by
+    # w twice (the mixture groupBy and the divergence join) — caching the
+    # repartitioned frame lets those reuse the stored partitioning
+    # instead of re-exchanging the vocab x domains table per step
     probs = domain_unigram_probs(docs, text_col, domain_col)
-    probs = probs.persist()
-    # domain spine + token totals (n_tokens = what the probs denominate by)
+    probs = probs.repartition("w").persist()
+    # domain spine + token totals (n_tokens = what the probs denominate
+    # by) in ONE aggregation (r10): sum(size(tokens)) counts exactly what
+    # the old explode-then-count counted (empty/NULL token arrays
+    # contribute 0 rows there and 0/NULL here), for one corpus scan and
+    # no join instead of two tokenizing scans joined by domain
     stats = {
         r["d"]: (int(r["nd"]), int(r["nt"]))
         for r in docs.groupBy(F.col(domain_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .join(
-            docs.select(
-                F.col(domain_col).alias("d"),
-                F.explode(T.tokens(F.col(text_col))).alias("w"),
-            )
-            .groupBy("d")
-            .agg(F.count(F.lit(1)).alias("nt")),
-            "d",
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum(F.size(T.tokens(F.col(text_col)))).alias("nt"),
         )
         .collect()
     }

@@ -325,7 +325,11 @@ def doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import vectorize as V
 
     docs = load_table(spark, sf_dir, "documents")
-    post = V.hashed_tfidf_postings(docs, dim=256)
+    # persist (r10): sparse_cosine_pairs consumes the posting table five
+    # ways (hot-bucket census, anti-join, norms, both join sides) — the
+    # tokenize+hash+tf shuffle chain re-evaluated per consumer otherwise;
+    # the cached frame is (doc, bucket, w) ints, vocabulary-bounded
+    post = V.hashed_tfidf_postings(docs, dim=256).persist()
     return V.sparse_cosine_pairs(
         post, threshold=0.6, max_bucket_df=250
     ).orderBy("a", "b")
@@ -6682,6 +6686,10 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(shingles_from_tokens(F.col("__w"), 5)).alias("shingle"),
         )
         .distinct()
+        # persist (r10): consumed three ways (sizes, both self-join
+        # sides) — the tokenize+shingle explode+distinct shuffle re-ran
+        # per consumer; the cached set is per-source distinct shingles
+        .persist()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -7413,6 +7421,9 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # persist (r10): consumed four ways (order count, item counts,
+        # both self-join sides) — the distinct shuffle re-ran per consumer
+        .persist()
     )
     n = li.select("l_orderkey").distinct().count()
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
@@ -9801,6 +9812,21 @@ def incremental_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("ts") >= b2),
     ]
     store = tempfile.mkdtemp(prefix="hllstore_") + "/sketches"
+    # all three cumulative exact distincts from ONE first-seen pass (r10):
+    # distinct users with any event before boundary == users whose MIN ts
+    # is before it (min skips NULL ts exactly as the old ts filter
+    # dropped those rows) — previously each step re-scanned and
+    # re-shuffled the cumulative event prefix through its own
+    # distinct().count()
+    bounds = (b1, b2, 1 << 62)
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    erow = first_seen.agg(
+        *[
+            F.sum((F.col("t0") < b).cast("long")).alias(f"e{k}")
+            for k, b in enumerate(bounds, start=1)
+        ]
+    ).first()
+    exacts = [int(erow[f"e{k}"] or 0) for k in range(1, 4)]
     rows = []
     for k, b in enumerate(batches, start=1):
         v = sketches.sketch_fold_batch(b, store, k, "user_id", "event_type")
@@ -9810,8 +9836,7 @@ def incremental_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["shard"]: r["distinct_estimate"]
             for r in sketches.sketch_store_estimates(spark, store).collect()
         }["<all>"]
-        cum = ev.where(F.col("ts") < (b1, b2, 1 << 62)[k - 1])
-        exact = cum.select("user_id").distinct().count()
+        exact = exacts[k - 1]
         rows.append(
             (f"step:{k}", "<all>", exact, abs(est - exact) <= 0.10 * exact)
         )
@@ -10365,6 +10390,9 @@ def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price",
             F.coalesce("cluster", "rid").alias("cluster"),
         )
+        # persist (r10): consumed three ways below (planted, sources, the
+        # final per-cluster rollup) — each re-ran the dirty-feed joins
+        .persist()
     )
     planted = recs.where(F.col("k") >= 10_000_000).select(
         F.col("k").alias("pk"), F.col("cluster").alias("pcluster")
