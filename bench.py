@@ -23,13 +23,17 @@ mins (what a clean serial run would cost), with the raw wall-clock kept in
 
 Standing regression ledger (VERDICT r8 item 1): every run compares its
 per-query mins against the frozen base ledger ($SPARK_GRAFT_BENCH_BASE,
-default BENCHQ_r09.json — the r9 solo min-of-5 freeze; re-point when a
+default BENCHQ_r10.json — the r10 solo min-of-5 freeze; re-point when a
 round re-freezes). The carried-query median ratio and every query over
 1.5x its base min land in the sidecar BENCH_RATIOS.json and as
 "carried_median_vs_base" / "over_1_5x_count" in the headline line, so a
 regression surfaces as a computed artifact instead of judge archaeology.
 Adjudication discipline for entries on that list is the CLAUDE.md rule:
 interleaved worktree min-of-5 before calling anything a code regression.
+Runs at a non-base SF or core count divert to separately named
+BENCH_RATIOS_sf<sf>.json / BENCH_RATIOS_c<cpus>.json files so they can
+never clobber the standing 32-core sf0.1 ledger (ADVICE r9; VERDICT r10
+item 3).
 """
 
 from __future__ import annotations
@@ -121,7 +125,7 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
-    ratio_summary = _ratio_report(timings, sf_val, runs)
+    ratio_summary = _ratio_report(timings, sf_val, runs, cpus)
     print(
         json.dumps(
             {
@@ -134,6 +138,7 @@ def main() -> None:
                 "runs_per_query": runs,
                 "wall_clock_sec": wall,
                 "sf": sf_val,
+                "cpus": cpus,
                 "queries_file": str(sidecar),
                 **ratio_summary,
             }
@@ -142,24 +147,34 @@ def main() -> None:
     spark.stop()
 
 
-def _ratio_report(timings: dict[str, float], sf_val, runs: int) -> dict:
+def _ratio_report(
+    timings: dict[str, float], sf_val, runs: int, cpus: int = 32
+) -> dict:
     """Compare this run's per-query mins to the frozen base ledger; write
     the full table to BENCH_RATIOS.json and return headline fields.
-    Ratios only make sense at the base's SF (0.1) and are noisy below
-    min-of-5 — so the run's sf and samples-per-query are RECORDED in the
-    sidecar, and a run at any other SF writes a separately named
-    BENCH_RATIOS_sf<sf>.json instead of clobbering the standing sf0.1
-    ledger with cross-SF garbage (ADVICE r9)."""
+    Ratios only make sense at the base's SF (0.1) and core count (32 —
+    every BENCHQ_r* freeze is a solo 32-core sf0.1 run) and are noisy
+    below min-of-5 — so the run's sf/cpus/samples-per-query are RECORDED
+    in the report, and a run at any other SF or core count writes a
+    separately named BENCH_RATIOS_sf<sf>.json / BENCH_RATIOS_c<cpus>.json
+    instead of clobbering the standing ledger with incomparable ratios
+    (ADVICE r9 for SF; VERDICT r10 item 3 for cpus — the driver's 8-core
+    scaling run overwrote the 32-core ledger with 25 garbage flags)."""
     here = Path(__file__).resolve().parent
-    base_name = os.environ.get("SPARK_GRAFT_BENCH_BASE", "BENCHQ_r09.json")
+    base_name = os.environ.get("SPARK_GRAFT_BENCH_BASE", "BENCHQ_r10.json")
     base_path = here / base_name
     if not base_path.exists():
         return {}
     base_sf = 0.1  # every BENCHQ_r* freeze is a solo sf0.1 run
+    base_cpus = 32  # ... at 32 cores
     cross_sf = sf_val != base_sf
-    out_name = (
-        f"BENCH_RATIOS_sf{sf_val}.json" if cross_sf else "BENCH_RATIOS.json"
-    )
+    cross_cpu = int(cpus) != base_cpus
+    if cross_sf:
+        out_name = f"BENCH_RATIOS_sf{sf_val}.json"
+    elif cross_cpu:
+        out_name = f"BENCH_RATIOS_c{int(cpus)}.json"
+    else:
+        out_name = "BENCH_RATIOS.json"
     base = {
         k: v["min"] if isinstance(v, dict) else float(v)
         for k, v in json.loads(base_path.read_text()).items()
@@ -184,6 +199,8 @@ def _ratio_report(timings: dict[str, float], sf_val, runs: int) -> dict:
         "base_ledger": base_name,
         "base_sf": base_sf,
         "run_sf": sf_val,
+        "base_cpus": base_cpus,
+        "run_cpus": int(cpus),
         "runs_per_query": runs,
         "carried_queries": len(carried),
         "new_queries": sorted(set(timings) - set(base)),
@@ -204,12 +221,19 @@ def _ratio_report(timings: dict[str, float], sf_val, runs: int) -> dict:
             " ratios are NOT comparable — standing BENCH_RATIOS.json left"
             " untouched"
         )
+    elif cross_cpu:
+        report["cross_cpu_warning"] = (
+            f"run cpus={int(cpus)} differs from the base ledger's "
+            f"cpus={base_cpus}; ratios are NOT comparable — standing"
+            " BENCH_RATIOS.json left untouched"
+        )
     (here / out_name).write_text(json.dumps(report, indent=1, sort_keys=False))
     return {
         "carried_median_vs_base": median,
         "over_1_5x_count": len(over),
         "ratios_file": str(here / out_name),
         **({"cross_sf_ratios": True} if cross_sf else {}),
+        **({"cross_cpu_ratios": True} if (cross_cpu and not cross_sf) else {}),
     }
 
 

@@ -170,7 +170,14 @@ def doremi_domain_weights(
         for r in docs.groupBy(F.col(domain_col).alias("d"))
         .agg(
             F.count(F.lit(1)).alias("nd"),
-            F.sum(F.size(T.tokens(F.col(text_col)))).alias("nt"),
+            # coalesce: sum() over an ALL-NULL-text domain is NULL (the
+            # old explode+inner-join dropped such a domain outright) — 0
+            # keeps the stat defined instead of TypeError-ing in int()
+            # (ADVICE r10); per-doc semantics are unchanged (NULL size is
+            # skipped by sum exactly as explode contributed 0 rows)
+            F.coalesce(
+                F.sum(F.size(T.tokens(F.col(text_col)))), F.lit(0)
+            ).alias("nt"),
         )
         .collect()
     }

@@ -503,11 +503,18 @@ def portable_srp_bucket_col(vec_col, planes: int = 8):
     pattern). NULL/empty vectors fold to NULL; callers filter
     ``size(vec) > 0`` to reproduce the explode form's drop semantics."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    # coalesce NULL elements to 0 micro-units: the old explode+SUM form
+    # silently SKIPPED NULL terms (SUM ignores NULLs == adding 0), and an
+    # un-coalesced None reaching the numpy fold would TypeError in
+    # vstack/astype (ADVICE r10) — 0 keeps the fold value-identical
     units = F.transform(
         v,
-        lambda e: (
-            F.round(e.cast("double"), 6).cast("decimal(18,6)") * 1000000
-        ).cast("bigint"),
+        lambda e: F.coalesce(
+            (
+                F.round(e.cast("double"), 6).cast("decimal(18,6)") * 1000000
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
     )
     return _srp_bucket_fold_udf(planes)(units)
 

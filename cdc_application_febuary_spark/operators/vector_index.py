@@ -473,45 +473,84 @@ def search_ivf_pq(
         )
         return {"result": empty, "files_total": len(entries), "files_opened": 0}
 
-    qdf = spark.createDataFrame(
-        probed, "query_id long, lut array<double>, probed array<int>"
-    ).select("query_id", "lut", F.explode("probed").alias("cluster"))
+    # Blocked ADC scoring (r11, guide §4.2/§8 — the §14/search_ivf_index
+    # treatment): the old shape exploded (query, probed-cluster) rows,
+    # broadcast-joined them against every candidate code row — shipping
+    # the 128-double LUT payload per surviving PAIR — and evaluated the
+    # ADC sum as an interpreted zip_with/aggregate HOF per pair. Now the
+    # per-query LUTs + probed sets ride to executors once in the
+    # mapInPandas closure and each candidate partition is scored in one
+    # numpy pass. The per-pair arithmetic is BIT-IDENTICAL: the fold
+    # accumulates lut[i*k + code_i] left-to-right from 0.0 over
+    # i = 0..m-1 exactly as the old aggregate() lambda did (sequential
+    # float64 additions in the same order), so distances cannot move.
+    # Per-partition top-max(k, rerank) is selected under the same
+    # (adc_dist asc, vec_id asc) order as the global window, so the union
+    # of partition winners provably contains the global top rows (the
+    # cosine_topk_blocked containment argument).
+    qids = np.asarray([q for q, _, _ in probed], dtype="int64")
+    luts = [
+        np.asarray(lut, dtype="float64").reshape(pq_m, pq_k)
+        for _, lut, _ in probed
+    ]
+    probe_sets = [np.asarray(row, dtype="int64") for _, _, row in probed]
+    topn = max(int(k), int(rerank))
+    mm = int(pq_m)
+
+    def adc_blocks(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cl = pdf["cluster"].to_numpy()
+            C = np.vstack(pdf["codes"].to_numpy()).astype("int64")
+            out_q, out_n, out_d = [], [], []
+            for j in range(len(qids)):
+                mask = np.isin(cl, probe_sets[j]) & (ids != qids[j])
+                if not mask.any():
+                    continue
+                sub = C[mask]
+                # sequential left-fold, same addition order as the old
+                # aggregate(zip_with(...)) expression: acc starts 0.0 and
+                # adds term i = lut[i, code_i] for i = 0..m-1 in order
+                acc = np.zeros(len(sub), dtype="float64")
+                lut_j = luts[j]
+                for i in range(mm):
+                    acc = acc + lut_j[i, sub[:, i]]
+                sel = np.lexsort((ids[mask], acc))[: min(topn, len(acc))]
+                out_q.append(np.full(len(sel), qids[j], dtype="int64"))
+                out_n.append(ids[mask][sel])
+                out_d.append(acc[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adc0": np.concatenate(out_d),
+                    }
+                )
 
     # the ADC scan projects ONLY (vec_id, cluster, codes): embeddings
     # stay on disk
     code_side = spark.read.parquet(*[e.path for e in candidates]).select(
         "vec_id", "cluster", "codes"
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(pq_m - 1)),
-            lambda c, i: F.element_at(
-                F.col("lut"), (i * pq_k + c + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        code_side.join(
-            F.broadcast(qdf),
-            (code_side.cluster == qdf.cluster)
-            & (F.col("query_id") != F.col("vec_id")),
-        )
-        .withColumn("adc_dist", adc)
+    partial = code_side.mapInPandas(
+        adc_blocks, "query_id long, neighbor_id long, adc0 double"
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
+        F.col("adc0").asc(), F.col("neighbor_id").asc()
     )
     top = (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= max(k, rerank))
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             "rank",
-            F.round(F.col("adc_dist"), 6).alias("adc_dist"),
+            F.round(F.col("adc0"), 6).alias("adc_dist"),
         )
     )
     if rerank:
@@ -522,8 +561,12 @@ def search_ivf_pq(
         emb_side = spark.read.parquet(*[e.path for e in candidates]).select(
             F.col("vec_id").alias("neighbor_id"), "embedding"
         )
+        # broadcast the decision side (ids + ranks, ~28 B/row) so the
+        # embedding payload read is never shuffled by the attach join —
+        # guide §8's "move big rows once" rule; join strategy cannot
+        # change values
         rr = (
-            top.join(emb_side, "neighbor_id")
+            emb_side.join(F.broadcast(top), "neighbor_id")
             .join(F.broadcast(qvecs), "query_id")
             .withColumn("sim", cosine_pairs(F.col("qvec"), F.col("embedding")))
         )

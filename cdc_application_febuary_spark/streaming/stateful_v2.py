@@ -23,6 +23,7 @@ ensure_protobuf()
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -178,36 +179,95 @@ class SessionWindowProcessor(_WorkerProtobufBridge, StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        ts = []
-        for pdf in rows:
-            ts.extend(int(t) for t in pdf["ts_us"])
-        ts.sort()
+        # r11 (guide §4.2): the per-event Python loop — plus one 1-row
+        # pandas DataFrame construction PER FINALIZED SESSION — is the
+        # hot path of the replay; sessions of a sorted timestamp array
+        # are a vectorized segment computation instead. Semantics are
+        # bit-identical to the loop it replaces (same splits, same
+        # merge-with-stored-state rule, same boundary-discipline raise,
+        # same state/timer updates); only the per-key emit batching
+        # changed (one DataFrame with all finalized sessions).
+        parts = [pdf["ts_us"].to_numpy(dtype="int64") for pdf in rows]
+        parts = [p for p in parts if p.size]
         gap_us = self._gap_ms * 1000
         st = self._sess.get()
         st = (int(st[0]), int(st[1]), int(st[2])) if st is not None else None
-        for t in ts:
-            if st is None:
-                st = (t, t, 1)
-            elif t < st[0]:
-                # The inline all-but-last finalization and the kept-start
-                # merge are only sound under the event-time-boundary feed
-                # discipline (each batch's events for a key >= the key's
-                # stored start). A violating row would silently corrupt or
-                # split sessions — fail loudly instead (ADVICE r8).
-                raise RuntimeError(
-                    "SessionWindowProcessor: input event at "
-                    f"{t}us for key {key!r} precedes the stored session "
-                    f"start {st[0]}us — the feed violated the event-time-"
-                    "boundary split discipline (see class docstring)"
-                )
-            elif t - st[1] > gap_us:
-                yield self._emit(key, st)
-                st = (t, t, 1)
-            else:
-                st = (st[0], max(st[1], t), st[2] + 1)
+        if not parts:
+            if st is not None:
+                self._sess.update(st)
+                self._handle.registerTimer(st[1] // 1000 + self._gap_ms)
+            return
+        ts = np.sort(np.concatenate(parts))
+        if st is not None and int(ts[0]) < st[0]:
+            # The inline all-but-last finalization and the kept-start
+            # merge are only sound under the event-time-boundary feed
+            # discipline (each batch's events for a key >= the key's
+            # stored start). A violating row would silently corrupt or
+            # split sessions — fail loudly instead (ADVICE r8).
+            raise RuntimeError(
+                "SessionWindowProcessor: input event at "
+                f"{int(ts[0])}us for key {key!r} precedes the stored "
+                f"session start {st[0]}us — the feed violated the "
+                "event-time-boundary split discipline (see class "
+                "docstring)"
+            )
+        # split[i] == event i starts a NEW session. The running "last"
+        # before event i is max(stored last, ts[i-1]) — exact in both
+        # regimes: before any split the session's last is the running max
+        # of (stored last, events so far); after a split at j <= i-1 the
+        # session start ts[j] already exceeds stored-last + gap, so
+        # ts[i-1] >= ts[j] > stored last and the max is ts[i-1].
+        split = np.empty(ts.size, dtype=bool)
+        if st is None:
+            split[0] = True  # first event opens the first session
+            l0 = None
+        else:
+            l0 = st[1]
+            split[0] = int(ts[0]) - l0 > gap_us
+        if ts.size > 1:
+            prev_last = (
+                ts[:-1] if l0 is None else np.maximum(ts[:-1], l0)
+            )
+            split[1:] = (ts[1:] - prev_last) > gap_us
+        starts = np.flatnonzero(split)
+        bounds = np.append(starts, ts.size)
+        # segments opened by a split point: [starts[i], next split)
+        segs: list[tuple[int, int, int]] = []
+        for si in range(len(starts)):
+            a, b = int(bounds[si]), int(bounds[si + 1])
+            segs.append((int(ts[a]), int(ts[b - 1]), b - a))
+        finalized: list[tuple[int, int, int]] = []
         if st is not None:
-            self._sess.update(st)
-            self._handle.registerTimer(st[1] // 1000 + self._gap_ms)
+            if split[0]:
+                finalized.append(st)  # stored session gap-closed by ts[0]
+            else:
+                # leading run [0, first split) extends the stored session
+                # (kept start, running-max last, summed count)
+                c = int(starts[0]) if len(starts) else ts.size
+                segs = [
+                    (st[0], max(st[1], int(ts[c - 1])), st[2] + c)
+                ] + segs
+        finalized.extend(segs[:-1])
+        last = segs[-1]
+        self._sess.update(last)
+        self._handle.registerTimer(last[1] // 1000 + self._gap_ms)
+        if finalized:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(
+                        len(finalized), int(key[0]), dtype="int64"
+                    ),
+                    "start_us": np.asarray(
+                        [f[0] for f in finalized], dtype="int64"
+                    ),
+                    "end_us": np.asarray(
+                        [f[1] for f in finalized], dtype="int64"
+                    ),
+                    "n_events": np.asarray(
+                        [f[2] for f in finalized], dtype="int64"
+                    ),
+                }
+            )
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         st = self._sess.get()

@@ -67,6 +67,47 @@ def test_ratio_report_cross_sf_does_not_clobber(
     assert rep["run_sf"] == 0.01
 
 
+def test_ratio_report_cross_cpu_does_not_clobber(
+    bench_mod, monkeypatch, tmp_path
+):
+    """A run at 8 cores must write a separately named artifact and leave
+    the standing 32-core BENCH_RATIOS.json untouched (VERDICT r10 item 3:
+    the driver's 8-core scaling run clobbered the ledger with 25 garbage
+    flags)."""
+    (tmp_path / "BASE.json").write_text(json.dumps({"a": {"min": 1.0}}))
+    standing = tmp_path / "BENCH_RATIOS.json"
+    standing.write_text('{"sentinel": true}')
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BASE", "BASE.json")
+    monkeypatch.setattr(
+        bench_mod, "__file__", str(tmp_path / "bench.py"), raising=False
+    )
+    out = bench_mod._ratio_report({"a": 2.0}, 0.1, 3, cpus=8)
+    assert out["cross_cpu_ratios"] is True
+    assert out["ratios_file"].endswith("BENCH_RATIOS_c8.json")
+    # the standing ledger is untouched
+    assert json.loads(standing.read_text()) == {"sentinel": True}
+    rep = json.loads((tmp_path / "BENCH_RATIOS_c8.json").read_text())
+    assert "cross_cpu_warning" in rep
+    assert rep["run_cpus"] == 8
+    assert rep["base_cpus"] == 32
+
+
+def test_ratio_report_records_cpus_at_base_cores(
+    bench_mod, monkeypatch, tmp_path
+):
+    """A 32-core run writes the standing ledger and records run_cpus."""
+    (tmp_path / "BASE.json").write_text(json.dumps({"a": {"min": 1.0}}))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BASE", "BASE.json")
+    monkeypatch.setattr(
+        bench_mod, "__file__", str(tmp_path / "bench.py"), raising=False
+    )
+    out = bench_mod._ratio_report({"a": 2.0}, 0.1, 3, cpus=32)
+    assert "cross_cpu_ratios" not in out
+    assert out["ratios_file"].endswith("BENCH_RATIOS.json")
+    rep = json.loads((tmp_path / "BENCH_RATIOS.json").read_text())
+    assert rep["run_cpus"] == 32 and rep["base_cpus"] == 32
+
+
 def test_ratio_report_missing_base_is_silent(bench_mod, monkeypatch, tmp_path):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_BASE", "NO_SUCH.json")
     monkeypatch.setattr(
@@ -86,8 +127,8 @@ def test_ratio_report_skips_errored_queries(bench_mod, monkeypatch, tmp_path):
     assert out["over_1_5x_count"] == 0
 
 
-def test_standing_base_is_the_r9_freeze():
-    """NOTES.md declares BENCHQ_r09 the base; the default must agree."""
+def test_standing_base_is_the_r10_freeze():
+    """NOTES.md declares BENCHQ_r10 the base; the default must agree."""
     src = (REPO / "bench.py").read_text()
-    assert '"SPARK_GRAFT_BENCH_BASE", "BENCHQ_r09.json"' in src
-    assert (REPO / "BENCHQ_r09.json").exists()
+    assert '"SPARK_GRAFT_BENCH_BASE", "BENCHQ_r10.json"' in src
+    assert (REPO / "BENCHQ_r10.json").exists()

@@ -89,6 +89,133 @@ def _run_feed(spark, tmp_path, files):
     )
 
 
+class _FakeState:
+    def __init__(self, st=None):
+        self.v = st
+
+    def get(self):
+        return self.v
+
+    def update(self, st):
+        self.v = tuple(st)
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.timers = []
+
+    def registerTimer(self, t):
+        self.timers.append(int(t))
+
+
+def _reference_loop(st, ts_sorted, gap_us):
+    """The pre-r11 per-event loop, kept verbatim as the semantics oracle
+    for the vectorized segment computation."""
+    emitted = []
+    for t in ts_sorted:
+        if st is None:
+            st = (t, t, 1)
+        elif t < st[0]:
+            raise RuntimeError("boundary violation")
+        elif t - st[1] > gap_us:
+            emitted.append(st)
+            st = (t, t, 1)
+        else:
+            st = (st[0], max(st[1], t), st[2] + 1)
+    return emitted, st
+
+
+def _run_processor(prior, ts_values, gap_ms):
+    import pandas as pd
+
+    from cdc_application_febuary_spark.streaming.stateful_v2 import (
+        SessionWindowProcessor,
+    )
+
+    p = SessionWindowProcessor(gap_ms)
+    p._sess = _FakeState(prior)
+    p._handle = _FakeHandle()
+    frames = list(
+        p.handleInputRows(
+            (7,), iter([pd.DataFrame({"ts_us": ts_values})]), None
+        )
+    )
+    emitted = []
+    for f in frames:
+        for r in f.itertuples(index=False):
+            emitted.append((int(r.start_us), int(r.end_us), int(r.n_events)))
+            assert int(r.user_id) == 7
+    return emitted, p._sess.v, p._handle.timers
+
+
+def test_vectorized_sessions_match_per_event_loop():
+    """r11: handleInputRows became a numpy segment computation; every
+    (emitted sessions, final state, registered timer) triple must equal
+    the old per-event loop's on randomized feeds — with and without
+    stored state, single-event runs, exact-gap boundaries, out-of-order
+    in-batch arrival, and stored-last above early events."""
+    import random
+
+    gap_ms = 60_000
+    gap_us = gap_ms * 1000
+    rng = random.Random(20260818)
+    cases = []
+    for _ in range(300):
+        n = rng.randint(1, 40)
+        base = 1_000_000_000
+        ts = []
+        t = base
+        for _ in range(n):
+            # mix sub-gap steps, exact-gap steps, and big jumps
+            t += rng.choice([0, 1, gap_us // 2, gap_us, gap_us + 1, 5 * gap_us])
+            ts.append(t)
+        rng.shuffle(ts)  # in-batch arrival order is arbitrary
+        if rng.random() < 0.5:
+            prior = None
+        else:
+            lo = min(ts)
+            start = lo - rng.choice([0, 1, gap_us, 3 * gap_us])
+            last = start + rng.choice([0, 1, gap_us, 2 * gap_us])
+            prior = (start, last, rng.randint(1, 9))
+        cases.append((prior, ts))
+    for prior, ts in cases:
+        want_emit, want_state = _reference_loop(
+            tuple(prior) if prior else None, sorted(ts), gap_us
+        )
+        got_emit, got_state, timers = _run_processor(prior, ts, gap_ms)
+        assert got_emit == want_emit, (prior, sorted(ts))
+        assert tuple(got_state) == tuple(want_state), (prior, sorted(ts))
+        assert timers == [want_state[1] // 1000 + gap_ms]
+
+
+def test_vectorized_sessions_boundary_violation_raises():
+    with pytest.raises(RuntimeError, match="event-time-boundary"):
+        _run_processor((1_000_000, 1_000_000, 1), [999_999], 60_000)
+
+
+def test_vectorized_sessions_empty_batch_keeps_state():
+    import pandas as pd
+
+    from cdc_application_febuary_spark.streaming.stateful_v2 import (
+        SessionWindowProcessor,
+    )
+
+    p = SessionWindowProcessor(60_000)
+    p._sess = _FakeState((5, 9, 2))
+    p._handle = _FakeHandle()
+    frames = list(
+        p.handleInputRows(
+            (7,), iter([pd.DataFrame({"ts_us": []})]), None
+        )
+    )
+    assert frames == []
+    assert p._sess.v == (5, 9, 2)
+    assert p._handle.timers == [9 // 1000 + 60_000]
+
+
 def test_session_semantics_end_to_end(spark, tmp_path):
     # Feed split at the T0+2h30m event-time boundary (b1 max < boundary
     # <= b2 min), 10-minute watermark delay.
