@@ -101,23 +101,42 @@ def lm_scores(
         ).select(
             "doc_id", F.explode(char_windows(F.col("__t"))).alias("tri")
         )
-    scored_tri = (
-        # broadcast: the model is alphabet^3-bounded (distinct trigrams),
-        # while tri_tbl is corpus-character-sized — a shuffle join here
-        # moves the whole exploded corpus by trigram key
-        tri_tbl.join(F.broadcast(model), "tri", "left")
-        .crossJoin(F.broadcast(totals))
+    # r11 (guide §1.2): lp depends ONLY on model-side (cnt, t, d) — compute
+    # it once per DISTINCT trigram (alphabet^3-bounded rows) and let the
+    # broadcast join carry the ready decimal, instead of evaluating
+    # log+round+decimal-cast once per exploded corpus OCCURRENCE
+    # (corpus-character-sized rows). Bit-identical: the same double
+    # expression over the same (cnt, t, d) yields the same value no
+    # matter which row computes it; unseen trigrams (lp NULL after the
+    # left join) take the coalesce fallback, which is the old expression
+    # with cnt = 0 exactly ((0 + 1.0) == 1.0) and short-circuits to zero
+    # evaluations in the self-scoring case.
+    model_lp = (
+        model.crossJoin(F.broadcast(totals))
         .select(
-            "doc_id",
+            "tri",
             F.round(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("t") + F.col("d"))
-                ),
+                F.log((F.col("cnt") + F.lit(1.0)) / (F.col("t") + F.col("d"))),
                 6,
             )
             .cast("decimal(18,6)")
             .alias("lp"),
+        )
+    )
+    scored_tri = (
+        # broadcast: the model is alphabet^3-bounded (distinct trigrams),
+        # while tri_tbl is corpus-character-sized — a shuffle join here
+        # moves the whole exploded corpus by trigram key
+        tri_tbl.join(F.broadcast(model_lp), "tri", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("lp"),
+                F.round(
+                    F.log(F.lit(1.0) / (F.col("t") + F.col("d"))), 6
+                ).cast("decimal(18,6)"),
+            ).alias("lp"),
         )
     )
     per_doc = scored_tri.groupBy("doc_id").agg(
@@ -163,20 +182,21 @@ def lm_scores_exact(
     )
     model = exploded.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
     totals = model.agg(F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("d"))
+    # lp per DISTINCT trigram, not per occurrence (r11 — see lm_scores);
+    # inner self-join: every trigram is in the model, no unseen fallback
+    model_lp = model.crossJoin(F.broadcast(totals)).select(
+        "tri",
+        F.round(
+            F.log((F.col("cnt") + F.lit(1.0)) / (F.col("t") + F.col("d"))),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
     scored = (
         # broadcast for the same reason as lm_scores: never shuffle the
         # corpus-sized exploded table by trigram
-        exploded.join(F.broadcast(model), "tri")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "doc_id",
-            F.round(
-                F.log((F.col("cnt") + F.lit(1.0)) / (F.col("t") + F.col("d"))),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("lp"),
-        )
+        exploded.join(F.broadcast(model_lp), "tri").select("doc_id", "lp")
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),

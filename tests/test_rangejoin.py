@@ -34,8 +34,13 @@ def test_matches_naive_theta_join(spark, closed, width):
     hi_op = "<=" if closed in ("both", "right") else "<"
     naive = sorted(
         (r["pid"], r["iid"])
+        # F.broadcast on the reference side: the bare theta join plans a
+        # CartesianProduct over two 8-partition Python-RDD frames, which
+        # re-evaluates the pickled right side once per partition PAIR
+        # (measured 3-6 s per toy-sized call; broadcast: 0.7 s) — same
+        # rows, just a sane reference plan (r11 test-suite budget)
         for r in pts.join(
-            ivs, F.expr(f"v {lo_op} lo AND v {hi_op} hi")
+            F.broadcast(ivs), F.expr(f"v {lo_op} lo AND v {hi_op} hi")
         ).collect()
     )
     got = sorted(
@@ -82,7 +87,7 @@ def test_auto_bucket_width(spark):
     pts, ivs = _fixtures(spark)
     naive = sorted(
         (r["pid"], r["iid"])
-        for r in pts.join(ivs, F.expr("v >= lo AND v <= hi")).collect()
+        for r in pts.join(F.broadcast(ivs), F.expr("v >= lo AND v <= hi")).collect()
     )
     got = sorted(
         (r["pid"], r["iid"])
@@ -135,7 +140,7 @@ def test_bimodal_width_bounds_candidate_blowup(spark):
     # and the bucketed join still matches the naive theta join exactly
     naive = sorted(
         (r["pid"], r["iid"])
-        for r in pts.join(ivs, F.expr("v >= lo AND v <= hi")).collect()
+        for r in pts.join(F.broadcast(ivs), F.expr("v >= lo AND v <= hi")).collect()
     )
     got = sorted(
         (r["pid"], r["iid"])
@@ -166,7 +171,7 @@ def test_auto_width_property_mixes(spark, n_short, n_long, short_len, long_len):
     assert repl <= 8 * max(len(lens), 1)
     naive = sorted(
         (r["pid"], r["iid"])
-        for r in pts.join(ivs, F.expr("v >= lo AND v <= hi")).collect()
+        for r in pts.join(F.broadcast(ivs), F.expr("v >= lo AND v <= hi")).collect()
     )
     got = sorted(
         (r["pid"], r["iid"])
